@@ -1,0 +1,82 @@
+"""Archive container tests (round-trip, append, tombstones, bundles)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rasr_tpu.utils.archive import (
+    BundleArchive,
+    FileArchive,
+    open_archive,
+    pack_ndarray,
+    unpack_ndarray,
+)
+
+
+def test_roundtrip(tmp_path):
+    path = str(tmp_path / "a.cache")
+    with FileArchive(path, "w") as ar:
+        ar.write("seg1", b"hello" * 100)
+        ar.write("seg2", b"\x00\x01\x02")
+    with FileArchive(path, "r") as ar:
+        assert set(ar.keys()) == {"seg1", "seg2"}
+        assert ar.read("seg1") == b"hello" * 100
+        assert ar.read("seg2") == b"\x00\x01\x02"
+
+
+def test_append_and_overwrite(tmp_path):
+    path = str(tmp_path / "a.cache")
+    with FileArchive(path, "w") as ar:
+        ar.write("x", b"v1")
+    with FileArchive(path, "a") as ar:
+        ar.write("x", b"v2")
+        ar.write("y", b"w")
+    with FileArchive(path, "r") as ar:
+        assert ar.read("x") == b"v2"
+        assert ar.read("y") == b"w"
+
+
+def test_tombstone(tmp_path):
+    path = str(tmp_path / "a.cache")
+    with FileArchive(path, "w") as ar:
+        ar.write("x", b"v1")
+        ar.delete("x")
+    with FileArchive(path, "r") as ar:
+        assert "x" not in ar
+
+
+def test_index_staleness_rescan(tmp_path):
+    path = str(tmp_path / "a.cache")
+    with FileArchive(path, "w") as ar:
+        ar.write("x", b"v1")
+    # append without updating index
+    ar2 = FileArchive(path, "a")
+    ar2.write("y", b"v2")
+    ar2._fh.flush()
+    ar2._fh.close()  # bypass close() so .idx stays stale
+    with FileArchive(path, "r") as ar:
+        assert set(ar.keys()) == {"x", "y"}
+
+
+def test_bundle(tmp_path):
+    p1, p2 = str(tmp_path / "a1.cache"), str(tmp_path / "a2.cache")
+    with FileArchive(p1, "w") as ar:
+        ar.write("s1", b"one")
+    with FileArchive(p2, "w") as ar:
+        ar.write("s2", b"two")
+    bundle = tmp_path / "all.bundle"
+    bundle.write_text("a1.cache\na2.cache\n")
+    br = open_archive(str(bundle))
+    assert isinstance(br, BundleArchive)
+    assert set(br.keys()) == {"s1", "s2"}
+    assert br.read("s2") == b"two"
+    br.close()
+
+
+def test_ndarray_packing():
+    arr = np.random.default_rng(0).normal(size=(17, 45)).astype(np.float32)
+    data = pack_ndarray(arr)
+    out = unpack_ndarray(data)
+    np.testing.assert_array_equal(arr, out)
+    assert out.dtype == np.float32
