@@ -2,20 +2,27 @@
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
 platform with 8 virtual devices (SURVEY.md §4: replaces the fake backends
-the reference lacks). Must run before jax is imported anywhere.
+the reference lacks).
+
+The image boots every Python process with an axon TPU site hook
+(PYTHONPATH=/root/.axon_site) that registers a remote-compile TPU backend
+and forces jax_platforms='axon,cpu' — overriding the JAX_PLATFORMS env
+var, so env alone can't steer tests onto the CPU. jax.config.update wins
+over the hook as long as it runs before backends initialize, i.e. here in
+conftest before any test imports jax arrays.
+Set RASR_TPU_TEST_TPU=1 to run tests on the real chip instead.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("RASR_TPU_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

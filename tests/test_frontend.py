@@ -1,0 +1,192 @@
+"""Feature frontend tests against independent numpy/scipy oracles.
+
+(SURVEY.md §4: golden-value unit tests per kernel — STFT/MFCC/LDA vs
+scipy reference implementations.)
+"""
+
+import numpy as np
+import pytest
+import scipy.fftpack
+import scipy.signal
+
+from rasr_tpu.ops.frontend import (
+    FeatureFrontend,
+    FrontendConfig,
+    FrontendParams,
+    apply_lda,
+    cmvn,
+    deltas,
+    dct_matrix,
+    frame_signal,
+    make_params,
+    mel_filterbank,
+    mfcc_from_frames,
+    num_frames,
+    power_spectrum,
+    preemphasize,
+    splice,
+    window_function,
+)
+
+import jax.numpy as jnp
+
+
+CFG = FrontendConfig(normalize="none")
+
+
+def _signal(rng, n=16000 * 2):
+    t = np.arange(n) / 16000.0
+    return (
+        0.3 * np.sin(2 * np.pi * 440 * t)
+        + 0.1 * np.sin(2 * np.pi * 1330 * t + 0.5)
+        + 0.01 * rng.normal(size=n)
+    ).astype(np.float32)
+
+
+def test_num_frames():
+    cfg = CFG
+    assert num_frames(399, cfg) == 0
+    assert num_frames(400, cfg) == 1
+    assert num_frames(560, cfg) == 2
+    assert num_frames(16000, cfg) == 98
+
+
+def test_preemphasis_matches_reference_formula(rng):
+    x = _signal(rng, 1000)
+    y = np.asarray(preemphasize(jnp.asarray(x), 0.97))
+    ref = np.concatenate([[x[0] - 0.97 * 0.0], x[1:] - 0.97 * x[:-1]])
+    np.testing.assert_allclose(y, ref, rtol=1e-6)
+
+
+def test_framing(rng):
+    x = _signal(rng, 1000)
+    T = num_frames(1000, CFG)
+    frames = np.asarray(frame_signal(jnp.asarray(x), T, CFG))
+    assert frames.shape == (T, 400)
+    for i in range(T):
+        np.testing.assert_array_equal(frames[i], x[i * 160 : i * 160 + 400])
+
+
+def test_power_spectrum_matmul_vs_rfft(rng):
+    x = _signal(rng, 2000)
+    T = num_frames(2000, CFG)
+    frames = frame_signal(jnp.asarray(x), T, CFG)
+    params = make_params(CFG)
+    p_mm = np.asarray(power_spectrum(frames, params, CFG))
+    cfg_fft = FrontendConfig(normalize="none", use_matmul_dft=False)
+    p_fft = np.asarray(power_spectrum(frames, params, cfg_fft))
+    np.testing.assert_allclose(p_mm, p_fft, rtol=1e-3, atol=1e-3)
+    # and vs scipy oracle
+    win = window_function("hamming", 400)
+    oracle = np.abs(np.fft.rfft(np.asarray(frames) * win, n=512, axis=-1)) ** 2
+    np.testing.assert_allclose(p_mm, oracle, rtol=1e-3, atol=1e-3)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(20, 257, 512, 16000)
+    assert fb.shape == (257, 20)
+    assert np.all(fb >= 0)
+    # each filter is unimodal with a single peak near its center
+    assert np.all(fb.max(axis=0) > 0.5)
+    # adjacent filters overlap: column supports intersect
+    for m in range(19):
+        assert np.any((fb[:, m] > 0) & (fb[:, m + 1] > 0))
+
+
+def test_dct_matches_scipy():
+    rng = np.random.default_rng(0)
+    logmel = rng.normal(size=(7, 20)).astype(np.float32)
+    d_ortho = dct_matrix(20, 16, "ortho")
+    ours = logmel @ d_ortho
+    oracle = scipy.fftpack.dct(logmel, type=2, axis=-1, norm="ortho")[:, :16]
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_mfcc_pipeline_shapes(rng):
+    x = _signal(rng)
+    fe = FeatureFrontend(CFG)
+    feats, n = fe(x[None, :], np.array([x.shape[0]]))
+    assert feats.shape == (1, num_frames(x.shape[0], CFG), 16)
+    assert int(n[0]) == num_frames(x.shape[0], CFG)
+
+
+def test_cmvn_masked(rng):
+    feats = jnp.asarray(rng.normal(size=(2, 50, 8)).astype(np.float32))
+    mask = np.zeros((2, 50), np.float32)
+    mask[0, :30] = 1
+    mask[1, :50] = 1
+    out = np.asarray(cmvn(feats, jnp.asarray(mask)))
+    # valid region: zero mean / unit variance
+    v = out[0, :30]
+    np.testing.assert_allclose(v.mean(axis=0), 0, atol=1e-4)
+    np.testing.assert_allclose(v.var(axis=0), 1, atol=1e-2)
+    # padded region zeroed
+    np.testing.assert_array_equal(out[0, 30:], 0)
+
+
+def test_splice(rng):
+    feats = jnp.asarray(rng.normal(size=(1, 10, 3)).astype(np.float32))
+    sp = np.asarray(splice(feats, 2))
+    assert sp.shape == (1, 10, 15)
+    f = np.asarray(feats)[0]
+    # middle frame: exact concatenation of neighbors
+    np.testing.assert_array_equal(sp[0, 5], np.concatenate([f[3], f[4], f[5], f[6], f[7]]))
+    # edge replication
+    np.testing.assert_array_equal(sp[0, 0][:3], f[0])
+    np.testing.assert_array_equal(sp[0, 0][3:6], f[0])
+
+
+def test_deltas_linear_signal():
+    # linear ramp -> first delta constant, second delta ~0
+    T = 20
+    ramp = jnp.asarray(np.arange(T, dtype=np.float32)[None, :, None])
+    out = np.asarray(deltas(ramp, order=2, window=2))
+    assert out.shape == (1, T, 3)
+    np.testing.assert_allclose(out[0, 5:15, 1], 1.0, atol=1e-5)
+    np.testing.assert_allclose(out[0, 5:15, 2], 0.0, atol=1e-5)
+
+
+def test_lda_projection(rng):
+    feats = jnp.asarray(rng.normal(size=(2, 5, 144)).astype(np.float32))
+    lda = rng.normal(size=(144, 45)).astype(np.float32)
+    out = np.asarray(apply_lda(feats, jnp.asarray(lda)))
+    np.testing.assert_allclose(out, np.asarray(feats) @ lda, rtol=1e-4, atol=1e-4)
+
+
+def test_full_frontend_with_splice_lda(rng):
+    x = _signal(rng)
+    lda = rng.normal(size=(16 * 9, 45)).astype(np.float32) * 0.1
+    fe = FeatureFrontend(FrontendConfig(), splice_context=4, lda=lda)
+    assert fe.output_dim == 45
+    feats, n = fe(np.stack([x, x * 0.5]), np.array([x.shape[0], x.shape[0] // 2]))
+    assert feats.shape[2] == 45
+    # second utterance: frames beyond its length are zero
+    n1 = int(n[1])
+    assert np.all(np.asarray(feats)[1, n1:] == 0)
+    assert np.any(np.asarray(feats)[1, : n1] != 0)
+
+
+def test_batch_equals_single(rng):
+    """Batched frontend == per-utterance computation (no cross-talk)."""
+    xs = [
+        _signal(rng, 16000),
+        _signal(rng, 12000),
+    ]
+    cfg = FrontendConfig()
+    fe = FeatureFrontend(cfg)
+    S = 16000
+    batch = np.zeros((2, S), np.float32)
+    for i, x in enumerate(xs):
+        batch[i, : len(x)] = x
+    lengths = np.array([len(x) for x in xs])
+    feats_b, n_b = fe(batch, lengths)
+    for i, x in enumerate(xs):
+        pad = np.zeros((1, S), np.float32)
+        pad[0, : len(x)] = x
+        feats_s, n_s = fe(pad, np.array([len(x)]))
+        ni = int(n_s[0])
+        assert ni == int(n_b[i])
+        np.testing.assert_allclose(
+            np.asarray(feats_b)[i, :ni], np.asarray(feats_s)[0, :ni],
+            rtol=1e-4, atol=1e-4,
+        )
