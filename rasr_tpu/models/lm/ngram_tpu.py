@@ -1,0 +1,220 @@
+"""N-gram LM compiled to HBM-resident hash tables with gather lookups.
+
+The TPU-native replacement for the reference's in-decoder LM access
+(ref: src/Lm/BackingOff.* trie walks): the ARPA model is compiled once,
+host-side, into
+
+* a **state space** = all contexts listed in the model (plus the empty
+  context, id 0) — these ids ARE the decoder's word histories, so history
+  recombination needs no interning (SURVEY §7: "n-gram probabilities
+  compiled into HBM-resident integer-keyed tables so LM lookups are TPU
+  gathers");
+* ``backoff_cost/backoff_state [S]`` arrays;
+* an open-addressing **transition hash table** keyed by (state, word)
+  holding (cost, next_state), linear probing with a build-time-verified
+  probe bound.
+
+``lookup(states, words)`` is fully vectorized: at most ``order`` backoff
+levels × ``max_probe`` probes, all unrolled gathers — no data-dependent
+control flow, jit/scan-safe, usable inside the decoder's frame loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .arpa import NgramLm
+
+_H1 = np.uint32(0x9E3779B1)
+_H2 = np.uint32(0x85EBCA6B)
+
+
+def _hash(state: np.ndarray, word: np.ndarray, mask: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (state.astype(np.uint32) * _H1) ^ (word.astype(np.uint32) * _H2)
+        h ^= h >> np.uint32(15)
+        h = h * np.uint32(0x2545F491)
+        h ^= h >> np.uint32(13)
+    return (h & np.uint32(mask)).astype(np.int64)
+
+
+def _hash_jax(state: jnp.ndarray, word: jnp.ndarray, mask: int) -> jnp.ndarray:
+    h = (state.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) ^ (
+        word.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+    )
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2545F491)
+    h = h ^ (h >> 13)
+    return (h & jnp.uint32(mask)).astype(jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class NgramTables:
+    """Device pytree of the compiled LM."""
+
+    key_state: jnp.ndarray  # [H] i32, -1 = empty
+    key_word: jnp.ndarray  # [H] i32
+    val_cost: jnp.ndarray  # [H] f32
+    val_next: jnp.ndarray  # [H] i32
+    backoff_cost: jnp.ndarray  # [S] f32
+    backoff_state: jnp.ndarray  # [S] i32
+    order: int
+    max_probe: int
+    start_state: int
+    end_word: int
+    unk_word: int
+    num_states: int
+
+    @property
+    def table_size(self) -> int:
+        return self.key_state.shape[0]
+
+
+jax.tree_util.register_pytree_node(
+    NgramTables,
+    lambda t: (
+        (t.key_state, t.key_word, t.val_cost, t.val_next, t.backoff_cost, t.backoff_state),
+        (t.order, t.max_probe, t.start_state, t.end_word, t.unk_word, t.num_states),
+    ),
+    lambda aux, ch: NgramTables(*ch, *aux),
+)
+
+
+def compile_ngram(lm: NgramLm, max_probe: int = 16) -> NgramTables:
+    """Host-side compilation ARPA dict -> device tables."""
+    order = lm.order
+    # ---------------------------------------------------------------- states
+    contexts = [()] + sorted(g for g in lm.ngrams if len(g) < order)
+    state_id: Dict[Tuple[int, ...], int] = {g: i for i, g in enumerate(contexts)}
+
+    def ctx_state(g: Tuple[int, ...]) -> int:
+        while g not in state_id:
+            g = g[1:]
+        return state_id[g]
+
+    S = len(contexts)
+    backoff_cost = np.zeros(S, np.float32)
+    backoff_state = np.zeros(S, np.int32)
+    for g, i in state_id.items():
+        if g:
+            backoff_cost[i] = lm.ngrams[g][1]
+            backoff_state[i] = ctx_state(g[1:])
+
+    # ----------------------------------------------------------- transitions
+    entries = []  # (state, word, cost, next_state)
+    for gram, (cost, _bo) in lm.ngrams.items():
+        h, w = gram[:-1], gram[-1]
+        if h not in state_id:
+            continue  # unreachable context (its own prefix is unlisted)
+        nxt = ctx_state(gram[-(order - 1):]) if order > 1 else 0
+        entries.append((state_id[h], w, cost, nxt))
+    n = len(entries)
+    H = 1
+    while H < 2 * max(n, 1):
+        H *= 2
+
+    while True:
+        key_state = np.full(H, -1, np.int32)
+        key_word = np.full(H, -1, np.int32)
+        val_cost = np.zeros(H, np.float32)
+        val_next = np.zeros(H, np.int32)
+        worst = 0
+        ok = True
+        for st, w, cost, nxt in entries:
+            h = int(_hash(np.int32(st), np.int32(w), H - 1))
+            for p in range(max_probe):
+                idx = (h + p) & (H - 1)
+                if key_state[idx] < 0:
+                    key_state[idx] = st
+                    key_word[idx] = w
+                    val_cost[idx] = cost
+                    val_next[idx] = nxt
+                    worst = max(worst, p + 1)
+                    break
+            else:
+                ok = False
+                break
+        if ok:
+            break
+        H *= 2  # probe bound exceeded: grow table
+
+    bos = lm.vocab.get("<s>")
+    start = state_id.get((bos,), 0) if bos is not None else 0
+    return NgramTables(
+        key_state=jnp.asarray(key_state),
+        key_word=jnp.asarray(key_word),
+        val_cost=jnp.asarray(val_cost),
+        val_next=jnp.asarray(val_next),
+        backoff_cost=jnp.asarray(backoff_cost),
+        backoff_state=jnp.asarray(backoff_state),
+        order=order,
+        max_probe=worst,
+        start_state=start,
+        end_word=lm.vocab.get("</s>", -1),
+        unk_word=lm.vocab.get("<unk>", -1),
+        num_states=S,
+    )
+
+
+def lookup(
+    tables: NgramTables, states: jnp.ndarray, words: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized backing-off lookup.
+
+    states, words ``[N] i32`` -> (costs ``[N] f32``, next states ``[N] i32``).
+    Unknown words (no unigram) get the <unk> unigram or cost 99.
+    """
+    mask = tables.table_size - 1
+    N = states.shape
+    acc = jnp.zeros(N, jnp.float32)
+    nxt = jnp.zeros(N, jnp.int32)
+    found = jnp.zeros(N, jnp.bool_)
+    cur = states
+
+    def probe_level(acc, nxt, found, cur, words):
+        h = _hash_jax(cur, words, mask)
+        hit_cost = jnp.zeros_like(acc)
+        hit_next = jnp.zeros_like(nxt)
+        hit_any = jnp.zeros_like(found)
+        for p in range(tables.max_probe):
+            idx = (h + p) & mask
+            match = (tables.key_state[idx] == cur) & (tables.key_word[idx] == words)
+            first = match & ~hit_any
+            hit_cost = jnp.where(first, tables.val_cost[idx], hit_cost)
+            hit_next = jnp.where(first, tables.val_next[idx], hit_next)
+            hit_any = hit_any | match
+        return hit_cost, hit_next, hit_any
+
+    for _level in range(tables.order):
+        hit_cost, hit_next, hit_any = probe_level(acc, nxt, found, cur, words)
+        new_hit = hit_any & ~found
+        acc = jnp.where(new_hit, acc + hit_cost, acc)
+        nxt = jnp.where(new_hit, hit_next, nxt)
+        found = found | hit_any
+        # back off where still unfound and not yet at the empty context
+        can_bo = ~found & (cur != 0)
+        acc = jnp.where(can_bo, acc + tables.backoff_cost[cur], acc)
+        cur = jnp.where(can_bo, tables.backoff_state[cur], cur)
+
+    # words with no unigram at all: <unk> unigram or flat 99
+    if tables.unk_word >= 0:
+        unk_cost, unk_next, unk_hit = probe_level(
+            acc, nxt, found,
+            jnp.zeros_like(cur), jnp.full_like(words, tables.unk_word),
+        )
+        acc = jnp.where(~found, acc + jnp.where(unk_hit, unk_cost, 99.0), acc)
+        nxt = jnp.where(~found, jnp.where(unk_hit, unk_next, 0), nxt)
+    else:
+        acc = jnp.where(~found, acc + 99.0, acc)
+        nxt = jnp.where(~found, 0, nxt)
+    return acc, nxt
+
+
+@jax.jit
+def score_batch(tables: NgramTables, states: jnp.ndarray, words: jnp.ndarray):
+    return lookup(tables, states, words)
