@@ -65,6 +65,29 @@ class Alignment:
         )
 
 
+def linear_segmentation(
+    graphs: Sequence[LinearGraph], n_frames: np.ndarray
+) -> np.ndarray:
+    """Uniform flat-start labels: frames spread evenly over chain states.
+
+    The standard bootstrap for EM from identical models, where a Viterbi
+    alignment would be TDP-driven and degenerate (the reference gets the
+    same effect from its linear-segmentation alignment mode).
+    Returns labels [B, T_max] (emission class ids, -1 padding).
+    """
+    B = len(graphs)
+    T = int(np.max(n_frames))
+    labels = np.full((B, T), -1, np.int32)
+    for i, g in enumerate(graphs):
+        n = int(n_frames[i])
+        if n <= 0:
+            continue
+        S = g.num_states
+        idx = np.minimum((np.arange(n) * S) // max(n, 1), S - 1)
+        labels[i, :n] = g.emission_ids[idx]
+    return labels
+
+
 def _pad_graphs(graphs: Sequence[LinearGraph]):
     """Stack graphs into padded [B, S_max] arrays."""
     B = len(graphs)
