@@ -1,0 +1,194 @@
+"""Decoder tests: tree compilation + beam search vs exhaustive oracle.
+
+The key property (SURVEY §4/§7): with pruning off (huge beam, K larger
+than the number of distinct (tree_state, lm_state) pairs), the decoder
+must be EXACT — its best score equals a brute-force minimum over all word
+sequences, each scored by forced alignment + LM.
+"""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rasr_tpu.align.graph import build_linear_graph
+from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+from rasr_tpu.models.hmm import HmmTopology, Tdp, TransitionModel
+from rasr_tpu.models.lm.arpa import NgramLm
+from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+from rasr_tpu.models.tying import MonophoneStateTying
+from rasr_tpu.ops.viterbi import BIG, viterbi_align
+from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+from rasr_tpu.search.tree import WORD_SILENCE, build_prefix_tree
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    lex.add_lemma(["AA"], [(["a", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    trans = TransitionModel(
+        speech=Tdp(loop=1.0, forward=0.0, skip=math.inf, exit=0.5),
+        silence=Tdp(loop=0.2, forward=0.5, skip=math.inf, exit=0.3),
+    )
+    lm = NgramLm.train_from_text(
+        [["AB", "BA"], ["AB", "AA"], ["BA", "AB"], ["AB", "BA"]], order=2
+    )
+    tables = compile_ngram(lm)
+    tree = build_prefix_tree(lex, tying, topo, trans, lm_vocab=lm.vocab)
+    return lex, topo, tying, trans, lm, tables, tree
+
+
+def test_tree_structure(setup):
+    lex, topo, tying, trans, lm, tables, tree = setup
+    st = tree.stats()
+    # root + silence(1) + shared 'a'(1) + 'b' after a + 'a' after a +
+    # 'b'(1) + 'a' after b = 7 states (AB,AA share first arc)
+    assert st["states"] == 7
+    assert st["word_end_states"] == 4  # sil, ab, aa, ba ends
+    # root out-degree: silence + a-first + b-first = 3
+    root_deg = tree.arc_ptr[1] - tree.arc_ptr[0]
+    assert root_deg == 3
+    # silence word end flagged as no-LM
+    sil_states = [s for s in range(tree.num_states) if WORD_SILENCE in tree.we_word[s]]
+    assert len(sil_states) == 1
+
+
+def _plant_emissions(tree, seq_states, M, sharp=50.0):
+    """Emission matrix making `seq_states` (tree states) nearly free."""
+    T = len(seq_states)
+    emis = np.full((T, M), sharp, np.float32)
+    for t, s in enumerate(seq_states):
+        emis[t, tree.emission_class[s]] = 0.0
+    return emis
+
+
+def test_decode_planted_sequence(setup):
+    lex, topo, tying, trans, lm, tables, tree = setup
+    # hand path: sil sil a a b b  -> [SILENCE] AB
+    # find tree states: silence arc state, a-first, b-after-a
+    # root arcs: inspect destinations
+    root_arcs = tree.arc_dst[tree.arc_ptr[0]:tree.arc_ptr[1]]
+    by_class = {tree.emission_class[s]: s for s in root_arcs}
+    sil_cls = tying.classify_like = None
+    # identify states by emission class via tying on known phones
+    from rasr_tpu.models.allophone import Allophone, AllophoneState
+    cls_si = tying.classify(AllophoneState(Allophone(lex.phonemes["si"].id), 0))
+    s_sil = by_class[cls_si]
+    # 'a' first states: class of a with right context b differs? monophone
+    # tying ignores context -> class of 'a'
+    cls_a = tying.classify(AllophoneState(Allophone(lex.phonemes["a"].id), 0))
+    cls_b = tying.classify(AllophoneState(Allophone(lex.phonemes["b"].id), 0))
+    s_a = by_class[cls_a]
+    # b after a: follow arc from s_a
+    succ = tree.arc_dst[tree.arc_ptr[s_a]:tree.arc_ptr[s_a + 1]]
+    s_b = [s for s in succ if tree.emission_class[s] == cls_b][0]
+    seq = [s_sil, s_sil, s_a, s_a, s_b, s_b]
+    M = tying.num_classes
+    emis = _plant_emissions(tree, seq, M)[None]
+    dec = TreeDecoder(tree, tables, BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.5))
+    (res,) = dec.decode_scores(emis, np.array([len(seq)]))
+    assert res.orth == "AB"
+    assert [l.primary_orth for l in res.lemmas] == ["[SILENCE]", "AB"]
+    assert res.word_ends == [1, 5]
+
+
+def _oracle_best(lex, topo, tying, trans, lm, emissions, T, lm_scale, max_words=4):
+    """Brute force: min over word sequences (with explicit optional
+    silences) of forced-alignment cost + scaled LM cost + </s>."""
+    words = ["AB", "BA", "AA"]
+    eos = lm.vocab["</s>"]
+    best = (np.inf, None)
+    items = words + ["[SILENCE]"]
+
+    def lm_cost_of(seq):
+        h = lm.start_history()
+        c = 0.0
+        for w in seq:
+            if w == "[SILENCE]":
+                continue
+            wid = lm.vocab[w]
+            c += lm_scale * lm.score(h, wid)
+            h = lm.extended_history(h, wid)
+        return c + lm_scale * lm.score(h, eos)
+
+    # sequences of up to max_words tokens (incl. silence tokens)
+    for n in range(1, max_words + 1):
+        for seq in itertools.product(items, repeat=n):
+            # at least one real word; silence may appear anywhere
+            g = build_linear_graph(
+                " ".join(seq), lex, tying, topo, trans, optional_silence=False
+            )
+            if g.num_states > T:
+                continue
+            e = emissions[:, :, g.emission_ids]  # [1,T,S]
+            cost, _ = viterbi_align(
+                jnp.asarray(e), jnp.asarray(g.loop[None]), jnp.asarray(g.fwd[None]),
+                jnp.asarray(g.skip[None]), jnp.asarray(g.init[None]),
+                jnp.asarray(g.final[None]), jnp.asarray([T]),
+            )
+            total = float(np.asarray(cost)[0]) + lm_cost_of(seq)
+            if total < best[0]:
+                best = (total, seq)
+    return best
+
+
+def test_decoder_exact_vs_oracle(setup, rng):
+    """Pruning off -> decoder score == exhaustive minimum. Random emissions
+    make this a strong structural test."""
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    T = 7
+    lm_scale = 0.7
+    for trial in range(3):
+        emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
+        dec = TreeDecoder(
+            tree, tables,
+            BeamConfig(max_hyps=256, beam=1e9, word_end_limit=64, lm_scale=lm_scale),
+        )
+        (res,) = dec.decode_scores(emis, np.array([T]))
+        oracle_score, oracle_seq = _oracle_best(
+            lex, topo, tying, trans, lm, emis, T, lm_scale
+        )
+        assert oracle_seq is not None
+        np.testing.assert_allclose(res.score, oracle_score, rtol=1e-4, atol=1e-3), (
+            trial, oracle_seq,
+        )
+        got = [l.primary_orth for l in res.lemmas]
+        assert got == list(oracle_seq), (got, oracle_seq, trial)
+
+
+def test_decoder_batched_ragged(setup, rng):
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    T = 8
+    emis = rng.uniform(0.0, 6.0, size=(3, T, M)).astype(np.float32)
+    n = np.array([5, 8, 6])
+    dec = TreeDecoder(tree, tables, BeamConfig(max_hyps=256, word_end_limit=64, lm_scale=0.7))
+    batch = dec.decode_scores(emis, n)
+    for b in range(3):
+        (single,) = dec.decode_scores(emis[b : b + 1, : n[b]], n[b : b + 1])
+        np.testing.assert_allclose(batch[b].score, single.score, rtol=1e-4)
+        assert [l.primary_orth for l in batch[b].lemmas] == [
+            l.primary_orth for l in single.lemmas
+        ]
+
+
+def test_beam_pruning_monotone(setup, rng):
+    """Tighter pruning can only increase (or keep) the best cost."""
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    emis = rng.uniform(0.0, 6.0, size=(1, 10, M)).astype(np.float32)
+    scores = []
+    for k in (4, 32, 256):
+        dec = TreeDecoder(tree, tables, BeamConfig(max_hyps=k, word_end_limit=16, lm_scale=0.7))
+        (res,) = dec.decode_scores(emis, np.array([10]))
+        scores.append(res.score)
+    assert scores[0] >= scores[1] >= scores[2]
