@@ -1,0 +1,160 @@
+"""Benchmark: full decode pipeline throughput on one chip.
+
+Measures audio-seconds decoded per wall second per chip for the complete
+pipeline — MFCC/LDA frontend -> dense GMM emission scoring -> prefix-tree
+beam decode with bigram LM — on a realistic synthetic setup (5k-word
+lexicon, 2k tied states with 8 densities each, 45-dim LDA features).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 50 (BASELINE.json north-star: >=50x real time per
+chip on LibriSpeech test-clean; real-data parity pending corpus access —
+the synthetic load matches the compute shape: same frame rate, feature
+dims, inventory sizes, beam widths).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_setup(
+    num_words=5000,
+    num_phones=40,
+    num_classes=2000,
+    densities=8,
+    feat_dim=45,
+    seed=0,
+):
+    import jax
+
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.models.gmm import MixtureSet
+    from rasr_tpu.models.hmm import HmmTopology, TransitionModel
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+    from rasr_tpu.models.scorer import GmmFeatureScorer
+    from rasr_tpu.models.tying import CartStateTying, StateTying
+    from rasr_tpu.ops.frontend import FeatureFrontend, FrontendConfig
+    from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+    from rasr_tpu.search.tree import build_prefix_tree
+
+    rng = np.random.default_rng(seed)
+    lex = Lexicon()
+    build_default_silence(lex)
+    phones = [f"p{i}" for i in range(num_phones)]
+    for p in phones:
+        lex.phonemes.add(p)
+    seen = set()
+    for w in range(num_words):
+        length = int(rng.integers(2, 8))
+        pron = tuple(rng.choice(phones, size=length))
+        if pron in seen:
+            continue
+        seen.add(pron)
+        lex.add_lemma([f"w{w}"], [(list(pron), 0.0)])
+
+    topology = HmmTopology(states_per_phone=3, silence_states=1)
+
+    class HashTying(StateTying):
+        """Pseudo-CART: deterministic hash of (allophone, state) to
+        num_classes tied classes (same compute shape as CART tying)."""
+
+        def __init__(self, n):
+            self.num_classes = n
+
+        def classify(self, state):
+            al = state.allophone
+            h = (al.center * 73856093) ^ (al.left * 19349663) ^ (al.right * 83492791) ^ (state.state * 2971215073)
+            return 1 + (h % (self.num_classes - 1))
+
+    tying = HashTying(num_classes)
+
+    # bigram LM over the word vocab
+    vocab = {"<s>": 0, "</s>": 1, "<unk>": 2}
+    for lemma in lex.lemmata:
+        if lemma.special:
+            continue
+        vocab.setdefault(lemma.primary_orth, len(vocab))
+    ngrams = {}
+    for w, i in vocab.items():
+        ngrams[(i,)] = (float(rng.uniform(5, 12)), float(rng.uniform(0.2, 2.0)))
+    ids = list(vocab.values())
+    for _ in range(num_words * 12):
+        a, b = rng.choice(ids), rng.choice(ids)
+        ngrams[(int(a), int(b))] = (float(rng.uniform(2, 9)), 0.0)
+    lm = NgramLm(2, vocab, ngrams)
+    tables = compile_ngram(lm)
+
+    tree = build_prefix_tree(lex, tying, topology, TransitionModel(), lm_vocab=vocab)
+
+    ms = MixtureSet(
+        means=rng.normal(size=(num_classes, densities, feat_dim)).astype(np.float32),
+        variances=(0.5 + rng.uniform(size=(num_classes, densities, feat_dim))).astype(np.float32),
+        weights=np.full((num_classes, densities), 1.0 / densities, np.float32),
+        num_densities=np.full(num_classes, densities, np.int32),
+    )
+    scorer = GmmFeatureScorer(ms, scale=1.0)
+
+    lda = (rng.normal(size=(16 * 9, feat_dim)) * 0.1).astype(np.float32)
+    fe = FeatureFrontend(FrontendConfig(), splice_context=4, lda=lda)
+    dec = TreeDecoder(
+        tree, tables, BeamConfig(max_hyps=1024, beam=1e9, word_end_limit=128, lm_scale=10.0)
+    )
+    return fe, scorer, dec, tree
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    t_setup = time.time()
+    fe, scorer, dec, tree = build_setup()
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    audio_seconds_each = float(os.environ.get("BENCH_AUDIO_S", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    rng = np.random.default_rng(1)
+    sr = 16000
+    S = int(audio_seconds_each * sr)
+    samples = rng.normal(size=(batch_size, S)).astype(np.float32) * 0.1
+    lengths = np.full(batch_size, S, np.int64)
+    sys.stderr.write(
+        f"setup {time.time()-t_setup:.1f}s tree={tree.stats()} "
+        f"device={jax.devices()[0].platform}\n"
+    )
+
+    def pipeline():
+        feats, nf = fe(samples, lengths)
+        emis = scorer(feats)
+        results = dec.decode_scores(np.asarray(emis), np.asarray(nf))
+        return results
+
+    t0 = time.time()
+    pipeline()  # compile + warmup
+    sys.stderr.write(f"warmup/compile {time.time()-t0:.1f}s\n")
+
+    t0 = time.time()
+    for _ in range(iters):
+        res = pipeline()
+    elapsed = time.time() - t0
+    audio_total = iters * batch_size * audio_seconds_each
+    value = audio_total / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "decode_throughput",
+                "value": round(value, 3),
+                "unit": "audio_seconds/s/chip",
+                "vs_baseline": round(value / 50.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,18 +43,27 @@ from .tree import WORD_NONE, WORD_SILENCE, PrefixTree
 
 @dataclasses.dataclass(frozen=True)
 class TreeTables:
-    """Device pytree of the compiled prefix tree (+1 sentinel state)."""
+    """Device pytree of the compiled prefix tree (+1 sentinel state).
+
+    Root out-arcs (word re-entry fan-out, O(#first-phone variants)) are
+    split from the per-state CSR: only a few LM-state-conditioned hyps
+    sit at the root, so they expand densely over all root arcs, while the
+    per-hypothesis CSR budget stays at the small non-root max degree.
+    """
 
     emission_class: jnp.ndarray  # [S+1]
     loop_cost: jnp.ndarray  # [S+1]
-    arc_ptr: jnp.ndarray  # [S+2]
+    arc_ptr: jnp.ndarray  # [S+2] (root's range emptied)
     arc_dst: jnp.ndarray  # [A]
     arc_cost: jnp.ndarray  # [A]
+    root_dst: jnp.ndarray  # [DegRoot]
+    root_cost: jnp.ndarray  # [DegRoot]
     we_word: jnp.ndarray  # [S+1, W]
     we_cost: jnp.ndarray  # [S+1, W]
     we_lemma: jnp.ndarray  # [S+1, W]
     num_states: int
-    max_out_degree: int
+    max_out_degree: int  # over non-root states
+    root_degree: int
 
     @property
     def sentinel(self) -> int:
@@ -65,8 +74,8 @@ jax.tree_util.register_pytree_node(
     TreeTables,
     lambda t: (
         (t.emission_class, t.loop_cost, t.arc_ptr, t.arc_dst, t.arc_cost,
-         t.we_word, t.we_cost, t.we_lemma),
-        (t.num_states, t.max_out_degree),
+         t.root_dst, t.root_cost, t.we_word, t.we_cost, t.we_lemma),
+        (t.num_states, t.max_out_degree, t.root_degree),
     ),
     lambda aux, ch: TreeTables(*ch, *aux),
 )
@@ -74,19 +83,35 @@ jax.tree_util.register_pytree_node(
 
 def tree_to_device(tree: PrefixTree) -> TreeTables:
     S = tree.num_states
+    root_lo, root_hi = int(tree.arc_ptr[0]), int(tree.arc_ptr[1])
+    root_dst = tree.arc_dst[root_lo:root_hi]
+    root_cost = tree.arc_cost[root_lo:root_hi]
+    # strip root arcs out of the CSR
+    arc_dst = tree.arc_dst[root_hi:]
+    arc_cost = tree.arc_cost[root_hi:]
+    arc_ptr = tree.arc_ptr.copy().astype(np.int32)
+    arc_ptr[1:] -= root_hi
+    arc_ptr[0] = 0
+    arc_ptr[1] = 0
+    deg = arc_ptr[2:] - arc_ptr[1:-1]
+    dmax = int(deg.max()) if deg.size else 1
+    if arc_dst.size == 0:
+        arc_dst = np.zeros(1, np.int32)
+        arc_cost = np.full(1, BIG, np.float32)
     return TreeTables(
         emission_class=jnp.asarray(np.concatenate([tree.emission_class, [0]])),
         loop_cost=jnp.asarray(np.concatenate([tree.loop_cost, [BIG]]).astype(np.float32)),
-        arc_ptr=jnp.asarray(np.concatenate([tree.arc_ptr, tree.arc_ptr[-1:]])),
-        arc_dst=jnp.asarray(tree.arc_dst if tree.num_arcs else np.zeros(1, np.int32)),
-        arc_cost=jnp.asarray(
-            (tree.arc_cost if tree.num_arcs else np.full(1, BIG)).astype(np.float32)
-        ),
+        arc_ptr=jnp.asarray(np.concatenate([arc_ptr, arc_ptr[-1:]])),
+        arc_dst=jnp.asarray(arc_dst),
+        arc_cost=jnp.asarray(arc_cost.astype(np.float32)),
+        root_dst=jnp.asarray(root_dst),
+        root_cost=jnp.asarray(root_cost.astype(np.float32)),
         we_word=jnp.asarray(np.concatenate([tree.we_word, np.full((1, tree.max_word_ends), WORD_NONE, np.int32)])),
         we_cost=jnp.asarray(np.concatenate([tree.we_cost, np.full((1, tree.max_word_ends), BIG, np.float32)])),
         we_lemma=jnp.asarray(np.concatenate([tree.we_lemma, np.full((1, tree.max_word_ends), -1, np.int32)])),
         num_states=S,
-        max_out_degree=tree.max_out_degree,
+        max_out_degree=max(dmax, 1),
+        root_degree=max(int(root_dst.shape[0]), 1),
     )
 
 
@@ -98,10 +123,12 @@ class BeamConfig:
     max_hyps: int = 1024  # histogram pruning cap (K)
     beam: float = 1e9  # acoustic beam width
     word_end_limit: int = 128  # R: word-end survivors / records per frame
+    root_hyps: int = 32  # H: root (re-entry) hyps expanded per frame
+    expansion_limit: int = 4096  # E: candidates surviving into recombination
     lm_scale: float = 1.0
 
 
-@partial(jax.jit, static_argnames=("cfg", "dmax", "wmax"))
+@partial(jax.jit, static_argnames=("cfg", "dmax", "wmax", "hroot"))
 def _decode_scan(
     tree: TreeTables,
     lm: NgramTables,
@@ -110,6 +137,7 @@ def _decode_scan(
     cfg: BeamConfig,
     dmax: int,
     wmax: int,
+    hroot: int,
 ):
     B, T, M = emissions.shape
     K = cfg.max_hyps
@@ -127,6 +155,7 @@ def _decode_scan(
         active = (t < n_frames)[:, None]
 
         # ------------------------------------------------- expansion
+        # non-root hyps: CSR out-arcs, budget = non-root max degree
         deg = tree.arc_ptr[state + 1] - tree.arc_ptr[state]  # [B,K]
         d = jnp.arange(dmax, dtype=jnp.int32)
         arc_idx = tree.arc_ptr[state][..., None] + d  # [B,K,D]
@@ -135,16 +164,35 @@ def _decode_scan(
         dstA = jnp.where(ok, tree.arc_dst[arc_idx], SENT)
         costA = jnp.where(ok, tree.arc_cost[arc_idx], BIG)
 
+        # root hyps (word re-entries): top-H by score, dense fan-out over
+        # all root arcs (tree copies conditioned on LM history)
+        G = tree.root_degree
+        root_score = jnp.where(state == 0, score, BIG)
+        negH, hidx = jax.lax.top_k(-root_score, hroot)
+        h_score = -negH  # [B,H]
+        h_lm = jnp.take_along_axis(lms, hidx, axis=1)
+        h_bp = jnp.take_along_axis(bp, hidx, axis=1)
+        dead_h = h_score >= BIG / 2
+        dstR = jnp.where(
+            dead_h[..., None], SENT, jnp.broadcast_to(tree.root_dst, (B, hroot, G))
+        )
+        scoreR = h_score[..., None] + tree.root_cost  # [B,H,G]
+
         cand_state = jnp.concatenate(
-            [state, dstA.reshape(B, K * dmax)], axis=1
-        )  # [B, K*(D+1)]
+            [state, dstA.reshape(B, K * dmax), dstR.reshape(B, hroot * G)], axis=1
+        )
         cand_score = jnp.concatenate(
             [score + tree.loop_cost[state],
-             (score[..., None] + costA).reshape(B, K * dmax)],
+             (score[..., None] + costA).reshape(B, K * dmax),
+             scoreR.reshape(B, hroot * G)],
             axis=1,
         )
-        cand_lm = jnp.concatenate([lms, jnp.repeat(lms, dmax, axis=1)], axis=1)
-        cand_bp = jnp.concatenate([bp, jnp.repeat(bp, dmax, axis=1)], axis=1)
+        cand_lm = jnp.concatenate(
+            [lms, jnp.repeat(lms, dmax, axis=1), jnp.repeat(h_lm, G, axis=1)], axis=1
+        )
+        cand_bp = jnp.concatenate(
+            [bp, jnp.repeat(bp, dmax, axis=1), jnp.repeat(h_bp, G, axis=1)], axis=1
+        )
 
         # ------------------------------------------------- emission
         e = jnp.take_along_axis(
@@ -157,6 +205,18 @@ def _decode_scan(
         # ------------------------------------------------- beam prune
         best = jnp.min(cand_score, axis=1, keepdims=True)
         cand_score = jnp.where(cand_score > best + cfg.beam, BIG, cand_score)
+
+        # ------------------------- expansion pre-prune (approx top-E)
+        # The recombination sort is the per-frame cost driver; cut the
+        # candidate set to E best first. approx_max_k rides the TPU's
+        # fast approximate top-k unit; an approximate cut is fine — this
+        # is pruning, recombination afterwards stays exact.
+        if cand_score.shape[1] > cfg.expansion_limit:
+            neg_e, eidx = jax.lax.approx_max_k(-cand_score, cfg.expansion_limit)
+            cand_score = -neg_e
+            cand_state = jnp.take_along_axis(cand_state, eidx, axis=1)
+            cand_lm = jnp.take_along_axis(cand_lm, eidx, axis=1)
+            cand_bp = jnp.take_along_axis(cand_bp, eidx, axis=1)
 
         # ------------------------------------- recombination (sort+dedup)
         s_state, s_lm, s_score, s_bp = jax.lax.sort(
@@ -241,6 +301,7 @@ def _decode_scan(
             jnp.where(r_valid, r_srcbp, -1),
             r_lmcost,
             jnp.where(r_valid, r_word, WORD_NONE),
+            jnp.where(r_valid, r_newlm, -1),
         )
         return (state, lms, score, bp, fstate, flm, fscore, fbp), recs
 
@@ -262,7 +323,7 @@ def _decode_scan(
     best_idx = jnp.argmin(final_total, axis=1)
     best_score = jnp.take_along_axis(final_total, best_idx[:, None], axis=1)[:, 0]
     best_bp = jnp.take_along_axis(fbp, best_idx[:, None], axis=1)[:, 0]
-    return best_score, best_bp, recs, (fstate, flm, fscore, fbp)
+    return best_score, best_bp, recs, (fstate, flm, fscore, fbp, end_cost)
 
 
 @dataclasses.dataclass
@@ -314,15 +375,16 @@ class TreeDecoder:
             jnp.asarray(emissions),
             jnp.asarray(n_frames, jnp.int32),
             self.cfg,
-            self.tree.max_out_degree,
+            self.tables.max_out_degree,
             self.tree.max_word_ends,
+            min(self.cfg.root_hyps, self.cfg.max_hyps),
         )
-        rec_lemma, rec_score, rec_prev, rec_lmcost, rec_word = (
+        rec_lemma, rec_score, rec_prev, rec_lmcost, rec_word, rec_lm = (
             np.asarray(r) for r in recs
         )  # [T, B, R]
-        best_score = np.asarray(best_score)
-        best_bp = np.asarray(best_bp)
-        fstate, flm, fscore, fbp = (np.asarray(x) for x in finals)
+        best_score = np.array(best_score)
+        best_bp = np.array(best_bp)
+        fstate, flm, fscore, fbp, fend = (np.asarray(x) for x in finals)
         R = self.cfg.word_end_limit
 
         results = []
@@ -360,5 +422,9 @@ class TreeDecoder:
                     record_ids=rec_ids,
                 )
             )
-        self._last_records = (rec_lemma, rec_score, rec_prev, rec_lmcost, rec_word)
+        self._last_records = (
+            rec_lemma, rec_score, rec_prev, rec_lmcost, rec_word, rec_lm,
+        )
+        self._last_finals = (fstate, flm, fscore, fbp, fend)
+        self._last_n_frames = np.asarray(n_frames)
         return results

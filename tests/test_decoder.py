@@ -151,7 +151,8 @@ def test_decoder_exact_vs_oracle(setup, rng):
         emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
         dec = TreeDecoder(
             tree, tables,
-            BeamConfig(max_hyps=256, beam=1e9, word_end_limit=64, lm_scale=lm_scale),
+            BeamConfig(max_hyps=256, beam=1e9, word_end_limit=64,
+                       root_hyps=256, lm_scale=lm_scale),
         )
         (res,) = dec.decode_scores(emis, np.array([T]))
         oracle_score, oracle_seq = _oracle_best(

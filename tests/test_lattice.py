@@ -1,0 +1,174 @@
+"""Lattice construction + FLF processing + WER evaluation tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+from rasr_tpu.lattice.evaluator import CorpusEvaluator, align_tokens, lattice_oracle
+from rasr_tpu.lattice.flf import (
+    best_path,
+    cn_decode,
+    confusion_network,
+    forward_backward,
+    n_best,
+    posterior_prune,
+    rescore_lm,
+)
+from rasr_tpu.lattice.lattice import Lattice, LatticeArc, decoder_lattice
+
+
+def _diamond() -> Lattice:
+    """0 -> {A(1) | B(2)} -> 1 -> C(0.5) -> 2(final)."""
+    arcs = [
+        LatticeArc(0, 1, 0, 1.0, 0.0),  # A
+        LatticeArc(0, 1, 1, 2.0, 0.0),  # B
+        LatticeArc(1, 2, 2, 0.5, 0.0),  # C
+    ]
+    return Lattice(
+        num_nodes=3,
+        arcs=arcs,
+        node_time=np.array([0, 5, 10], np.int32),
+        final_scores={2: 0.0},
+        lemma_orths=["A", "B", "C"],
+    )
+
+
+def test_best_path_and_nbest():
+    lat = _diamond()
+    score, path = best_path(lat)
+    assert [lat.lemma_orths[a.lemma] for a in path] == ["A", "C"]
+    np.testing.assert_allclose(score, 1.5)
+    nb = n_best(lat, 5)
+    assert len(nb) == 2
+    np.testing.assert_allclose(nb[0][0], 1.5)
+    np.testing.assert_allclose(nb[1][0], 2.5)
+    assert [lat.lemma_orths[a.lemma] for a in nb[1][1]] == ["B", "C"]
+
+
+def test_forward_backward_posteriors():
+    lat = _diamond()
+    total, post = forward_backward(lat)
+    # two paths with costs 1.5 / 2.5 -> posteriors softmax(-costs)
+    pa = math.exp(-1.5) / (math.exp(-1.5) + math.exp(-2.5))
+    np.testing.assert_allclose(post[0], pa, rtol=1e-6)
+    np.testing.assert_allclose(post[1], 1 - pa, rtol=1e-6)
+    np.testing.assert_allclose(post[2], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(total, -math.log(math.exp(-1.5) + math.exp(-2.5)), rtol=1e-6)
+
+
+def test_posterior_prune():
+    lat = _diamond()
+    pruned = posterior_prune(lat, threshold=0.5)  # keeps only p >= e^-0.5
+    orths = sorted(lat.lemma_orths[a.lemma] for a in pruned.arcs)
+    assert orths == ["A", "C"]  # B (p~0.27) pruned, best path kept
+    # pruning everything still keeps best path
+    p2 = posterior_prune(lat, threshold=0.0)
+    assert len(p2.arcs) >= 2
+
+
+def test_lattice_pack_roundtrip():
+    lat = _diamond()
+    lat2 = Lattice.unpack(lat.pack())
+    assert lat2.num_nodes == 3
+    assert len(lat2.arcs) == 3
+    np.testing.assert_allclose(lat2.arcs[1].am_score, 2.0)
+    assert lat2.final_scores == {2: 0.0}
+    assert lat2.lemma_orths == ["A", "B", "C"]
+
+
+def test_rescore_lm():
+    from rasr_tpu.models.lm.arpa import NgramLm
+
+    lm = NgramLm.train_from_text([["A", "C"], ["B", "C"], ["A", "C"]], order=2)
+    lat = _diamond()
+    synt = {0: lm.vocab["A"], 1: lm.vocab["B"], 2: lm.vocab["C"]}
+    res = rescore_lm(lat, lm, synt)
+    score, path = best_path(res)
+    words = [res.lemma_orths[a.lemma] for a in path]
+    assert words == ["A", "C"]
+    # lattice lm dim now equals exact LM scores
+    expect = lat.arcs[0].am_score + lm.score(lm.start_history(), lm.vocab["A"])
+    a0 = [a for a in res.arcs if a.lemma == 0][0]
+    np.testing.assert_allclose(a0.am_score + a0.lm_score, expect, rtol=1e-6)
+
+
+def test_confusion_network_and_decode():
+    lat = _diamond()
+    slots = confusion_network(lat)
+    assert len(slots) == 2
+    # slot 0: A vs B with A dominant
+    words = dict(slots[0].hypotheses)
+    assert words["A"] > words["B"]
+    np.testing.assert_allclose(sum(words.values()), 1.0, atol=1e-6)
+    assert cn_decode(slots) == ["A", "C"]
+
+
+def test_align_tokens_and_wer():
+    stats, ops = align_tokens("the cat sat".split(), "the bat sat down".split())
+    assert stats.substitutions == 1
+    assert stats.insertions == 1
+    assert stats.deletions == 0
+    np.testing.assert_allclose(stats.wer, 2 / 3)
+    kinds = [o[0] for o in ops]
+    assert kinds == ["match", "sub", "match", "ins"]
+
+
+def test_corpus_evaluator():
+    ev = CorpusEvaluator()
+    ev.add("s1", "a b c", "a b c")
+    ev.add("s2", "a b", "a x")
+    rep = ev.report()
+    assert rep["errors"] == 1
+    np.testing.assert_allclose(rep["wer"], 1 / 5)
+
+
+def test_lattice_oracle():
+    lat = _diamond()
+    errs, _ = lattice_oracle(lat, ["A", "C"])
+    assert errs == 0
+    errs2, _ = lattice_oracle(lat, ["B", "C"])
+    assert errs2 == 0  # B path exists
+    errs3, _ = lattice_oracle(lat, ["X", "C"])
+    assert errs3 == 1
+    errs4, _ = lattice_oracle(lat, ["A", "C", "D"])
+    assert errs4 == 1
+
+
+def test_decoder_lattice_end_to_end(rng):
+    """Lattice from a real decode: best lattice path == decoder output."""
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.models.hmm import HmmTopology, TransitionModel
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+    from rasr_tpu.search.tree import build_prefix_tree
+
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    lm = NgramLm.train_from_text([["AB", "BA"], ["BA", "AB"]], order=2)
+    tree = build_prefix_tree(lex, tying, topo, TransitionModel(), lm_vocab=lm.vocab)
+    dec = TreeDecoder(
+        tree, compile_ngram(lm),
+        BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=1.0),
+    )
+    M = tying.num_classes
+    emis = rng.uniform(0, 6, size=(1, 10, M)).astype(np.float32)
+    (res,) = dec.decode_scores(emis, np.array([10]))
+    lat = decoder_lattice(dec, 0)
+    assert lat.num_nodes > 1 and lat.arcs
+    score, path = best_path(lat)
+    words = []
+    for a in path:
+        if lat.lemma_orths[a.lemma] not in ("[SILENCE]",):
+            words.append(lat.lemma_orths[a.lemma])
+    assert words == res.words
+    np.testing.assert_allclose(score, res.score, rtol=1e-4, atol=1e-3)
+    # oracle WER of the decoded sequence is 0 by construction
+    errs, _ = lattice_oracle(lat, [lat.lemma_orths[a.lemma] for a in path])
+    assert errs == 0

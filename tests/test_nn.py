@@ -1,0 +1,155 @@
+"""NN model / trainer / hybrid scorer tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rasr_tpu.models.nn import (
+    ConvFrontendNet,
+    FeedForwardNet,
+    NnHybridScorer,
+    StatePriors,
+)
+from rasr_tpu.models.scorer import create_scorer
+from rasr_tpu.train.nn_trainer import FrameDataset, NnTrainer, TrainConfig
+
+
+def _toy_data(rng, n=600, D=8, M=4):
+    """Linearly separable classes around distinct means."""
+    means = rng.normal(size=(M, D)).astype(np.float32) * 3
+    labels = rng.integers(0, M, size=n).astype(np.int32)
+    feats = means[labels] + rng.normal(size=(n, D)).astype(np.float32) * 0.3
+    return feats, labels, means
+
+
+def test_ffnn_shapes(rng):
+    model = FeedForwardNet(num_classes=5, hidden=(16,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))["params"]
+    out = model.apply({"params": params}, jnp.zeros((3, 7, 8)))
+    assert out.shape == (3, 7, 5)
+
+
+def test_conv_net_shapes(rng):
+    model = ConvFrontendNet(num_classes=5, channels=(8,), hidden=(16,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 10, 8)))["params"]
+    out = model.apply({"params": params}, jnp.zeros((2, 10, 8)))
+    assert out.shape == (2, 10, 5)
+
+
+def test_training_learns(rng):
+    feats, labels, _ = _toy_data(rng)
+    ds = FrameDataset(feats, labels)
+    model = FeedForwardNet(num_classes=4, hidden=(32,))
+    trainer = NnTrainer(model, 4, TrainConfig(batch_size=64, epochs=8, learning_rate=0.05))
+    params, stats = trainer.train(ds)
+    assert stats[-1]["frame_accuracy"] > 0.95
+    assert stats[-1]["loss"] < stats[0]["loss"]
+
+
+def test_dataset_padding_and_counts(rng):
+    feats = rng.normal(size=(2, 10, 4)).astype(np.float32)
+    labels = np.full((2, 10), -1, np.int32)
+    labels[0, :5] = [0, 1, 1, 2, 2]
+    ds = FrameDataset(feats, labels)
+    assert len(ds) == 5
+    np.testing.assert_array_equal(ds.label_counts(4), [1, 2, 2, 0])
+
+
+def test_priors(rng):
+    p = StatePriors.from_counts(np.array([10, 30, 60]), smoothing=0.0)
+    np.testing.assert_allclose(np.exp(p.log_priors), [0.1, 0.3, 0.6], rtol=1e-6)
+
+
+def test_priors_io(tmp_path):
+    p = StatePriors.from_counts(np.array([1, 2, 3]))
+    p.save(str(tmp_path / "priors"))
+    p2 = StatePriors.load(str(tmp_path / "priors"))
+    np.testing.assert_allclose(p.log_priors, p2.log_priors)
+
+
+def test_hybrid_scorer_math(rng):
+    M, D = 4, 8
+    model = FeedForwardNet(num_classes=M, hidden=(16,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, D)))["params"]
+    priors = StatePriors.from_counts(np.array([1, 2, 3, 4]))
+    scorer = NnHybridScorer(model, params, priors, scale=2.0, prior_scale=0.5)
+    feats = rng.normal(size=(1, 3, D)).astype(np.float32)
+    got = np.asarray(scorer(feats))
+    logits = model.apply({"params": params}, jnp.asarray(feats))
+    logp = np.asarray(jax.nn.log_softmax(logits, -1))
+    expect = 2.0 * (-(logp - 0.5 * priors.log_priors))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+    assert scorer.num_classes == M
+
+
+def test_scorer_registry_nn(rng):
+    M, D = 3, 4
+    model = FeedForwardNet(num_classes=M, hidden=(8,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, D)))["params"]
+    priors = StatePriors.from_counts(np.ones(M))
+    scorer = create_scorer("nn-precomputed-hybrid", model, params, priors)
+    assert isinstance(scorer, NnHybridScorer)
+
+
+def test_params_io(tmp_path, rng):
+    model = FeedForwardNet(num_classes=3, hidden=(8,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 4)))["params"]
+    path = str(tmp_path / "params.msgpack")
+    NnTrainer.save_params(params, path)
+    params2 = NnTrainer.load_params(params, path)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(params2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_hybrid_end_to_end_alignment_decode(rng):
+    """NN trained on GMM-style data plugs into the same decode seam."""
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.models.hmm import HmmTopology, TransitionModel
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+    from rasr_tpu.search.tree import build_prefix_tree
+
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    M, D = tying.num_classes, 6
+
+    feats, labels, means = _toy_data(rng, n=900, D=D, M=M)
+    ds = FrameDataset(feats, labels)
+    model = FeedForwardNet(num_classes=M, hidden=(32,))
+    trainer = NnTrainer(model, M, TrainConfig(batch_size=64, epochs=6, learning_rate=0.05))
+    params, _ = trainer.train(ds)
+    priors = trainer.estimate_priors(ds)
+    scorer = NnHybridScorer(model, params, priors)
+
+    from rasr_tpu.models.hmm import Tdp
+
+    lm = NgramLm.train_from_text([["AB", "BA"], ["BA", "AB"]], order=2)
+    trans = TransitionModel(
+        speech=Tdp(loop=0.2, forward=0.0, skip=np.inf, exit=0.2),
+        silence=Tdp(loop=0.2, forward=0.2, skip=np.inf, exit=0.2),
+    )
+    tree = build_prefix_tree(lex, tying, topo, trans, lm_vocab=lm.vocab)
+    dec = TreeDecoder(tree, compile_ngram(lm), BeamConfig(max_hyps=64, word_end_limit=16))
+
+    # synthesize a frame sequence: sil aaa bbb sil bbb aaa -> "AB BA"
+    from rasr_tpu.models.allophone import Allophone, AllophoneState
+
+    def cls(sym):
+        return tying.classify(AllophoneState(Allophone(lex.phonemes[sym].id), 0))
+
+    seq = ([cls("si")] * 2 + [cls("a")] * 3 + [cls("b")] * 3
+           + [cls("si")] * 2 + [cls("b")] * 3 + [cls("a")] * 3)
+    frames = means[np.array(seq)] + rng.normal(size=(len(seq), D)).astype(np.float32) * 0.1
+    emis = np.asarray(scorer(frames[None]))
+    (res,) = dec.decode_scores(emis, np.array([len(seq)]))
+    assert res.orth == "AB BA"
