@@ -104,10 +104,13 @@ class CorpusEvaluator:
 
 
 def lattice_oracle(
-    lat, ref: Sequence[str]
+    lat, ref: Sequence[str], ignore=lambda w: w.startswith("[")
 ) -> Tuple[int, List[str]]:
     """Oracle (minimum achievable) WER over all lattice paths
-    (ref: Flf oracle alignment). DP over (node, ref position)."""
+    (ref: Flf oracle alignment). DP over (node, ref position).
+
+    ``ignore`` marks non-scored tokens (silence/noise markers, the
+    reference's empty eval-token lemmata) that traverse as epsilon."""
     order = lat.topological_order()
     out = lat.out_arcs()
     R = len(ref)
@@ -127,6 +130,8 @@ def lattice_oracle(
         for ai in out[n]:
             a = lat.arcs[ai]
             w = lat.lemma_orths[a.lemma] if a.lemma >= 0 else ""
+            if w and ignore(w):
+                w = ""
             dt = dist[a.to_node]
             if not w:
                 np.minimum(dt, dn, out=dt)

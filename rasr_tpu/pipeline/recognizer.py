@@ -1,0 +1,87 @@
+"""Offline recognition driver.
+
+Re-implements the reference's recognizer
+(ref: src/Speech/Recognizer.* — per segment: restart search, feed
+features, log <recognized> with timing/RTF statistics, online WER vs the
+reference orth, optional lattice archive write). TPU-natively whole
+batches decode at once; per-segment structured records keep the same
+semantic fields (segment id, orth, score, RTF).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..lattice.lattice import decoder_lattice
+from ..lattice.evaluator import CorpusEvaluator
+from ..models.scorer import FeatureScorer
+from ..ops.frontend import FeatureFrontend
+from ..search.decoder import DecodeResult, TreeDecoder
+from ..utils.archive import FileArchive
+from ..utils.logging import LogManager
+from ..utils.statistics import Accumulator
+from .visitor import CorpusVisitor
+
+
+class OfflineRecognizer:
+    def __init__(
+        self,
+        frontend: FeatureFrontend,
+        scorer: FeatureScorer,
+        decoder: TreeDecoder,
+        lattice_archive: Optional[str] = None,
+        frame_shift_s: float = 0.01,
+    ):
+        self.frontend = frontend
+        self.scorer = scorer
+        self.decoder = decoder
+        self.lattice_archive = lattice_archive
+        self.frame_shift_s = frame_shift_s
+        self.log = LogManager.get().channel("recognizer", "log")
+        self.stats = LogManager.get().channel("recognizer", "statistics")
+        self.evaluator = CorpusEvaluator()
+        self.rtf = Accumulator("rtf")
+
+    def run(self, visitor: CorpusVisitor) -> List[DecodeResult]:
+        results: List[DecodeResult] = []
+        archive = (
+            FileArchive(self.lattice_archive, "a") if self.lattice_archive else None
+        )
+        try:
+            for batch in visitor.batches():
+                t0 = time.perf_counter()
+                feats, n_frames = self.frontend(batch.samples, batch.lengths)
+                emis = self.scorer(feats)
+                batch_results = self.decoder.decode_scores(
+                    np.asarray(emis), np.asarray(n_frames), batch.names
+                )
+                elapsed = time.perf_counter() - t0
+                audio_s = float(batch.lengths.sum()) / visitor.sample_rate
+                rtf = elapsed / max(audio_s, 1e-9)
+                self.rtf.add(rtf)
+                for i, res in enumerate(batch_results):
+                    results.append(res)
+                    seg = batch.segments[i]
+                    if seg.orth:
+                        self.evaluator.add(seg.full_name, seg.orth, res.orth)
+                    self.stats(
+                        "recognized",
+                        segment=seg.full_name,
+                        recognized=res.orth,
+                        reference=seg.orth,
+                        score=res.score,
+                        frames=int(np.asarray(n_frames)[i]),
+                        rtf=rtf,
+                    )
+                    if archive is not None:
+                        lat = decoder_lattice(self.decoder, i)
+                        archive.write(seg.full_name, lat.pack())
+        finally:
+            if archive is not None:
+                archive.close()
+        report = self.evaluator.report()
+        self.log("corpus done", **report, mean_rtf=self.rtf.mean)
+        return results

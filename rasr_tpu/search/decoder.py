@@ -15,15 +15,29 @@ passing with top-k pruning on-chip"):
   so the reference's interned-history recombination becomes integer key
   equality — no interning, no pointers;
 * per frame (one ``lax.scan`` step, batched over utterances):
-  expand CSR out-arcs (padded gather) + self-loops → add emission scores
-  (gathered from the dense ``[B,T,M]`` score matrix) → acoustic beam →
-  exact recombination by sort on (tree_state, lm_state, score) keeping
-  group minima → histogram pruning via top-K → word-end processing:
-  pre-LM top-R selection, hash-table LM lookup, traceback record
-  emission, root re-entry hyps merged back into the beam;
+  expansion → emission → acoustic beam → exact recombination by sort on
+  (tree_state, lm_state, score) keeping group minima → histogram top-K →
+  word-end processing (pre-LM top-R, hash-table LM lookup, traceback
+  record emission, root re-entry) merged back into the beam;
 * tracebacks are fixed-shape per-frame record buffers (word, score,
   predecessor record), assembled on the host after the scan — replacing
   the reference's ref-counted Trace garbage collection.
+
+Performance shape (measured on v5e): the cost driver is GATHERED
+ELEMENTS, not the sort — TPU random gathers run near one element per
+cycle. The expansion is therefore layered to touch as little as
+possible per hypothesis:
+
+* **dense slots**: each state's first two out-arcs live in dense
+  ``[S]`` arrays (next/skip chain transitions cover ≥95% of states) —
+  2 gathers of ``[B,K]`` instead of a padded ``[B,K,Dmax]`` table;
+* **branch overflow**: remaining arcs (phone-boundary fan-out) in a CSR
+  expanded only for the top ``branch_hyps`` hypotheses that actually sit
+  at fan-out states;
+* **root re-entry**: one shared emission pre-gather ``[B, DegRoot]`` per
+  frame; per-history candidates are pure broadcasts;
+* emission classes are precomposed per arc table (``*_cls`` arrays), and
+  each hypothesis carries its own emission class in the beam state.
 """
 
 from __future__ import annotations
@@ -43,26 +57,33 @@ from .tree import WORD_NONE, WORD_SILENCE, PrefixTree
 
 @dataclasses.dataclass(frozen=True)
 class TreeTables:
-    """Device pytree of the compiled prefix tree (+1 sentinel state).
-
-    Root out-arcs (word re-entry fan-out, O(#first-phone variants)) are
-    split from the per-state CSR: only a few LM-state-conditioned hyps
-    sit at the root, so they expand densely over all root arcs, while the
-    per-hypothesis CSR budget stays at the small non-root max degree.
-    """
+    """Device pytree of the compiled prefix tree (+1 sentinel state S)."""
 
     emission_class: jnp.ndarray  # [S+1]
     loop_cost: jnp.ndarray  # [S+1]
-    arc_ptr: jnp.ndarray  # [S+2] (root's range emptied)
-    arc_dst: jnp.ndarray  # [A]
-    arc_cost: jnp.ndarray  # [A]
-    root_dst: jnp.ndarray  # [DegRoot]
-    root_cost: jnp.ndarray  # [DegRoot]
+    # dense 2-slot arcs (chain transitions; SENT/BIG when absent)
+    dense1_dst: jnp.ndarray  # [S+1]
+    dense1_cost: jnp.ndarray
+    dense1_cls: jnp.ndarray
+    dense2_dst: jnp.ndarray
+    dense2_cost: jnp.ndarray
+    dense2_cls: jnp.ndarray
+    # branch overflow CSR (arcs beyond the two dense slots)
+    branch_ptr: jnp.ndarray  # [S+2]
+    branch_deg: jnp.ndarray  # [S+1]
+    branch_dst: jnp.ndarray  # [A']
+    branch_cost: jnp.ndarray
+    branch_cls: jnp.ndarray
+    # root fan-out
+    root_dst: jnp.ndarray  # [G]
+    root_cost: jnp.ndarray
+    root_cls: jnp.ndarray
+    # word ends
     we_word: jnp.ndarray  # [S+1, W]
-    we_cost: jnp.ndarray  # [S+1, W]
-    we_lemma: jnp.ndarray  # [S+1, W]
+    we_cost: jnp.ndarray
+    we_lemma: jnp.ndarray
     num_states: int
-    max_out_degree: int  # over non-root states
+    branch_degree: int  # max overflow degree
     root_degree: int
 
     @property
@@ -73,9 +94,13 @@ class TreeTables:
 jax.tree_util.register_pytree_node(
     TreeTables,
     lambda t: (
-        (t.emission_class, t.loop_cost, t.arc_ptr, t.arc_dst, t.arc_cost,
-         t.root_dst, t.root_cost, t.we_word, t.we_cost, t.we_lemma),
-        (t.num_states, t.max_out_degree, t.root_degree),
+        (t.emission_class, t.loop_cost,
+         t.dense1_dst, t.dense1_cost, t.dense1_cls,
+         t.dense2_dst, t.dense2_cost, t.dense2_cls,
+         t.branch_ptr, t.branch_deg, t.branch_dst, t.branch_cost, t.branch_cls,
+         t.root_dst, t.root_cost, t.root_cls,
+         t.we_word, t.we_cost, t.we_lemma),
+        (t.num_states, t.branch_degree, t.root_degree),
     ),
     lambda aux, ch: TreeTables(*ch, *aux),
 )
@@ -83,35 +108,84 @@ jax.tree_util.register_pytree_node(
 
 def tree_to_device(tree: PrefixTree) -> TreeTables:
     S = tree.num_states
+    SENT = S
+    ecls = np.concatenate([tree.emission_class, [0]]).astype(np.int32)
     root_lo, root_hi = int(tree.arc_ptr[0]), int(tree.arc_ptr[1])
-    root_dst = tree.arc_dst[root_lo:root_hi]
-    root_cost = tree.arc_cost[root_lo:root_hi]
-    # strip root arcs out of the CSR
-    arc_dst = tree.arc_dst[root_hi:]
-    arc_cost = tree.arc_cost[root_hi:]
-    arc_ptr = tree.arc_ptr.copy().astype(np.int32)
-    arc_ptr[1:] -= root_hi
-    arc_ptr[0] = 0
-    arc_ptr[1] = 0
-    deg = arc_ptr[2:] - arc_ptr[1:-1]
-    dmax = int(deg.max()) if deg.size else 1
-    if arc_dst.size == 0:
-        arc_dst = np.zeros(1, np.int32)
-        arc_cost = np.full(1, BIG, np.float32)
+    root_dst = tree.arc_dst[root_lo:root_hi].astype(np.int32)
+    root_cost = tree.arc_cost[root_lo:root_hi].astype(np.float32)
+    if root_dst.size == 0:
+        root_dst = np.array([SENT], np.int32)
+        root_cost = np.array([BIG], np.float32)
+
+    d1_dst = np.full(S + 1, SENT, np.int32)
+    d1_cost = np.full(S + 1, BIG, np.float32)
+    d2_dst = np.full(S + 1, SENT, np.int32)
+    d2_cost = np.full(S + 1, BIG, np.float32)
+    br_ptr = np.zeros(S + 2, np.int32)
+    br_dst: List[int] = []
+    br_cost: List[float] = []
+    for s in range(1, S):  # root excluded
+        lo, hi = int(tree.arc_ptr[s]), int(tree.arc_ptr[s + 1])
+        arcs = [(int(tree.arc_dst[i]), float(tree.arc_cost[i])) for i in range(lo, hi)]
+        if arcs:
+            d1_dst[s], d1_cost[s] = arcs[0]
+        if len(arcs) > 1:
+            d2_dst[s], d2_cost[s] = arcs[1]
+        for dst, cost in arcs[2:]:
+            br_dst.append(dst)
+            br_cost.append(cost)
+        br_ptr[s + 1] = len(br_dst)
+    br_ptr[S + 1] = br_ptr[S] = len(br_dst)
+    # fix the prefix structure: ptr must be cumulative over all states
+    for s in range(1, S + 2):
+        br_ptr[s] = max(br_ptr[s], br_ptr[s - 1])
+    br_deg = (br_ptr[1:] - br_ptr[:-1]).astype(np.int32)  # [S+1]
+    if not br_dst:
+        br_dst = [SENT]
+        br_cost = [BIG]
+    br_dst_a = np.asarray(br_dst, np.int32)
+    br_cost_a = np.asarray(br_cost, np.float32)
+
+    def cls_of(dst):
+        return ecls[np.minimum(dst, SENT)].astype(np.int32)
+
     return TreeTables(
-        emission_class=jnp.asarray(np.concatenate([tree.emission_class, [0]])),
-        loop_cost=jnp.asarray(np.concatenate([tree.loop_cost, [BIG]]).astype(np.float32)),
-        arc_ptr=jnp.asarray(np.concatenate([arc_ptr, arc_ptr[-1:]])),
-        arc_dst=jnp.asarray(arc_dst),
-        arc_cost=jnp.asarray(arc_cost.astype(np.float32)),
+        emission_class=jnp.asarray(ecls),
+        loop_cost=jnp.asarray(
+            np.concatenate([tree.loop_cost, [BIG]]).astype(np.float32)
+        ),
+        dense1_dst=jnp.asarray(d1_dst),
+        dense1_cost=jnp.asarray(d1_cost),
+        dense1_cls=jnp.asarray(cls_of(d1_dst)),
+        dense2_dst=jnp.asarray(d2_dst),
+        dense2_cost=jnp.asarray(d2_cost),
+        dense2_cls=jnp.asarray(cls_of(d2_dst)),
+        branch_ptr=jnp.asarray(br_ptr),
+        branch_deg=jnp.asarray(br_deg),
+        branch_dst=jnp.asarray(br_dst_a),
+        branch_cost=jnp.asarray(br_cost_a),
+        branch_cls=jnp.asarray(cls_of(br_dst_a)),
         root_dst=jnp.asarray(root_dst),
-        root_cost=jnp.asarray(root_cost.astype(np.float32)),
-        we_word=jnp.asarray(np.concatenate([tree.we_word, np.full((1, tree.max_word_ends), WORD_NONE, np.int32)])),
-        we_cost=jnp.asarray(np.concatenate([tree.we_cost, np.full((1, tree.max_word_ends), BIG, np.float32)])),
-        we_lemma=jnp.asarray(np.concatenate([tree.we_lemma, np.full((1, tree.max_word_ends), -1, np.int32)])),
+        root_cost=jnp.asarray(root_cost),
+        root_cls=jnp.asarray(cls_of(root_dst)),
+        we_word=jnp.asarray(
+            np.concatenate(
+                [tree.we_word, np.full((1, tree.max_word_ends), WORD_NONE, np.int32)]
+            )
+        ),
+        we_cost=jnp.asarray(
+            np.concatenate(
+                [tree.we_cost, np.full((1, tree.max_word_ends), BIG, np.float32)]
+            )
+        ),
+        we_lemma=jnp.asarray(
+            np.concatenate(
+                [tree.we_lemma, np.full((1, tree.max_word_ends), -1, np.int32)]
+            )
+        ),
         num_states=S,
-        max_out_degree=max(dmax, 1),
-        root_degree=max(int(root_dst.shape[0]), 1),
+        branch_degree=max(int(br_deg.max()), 1),
+        root_degree=int(root_dst.shape[0]),
     )
 
 
@@ -124,93 +198,116 @@ class BeamConfig:
     beam: float = 1e9  # acoustic beam width
     word_end_limit: int = 128  # R: word-end survivors / records per frame
     root_hyps: int = 32  # H: root (re-entry) hyps expanded per frame
+    branch_hyps: int = 0  # Kb: hyps expanded through branch arcs (0 = K)
     expansion_limit: int = 4096  # E: candidates surviving into recombination
     lm_scale: float = 1.0
 
 
-@partial(jax.jit, static_argnames=("cfg", "dmax", "wmax", "hroot"))
+@partial(jax.jit, static_argnames=("cfg", "wmax", "hroot", "kbranch"))
 def _decode_scan(
     tree: TreeTables,
     lm: NgramTables,
     emissions: jnp.ndarray,  # [B, T, M]
     n_frames: jnp.ndarray,  # [B]
     cfg: BeamConfig,
-    dmax: int,
     wmax: int,
     hroot: int,
+    kbranch: int,
 ):
     B, T, M = emissions.shape
     K = cfg.max_hyps
     R = cfg.word_end_limit
     SENT = tree.sentinel
+    Db = tree.branch_degree
+    G = tree.root_degree
 
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
     score0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
     bp0 = jnp.full((B, K), -1, jnp.int32)
+    ecls0 = jnp.zeros((B, K), jnp.int32)
 
     def step(carry, inputs):
-        state, lms, score, bp, fstate, flm, fscore, fbp = carry
+        state, lms, score, bp, ecls, fstate, flm, fscore, fbp = carry
         emis_t, t = inputs
         active = (t < n_frames)[:, None]
 
-        # ------------------------------------------------- expansion
-        # non-root hyps: CSR out-arcs, budget = non-root max degree
-        deg = tree.arc_ptr[state + 1] - tree.arc_ptr[state]  # [B,K]
-        d = jnp.arange(dmax, dtype=jnp.int32)
-        arc_idx = tree.arc_ptr[state][..., None] + d  # [B,K,D]
-        ok = d < deg[..., None]
-        arc_idx = jnp.where(ok, arc_idx, 0)
-        dstA = jnp.where(ok, tree.arc_dst[arc_idx], SENT)
-        costA = jnp.where(ok, tree.arc_cost[arc_idx], BIG)
+        # ---------------------------------------------------- expansion
+        # loop candidates: own emission class carried in the beam state
+        c_loop = score + tree.loop_cost[state] + jnp.take_along_axis(emis_t, ecls, axis=1)
 
-        # root hyps (word re-entries): top-H by score, dense fan-out over
-        # all root arcs (tree copies conditioned on LM history)
-        G = tree.root_degree
+        # dense slot 1 / 2 (chain transitions)
+        d1 = tree.dense1_dst[state]
+        d1_cls = tree.dense1_cls[state]
+        c_d1 = score + tree.dense1_cost[state] + jnp.take_along_axis(emis_t, d1_cls, axis=1)
+        d2 = tree.dense2_dst[state]
+        d2_cls = tree.dense2_cls[state]
+        c_d2 = score + tree.dense2_cost[state] + jnp.take_along_axis(emis_t, d2_cls, axis=1)
+
+        # branch overflow: only hyps at fan-out states, top-Kb by score
+        has_branch = tree.branch_deg[state] > 0
+        br_sel_score = jnp.where(has_branch, score, BIG)
+        _, bidx = jax.lax.top_k(-br_sel_score, kbranch)
+        b_state = jnp.take_along_axis(state, bidx, axis=1)
+        b_score = jnp.take_along_axis(br_sel_score, bidx, axis=1)
+        b_lm = jnp.take_along_axis(lms, bidx, axis=1)
+        b_bp = jnp.take_along_axis(bp, bidx, axis=1)
+        deg = tree.branch_deg[b_state]  # [B,Kb]
+        dslots = jnp.arange(Db, dtype=jnp.int32)
+        bi = tree.branch_ptr[b_state][..., None] + dslots
+        ok = dslots < deg[..., None]
+        bi = jnp.where(ok, bi, 0)
+        b_dst = jnp.where(ok, tree.branch_dst[bi], SENT)
+        b_cls = jnp.where(ok, tree.branch_cls[bi], 0)
+        b_cost = jnp.where(ok, tree.branch_cost[bi], BIG)
+        c_br = (
+            b_score[..., None] + b_cost
+            + jnp.take_along_axis(emis_t, b_cls.reshape(B, kbranch * Db), axis=1)
+            .reshape(B, kbranch, Db)
+        )
+
+        # root re-entry: top-H root hyps, shared emission pre-gather
         root_score = jnp.where(state == 0, score, BIG)
         negH, hidx = jax.lax.top_k(-root_score, hroot)
-        h_score = -negH  # [B,H]
+        h_score = -negH
         h_lm = jnp.take_along_axis(lms, hidx, axis=1)
         h_bp = jnp.take_along_axis(bp, hidx, axis=1)
-        dead_h = h_score >= BIG / 2
-        dstR = jnp.where(
-            dead_h[..., None], SENT, jnp.broadcast_to(tree.root_dst, (B, hroot, G))
-        )
-        scoreR = h_score[..., None] + tree.root_cost  # [B,H,G]
+        emis_root = jnp.take_along_axis(
+            emis_t, jnp.broadcast_to(tree.root_cls, (B, G)), axis=1
+        )  # [B,G]
+        c_root = (
+            h_score[:, :, None] + tree.root_cost[None, None, :]
+            + emis_root[:, None, :]
+        )  # [B,H,G]
 
+        # ------------------------------------------- assemble candidates
         cand_state = jnp.concatenate(
-            [state, dstA.reshape(B, K * dmax), dstR.reshape(B, hroot * G)], axis=1
+            [state, d1, d2, b_dst.reshape(B, kbranch * Db),
+             jnp.broadcast_to(tree.root_dst, (B, hroot, G)).reshape(B, hroot * G)],
+            axis=1,
         )
         cand_score = jnp.concatenate(
-            [score + tree.loop_cost[state],
-             (score[..., None] + costA).reshape(B, K * dmax),
-             scoreR.reshape(B, hroot * G)],
+            [c_loop, c_d1, c_d2, c_br.reshape(B, kbranch * Db),
+             c_root.reshape(B, hroot * G)],
             axis=1,
         )
         cand_lm = jnp.concatenate(
-            [lms, jnp.repeat(lms, dmax, axis=1), jnp.repeat(h_lm, G, axis=1)], axis=1
+            [lms, lms, lms, jnp.repeat(b_lm, Db, axis=1),
+             jnp.repeat(h_lm, G, axis=1)],
+            axis=1,
         )
         cand_bp = jnp.concatenate(
-            [bp, jnp.repeat(bp, dmax, axis=1), jnp.repeat(h_bp, G, axis=1)], axis=1
+            [bp, bp, bp, jnp.repeat(b_bp, Db, axis=1),
+             jnp.repeat(h_bp, G, axis=1)],
+            axis=1,
         )
-
-        # ------------------------------------------------- emission
-        e = jnp.take_along_axis(
-            emis_t, tree.emission_class[cand_state], axis=1
-        )
-        cand_score = jnp.minimum(cand_score, BIG) + jnp.where(
-            cand_state == SENT, 0.0, e
-        )
+        cand_score = jnp.minimum(cand_score, BIG)
 
         # ------------------------------------------------- beam prune
         best = jnp.min(cand_score, axis=1, keepdims=True)
         cand_score = jnp.where(cand_score > best + cfg.beam, BIG, cand_score)
 
         # ------------------------- expansion pre-prune (approx top-E)
-        # The recombination sort is the per-frame cost driver; cut the
-        # candidate set to E best first. approx_max_k rides the TPU's
-        # fast approximate top-k unit; an approximate cut is fine — this
-        # is pruning, recombination afterwards stays exact.
         if cand_score.shape[1] > cfg.expansion_limit:
             neg_e, eidx = jax.lax.approx_max_k(-cand_score, cfg.expansion_limit)
             cand_score = -neg_e
@@ -282,12 +379,14 @@ def _decode_scan(
         f2_score = -neg2
         f2_bp = jnp.take_along_axis(m_bp, idx2, axis=1)
         f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2_state)
+        f2_ecls = tree.emission_class[f2_state]
 
         # ----------------------------------------------- freeze inactive
         state = jnp.where(active, f2_state, state)
         lms = jnp.where(active, f2_lm, lms)
         score = jnp.where(active, f2_score, score)
         bp = jnp.where(active, f2_bp, bp)
+        ecls = jnp.where(active, f2_ecls, ecls)
 
         is_last = (t == n_frames - 1)[:, None]
         fstate = jnp.where(is_last, state, fstate)
@@ -303,14 +402,12 @@ def _decode_scan(
             jnp.where(r_valid, r_word, WORD_NONE),
             jnp.where(r_valid, r_newlm, -1),
         )
-        return (state, lms, score, bp, fstate, flm, fscore, fbp), recs
+        return (state, lms, score, bp, ecls, fstate, flm, fscore, fbp), recs
 
     ts = jnp.arange(T, dtype=jnp.int32)
-    carry0 = (state0, lm0, score0, bp0, state0, lm0, score0, bp0)
-    carry, recs = jax.lax.scan(
-        step, carry0, (jnp.swapaxes(emissions, 0, 1), ts)
-    )
-    _, _, _, _, fstate, flm, fscore, fbp = carry
+    carry0 = (state0, lm0, score0, bp0, ecls0, state0, lm0, score0, bp0)
+    carry, recs = jax.lax.scan(step, carry0, (jnp.swapaxes(emissions, 0, 1), ts))
+    _, _, _, _, _, fstate, flm, fscore, fbp = carry
 
     # sentence-end LM scores for final root hyps
     end_cost, _ = lookup(
@@ -369,15 +466,16 @@ class TreeDecoder:
     ) -> List[DecodeResult]:
         B = emissions.shape[0]
         names = names or [f"utt{i}" for i in range(B)]
+        kbranch = self.cfg.branch_hyps or self.cfg.max_hyps
         best_score, best_bp, recs, finals = _decode_scan(
             self.tables,
             self.lm,
             jnp.asarray(emissions),
             jnp.asarray(n_frames, jnp.int32),
             self.cfg,
-            self.tables.max_out_degree,
             self.tree.max_word_ends,
             min(self.cfg.root_hyps, self.cfg.max_hyps),
+            min(kbranch, self.cfg.max_hyps),
         )
         rec_lemma, rec_score, rec_prev, rec_lmcost, rec_word, rec_lm = (
             np.asarray(r) for r in recs

@@ -1,0 +1,203 @@
+"""acoustic-model-trainer tool (ref: src/Tools/AcousticModelTrainer/).
+
+Action dispatch over the corpus, mirroring the reference's actions:
+
+* ``action=align``: forced alignment of the corpus into an alignment cache
+* ``action=accumulate``: EM statistics from feature+alignment caches
+  into an accumulator file (mergeable across jobs)
+* ``action=combine``: merge accumulator files
+* ``action=estimate``: estimate a new mixture set from an accumulator
+* ``action=split``: split densities (mixture growing)
+* ``action=estimate-lda``: scatter accumulation + LDA estimation
+* ``action=train``: the full align->accumulate->estimate iteration loop
+  (flat start via linear segmentation)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+from ..align.aligner import BatchAligner, linear_segmentation
+from ..align.graph import build_linear_graph
+from ..corpus.bliss import CorpusDescription
+from ..corpus.lexicon import Lexicon
+from ..models.gmm import MixtureSet
+from ..models.hmm import HmmTopology, TransitionModel
+from ..models.scorer import GmmFeatureScorer
+from ..models.tying import MonophoneStateTying
+from ..pipeline.visitor import CorpusVisitor
+from ..train.em import GmmAccumulator, accumulate, estimate, split
+from ..train.lda import ScatterAccumulator, accumulate_scatter, estimate_lda
+from ..utils.archive import FileArchive, pack_ndarray
+from ..utils.component import ParameterChoice, ParameterFloat, ParameterInt, ParameterString
+from .application import Application
+from .feature_extraction import frontend_from_config
+
+
+class AcousticModelTrainerTool(Application):
+    name = "acoustic-model-trainer"
+    description = "GMM acoustic model training actions"
+
+    action = ParameterChoice(
+        "action",
+        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "train"],
+        default="train",
+    )
+    corpus_file = ParameterString("corpus-file", default="")
+    audio_dir = ParameterString("audio-dir", default="")
+    lexicon_file = ParameterString("lexicon-file", default="")
+    mixture_file = ParameterString("mixture-file", default="")
+    new_mixture_file = ParameterString("new-mixture-file", default="model.mix")
+    accumulator_file = ParameterString("accumulator-file", default="acc")
+    alignment_cache = ParameterString("alignment-cache", default="")
+    batch_size = ParameterInt("batch-size", default=8)
+    iterations = ParameterInt("iterations", default=4)
+    splits = ParameterInt("splits", default=0)
+    states_per_phone = ParameterInt("states-per-phone", default=3)
+    var_floor = ParameterFloat("var-floor", default=0.05)
+    lda_output_dim = ParameterInt("lda-output-dim", default=45)
+    lda_file = ParameterString("lda-output-file", default="lda.npy")
+
+    # ----------------------------------------------------------------- setup
+    def _setup(self):
+        corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
+        lexicon = Lexicon.load(self.lexicon_file)
+        topology = HmmTopology(states_per_phone=self.states_per_phone)
+        tying = MonophoneStateTying(lexicon, topology)
+        transitions = TransitionModel.from_config(self)
+        frontend = frontend_from_config(self)
+        return corpus, lexicon, topology, tying, transitions, frontend
+
+    def _batches_with_graphs(self, corpus, lexicon, tying, topology, transitions, frontend):
+        visitor = CorpusVisitor(corpus, self.batch_size)
+        for batch in visitor.batches():
+            feats, n_frames = frontend(batch.samples, batch.lengths)
+            graphs = [
+                build_linear_graph(s.orth, lexicon, tying, topology, transitions)
+                for s in batch.segments
+            ]
+            yield batch, np.asarray(feats), np.asarray(n_frames), graphs
+
+    # ---------------------------------------------------------------- actions
+    def run(self, args: List[str]) -> int:
+        action = self.action
+        if action == "combine":
+            out = GmmAccumulator.load(args[0])
+            for path in args[1:]:
+                out.merge(GmmAccumulator.load(path))
+            out.save(self.accumulator_file)
+            self.log("combined", inputs=len(args), output=self.accumulator_file)
+            return 0
+        if action == "estimate":
+            acc = GmmAccumulator.load(self.accumulator_file)
+            prev = MixtureSet.load(self.mixture_file) if self.mixture_file else None
+            model = estimate(acc, prev=prev)
+            model.save(self.new_mixture_file)
+            self.log("estimated", mixtures=model.num_mixtures)
+            return 0
+        if action == "split":
+            model = MixtureSet.load(self.mixture_file)
+            acc = (
+                GmmAccumulator.load(self.accumulator_file)
+                if os.path.exists(self.accumulator_file + ".npz")
+                else None
+            )
+            model = split(model, acc)
+            model.save(self.new_mixture_file)
+            self.log("split", max_densities=model.max_densities)
+            return 0
+
+        corpus, lexicon, topology, tying, transitions, frontend = self._setup()
+        M = tying.num_classes
+
+        if action == "align":
+            model = MixtureSet.load(self.mixture_file)
+            scorer = GmmFeatureScorer(model, var_floor=self.var_floor)
+            aligner = BatchAligner(scorer)
+            with FileArchive(self.alignment_cache, "a") as cache:
+                for batch, feats, nf, graphs in self._batches_with_graphs(
+                    corpus, lexicon, tying, topology, transitions, frontend
+                ):
+                    als = aligner.align(feats, graphs, nf, batch.names)
+                    for al in als:
+                        cache.write(al.segment_name, al.pack())
+            return 0
+
+        if action == "accumulate":
+            model = MixtureSet.load(self.mixture_file)
+            scorer = GmmFeatureScorer(model, var_floor=self.var_floor)
+            aligner = BatchAligner(scorer)
+            acc = GmmAccumulator.zeros(*model.means.shape)
+            for batch, feats, nf, graphs in self._batches_with_graphs(
+                corpus, lexicon, tying, topology, transitions, frontend
+            ):
+                als = aligner.align(feats, graphs, nf, batch.names)
+                labels = np.full(feats.shape[:2], -1, np.int32)
+                for i, al in enumerate(als):
+                    labels[i, : al.num_frames] = al.emission_ids
+                accumulate(acc, model, feats, labels)
+            acc.save(self.accumulator_file)
+            self.log("accumulated", frames=float(acc.count.sum()))
+            return 0
+
+        if action == "estimate-lda":
+            model = MixtureSet.load(self.mixture_file)
+            scorer = GmmFeatureScorer(model, var_floor=self.var_floor)
+            aligner = BatchAligner(scorer)
+            acc = None
+            for batch, feats, nf, graphs in self._batches_with_graphs(
+                corpus, lexicon, tying, topology, transitions, frontend
+            ):
+                if acc is None:
+                    acc = ScatterAccumulator.zeros(M, feats.shape[-1])
+                als = aligner.align(feats, graphs, nf, batch.names)
+                labels = np.full(feats.shape[:2], -1, np.int32)
+                for i, al in enumerate(als):
+                    labels[i, : al.num_frames] = al.emission_ids
+                accumulate_scatter(acc, feats, labels)
+            lda, eigvals = estimate_lda(acc, self.lda_output_dim)
+            np.save(self.lda_file, lda)
+            self.log("lda estimated", output_dim=self.lda_output_dim)
+            return 0
+
+        # action == train: full iteration scheme with flat start
+        dim_probe = frontend.output_dim
+        model = MixtureSet.single_density(
+            np.zeros((M, dim_probe), np.float32), np.ones((M, dim_probe), np.float32)
+        )
+        first = True
+        for it in range(self.iterations):
+            acc = GmmAccumulator.zeros(*model.means.shape)
+            scorer = GmmFeatureScorer(model, var_floor=self.var_floor)
+            aligner = BatchAligner(scorer)
+            total_score = 0.0
+            for batch, feats, nf, graphs in self._batches_with_graphs(
+                corpus, lexicon, tying, topology, transitions, frontend
+            ):
+                if first:
+                    labels = linear_segmentation(graphs, nf)
+                    pad = feats.shape[1] - labels.shape[1]
+                    if pad > 0:
+                        labels = np.pad(labels, ((0, 0), (0, pad)), constant_values=-1)
+                else:
+                    als = aligner.align(feats, graphs, nf, batch.names)
+                    labels = np.full(feats.shape[:2], -1, np.int32)
+                    for i, al in enumerate(als):
+                        labels[i, : al.num_frames] = al.emission_ids
+                        total_score += al.score
+                accumulate(acc, model, feats, labels)
+            model = estimate(acc, prev=None if first else model)
+            first = False
+            self.log("iteration", iteration=it, score=total_score)
+            if self.splits > 0 and it >= self.iterations - self.splits - 1 and it < self.iterations - 1:
+                model = split(model, acc)
+        model.save(self.new_mixture_file)
+        self.log("trained", output=self.new_mixture_file, densities=int(model.num_densities.sum()))
+        return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(AcousticModelTrainerTool.main())

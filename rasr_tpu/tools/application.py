@@ -1,0 +1,51 @@
+"""CLI application skeleton.
+
+Re-implements the reference's application framework
+(ref: src/Core/Application.* — config load, channel setup, usage/help,
+run() dispatch). Every tool subclasses :class:`Application`; invocation
+is ``python -m rasr_tpu.tools.<tool> --config=file --a.b.c=value ...``
+with full RASR selector-override semantics.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+from typing import List, Optional, Sequence
+
+from ..utils.component import Component, ParameterString
+from ..utils.config import Configuration
+from ..utils.logging import LogManager
+
+
+class Application(Component):
+    name: str = "application"
+    description: str = ""
+
+    log_file = ParameterString("log-file", default="", doc="JSONL log target")
+
+    def __init__(self, config: Configuration):
+        super().__init__(config, self.name)
+        if self.log_file:
+            LogManager.get().open_jsonl(self.log_file)
+
+    def run(self, args: List[str]) -> int:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    @classmethod
+    def main(cls, argv: Optional[Sequence[str]] = None) -> int:
+        argv = list(sys.argv[1:] if argv is None else argv)
+        if "--help" in argv or "-h" in argv:
+            print(f"{cls.name}: {cls.description}")
+            print(f"usage: python -m rasr_tpu.tools.{cls.name.replace('-', '_')} "
+                  f"[--config=FILE] [--selector.param=value ...]")
+            return 0
+        config = Configuration()
+        rest = config.parse_args(argv)
+        app = cls(config)
+        try:
+            return app.run(rest)
+        except Exception as exc:
+            app.error(f"{type(exc).__name__}: {exc}")
+            traceback.print_exc()
+            return 1

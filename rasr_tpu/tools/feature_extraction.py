@@ -1,0 +1,83 @@
+"""feature-extraction tool (ref: src/Tools/FeatureExtraction/).
+
+Runs the batched frontend over a corpus into a feature cache archive.
+
+Config (RASR-style selectors)::
+
+    [feature-extraction]
+    corpus-file   = train.corpus
+    audio-dir     = /data/audio
+    cache         = features.cache
+    batch-size    = 8
+    [feature-extraction.frontend]
+    num-cepstra   = 16
+    splice        = 4
+    lda-file      = lda.npy        # optional
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..corpus.bliss import CorpusDescription
+from ..ops.frontend import FeatureFrontend, FrontendConfig
+from ..pipeline.feature_extractor import FeatureExtractor
+from ..pipeline.visitor import CorpusVisitor
+from ..utils.component import (
+    ParameterBool, ParameterFloat, ParameterInt, ParameterString,
+)
+from .application import Application
+
+
+def frontend_from_config(component) -> FeatureFrontend:
+    """Build a FeatureFrontend from a component's ``frontend`` scope."""
+    scope = component.select("frontend")
+    cfg = FrontendConfig(
+        sample_rate=int(scope.param("sample-rate", 16000)),
+        frame_length_ms=float(scope.param("frame-length-ms", 25.0)),
+        frame_shift_ms=float(scope.param("frame-shift-ms", 10.0)),
+        preemphasis=float(scope.param("preemphasis", 1.0)),
+        window=scope.param("window", "hamming"),
+        num_mel=int(scope.param("num-mel", 20)),
+        num_cepstra=int(scope.param("num-cepstra", 16)),
+        normalize=scope.param("normalize", "segment"),
+        append_energy=str(scope.param("append-energy", "false")).lower() == "true",
+    )
+    lda_file = scope.param("lda-file", "")
+    lda = np.load(lda_file) if lda_file else None
+    return FeatureFrontend(
+        cfg,
+        splice_context=int(scope.param("splice", 0)),
+        lda=lda,
+        delta_order=int(scope.param("delta-order", 0)),
+    )
+
+
+class FeatureExtractionTool(Application):
+    name = "feature-extraction"
+    description = "extract features over a corpus into a cache archive"
+
+    corpus_file = ParameterString("corpus-file")
+    audio_dir = ParameterString("audio-dir", default="")
+    cache = ParameterString("cache", default="features.cache")
+    batch_size = ParameterInt("batch-size", default=8)
+    partition = ParameterInt("partition", default=0)
+    num_partitions = ParameterInt("num-partitions", default=1)
+    overwrite = ParameterBool("overwrite", default=False)
+
+    def run(self, args: List[str]) -> int:
+        corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
+        frontend = frontend_from_config(self)
+        visitor = CorpusVisitor(
+            corpus, self.batch_size, self.partition, self.num_partitions
+        )
+        extractor = FeatureExtractor(frontend, self.cache)
+        written = extractor.run(visitor, overwrite=self.overwrite)
+        self.log("done", segments_written=written, cache=self.cache)
+        return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(FeatureExtractionTool.main())

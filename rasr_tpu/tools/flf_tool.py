@@ -1,0 +1,119 @@
+"""flf-tool (ref: src/Tools/Flf/).
+
+Runs a chain of lattice processors over a lattice archive, mirroring the
+reference's FLF processing networks as a linear ``ops`` list:
+
+    [flf-tool]
+    lattice-archive = lattices.cache
+    corpus-file     = test.corpus       # for reference orths (evaluate)
+    ops             = prune best evaluate
+    posterior-threshold = 10.0
+    lm-file         = rescoring.arpa    # for op 'rescore'
+    output-archive  = out.cache         # for op 'write'
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..corpus.bliss import CorpusDescription
+from ..lattice.evaluator import CorpusEvaluator, lattice_oracle
+from ..lattice.flf import (
+    best_path, cn_decode, confusion_network, n_best, posterior_prune, rescore_lm,
+)
+from ..lattice.lattice import Lattice
+from ..models.lm.arpa import NgramLm
+from ..utils.archive import FileArchive, open_archive
+from ..utils.component import ParameterFloat, ParameterInt, ParameterString
+from .application import Application
+
+
+class FlfTool(Application):
+    name = "flf-tool"
+    description = "lattice processing: prune/rescore/best/CN/evaluate"
+
+    lattice_archive = ParameterString("lattice-archive")
+    output_archive = ParameterString("output-archive", default="")
+    corpus_file = ParameterString("corpus-file", default="")
+    ops = ParameterString("ops", default="best")
+    posterior_threshold = ParameterFloat("posterior-threshold", default=10.0)
+    lm_file = ParameterString("lm-file", default="")
+    lm_scale = ParameterFloat("lm-scale", default=1.0)
+    am_scale = ParameterFloat("am-scale", default=1.0)
+    nbest = ParameterInt("nbest", default=10)
+
+    def run(self, args: List[str]) -> int:
+        ops = self.ops.split()
+        orths = {}
+        if self.corpus_file:
+            corpus = CorpusDescription.load(self.corpus_file)
+            orths = {s.full_name: s.orth for s in corpus.segments()}
+        rescore_model = NgramLm.read_arpa(self.lm_file) if self.lm_file else None
+        evaluator = CorpusEvaluator()
+        oracle_errs, oracle_words = 0, 0
+        out = FileArchive(self.output_archive, "a") if self.output_archive else None
+        archive = open_archive(self.lattice_archive)
+        try:
+            for name in archive.keys():
+                lat = Lattice.unpack(archive.read(name))
+                hyp_words: List[str] = []
+                for op in ops:
+                    if op == "prune":
+                        lat = posterior_prune(
+                            lat, self.posterior_threshold, self.am_scale, self.lm_scale
+                        )
+                    elif op == "rescore":
+                        assert rescore_model is not None, "rescore needs lm-file"
+                        synt = {
+                            i: rescore_model.vocab.get(orth)
+                            for i, orth in enumerate(lat.lemma_orths)
+                        }
+                        lat = rescore_lm(lat, rescore_model, synt)
+                    elif op == "best":
+                        _, path = best_path(lat, self.am_scale, self.lm_scale)
+                        hyp_words = [
+                            lat.lemma_orths[a.lemma]
+                            for a in path
+                            if not lat.lemma_orths[a.lemma].startswith("[")
+                        ]
+                    elif op == "cn-decode":
+                        slots = confusion_network(lat, self.am_scale, self.lm_scale)
+                        hyp_words = [
+                            w for w in cn_decode(slots) if not w.startswith("[")
+                        ]
+                    elif op == "nbest":
+                        nb = n_best(lat, self.nbest, self.am_scale, self.lm_scale)
+                        self.log("nbest", segment=name, count=len(nb))
+                    elif op == "oracle":
+                        ref = orths.get(name, "").split()
+                        errs, _ = lattice_oracle(lat, ref)
+                        oracle_errs += errs
+                        oracle_words += len(ref)
+                    elif op == "evaluate":
+                        ref = orths.get(name, "")
+                        if ref:
+                            evaluator.add(name, ref, " ".join(hyp_words))
+                    elif op == "write":
+                        pass  # written below
+                    else:
+                        raise ValueError(f"unknown op {op!r}")
+                if out is not None:
+                    out.write(name, lat.pack())
+        finally:
+            archive.close()
+            if out is not None:
+                out.close()
+        if "evaluate" in ops:
+            report = evaluator.report()
+            self.log("evaluation", **report)
+            print(f"WER: {report['wer']:.4f}")
+        if "oracle" in ops and oracle_words:
+            self.log("oracle", oracle_wer=oracle_errs / oracle_words)
+            print(f"oracle WER: {oracle_errs / oracle_words:.4f}")
+        return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(FlfTool.main())

@@ -1,0 +1,96 @@
+"""nn-trainer tool (ref: src/Tools/NnTrainer/).
+
+Actions mirroring the reference's nn-trainer:
+* ``action=supervised-training``: train the FFNN on feature+alignment caches
+* ``action=estimate-priors``: state-prior estimation from alignments
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..align.aligner import Alignment
+from ..models.nn import FeedForwardNet, StatePriors
+from ..train.nn_trainer import FrameDataset, NnTrainer, TrainConfig
+from ..utils.archive import FileArchive, unpack_ndarray
+from ..utils.component import (
+    ParameterChoice, ParameterFloat, ParameterInt, ParameterIntList,
+    ParameterString,
+)
+from .application import Application
+
+
+def _load_frames(feature_cache: str, alignment_cache: str):
+    feats_list, labels_list, weights_list = [], [], []
+    with FileArchive(feature_cache, "r") as fc, FileArchive(alignment_cache, "r") as ac:
+        for name in ac.keys():
+            if name not in fc:
+                continue
+            feats = unpack_ndarray(fc.read(name))
+            al = Alignment.unpack(name, ac.read(name))
+            n = min(feats.shape[0], al.num_frames)
+            feats_list.append(feats[:n])
+            labels_list.append(al.emission_ids[:n])
+            weights_list.append(al.weights[:n] if al.weights is not None else np.ones(n, np.float32))
+    if not feats_list:
+        raise ValueError("no overlapping segments between caches")
+    return (
+        np.concatenate(feats_list),
+        np.concatenate(labels_list),
+        np.concatenate(weights_list),
+    )
+
+
+class NnTrainerTool(Application):
+    name = "nn-trainer"
+    description = "hybrid NN acoustic model training"
+
+    action = ParameterChoice(
+        "action", ["supervised-training", "estimate-priors"], default="supervised-training"
+    )
+    feature_cache = ParameterString("feature-cache")
+    alignment_cache = ParameterString("alignment-cache")
+    num_classes = ParameterInt("num-classes")
+    hidden = ParameterIntList("hidden-layers", default=[512, 512])
+    activation = ParameterString("activation", default="relu")
+    params_file = ParameterString("params-file", default="nn.msgpack")
+    priors_file = ParameterString("priors-file", default="priors.npy")
+    batch_size = ParameterInt("batch-size", default=256)
+    epochs = ParameterInt("epochs", default=5)
+    learning_rate = ParameterFloat("learning-rate", default=1e-3)
+    l2 = ParameterFloat("l2", default=0.0)
+    optimizer = ParameterChoice("optimizer", ["sgd", "momentum", "adam"], default="momentum")
+    seed = ParameterInt("seed", default=0)
+
+    def run(self, args: List[str]) -> int:
+        feats, labels, weights = _load_frames(self.feature_cache, self.alignment_cache)
+        ds = FrameDataset(feats, labels, weights)
+        model = FeedForwardNet(
+            num_classes=self.num_classes, hidden=tuple(self.hidden),
+            activation=self.activation,
+        )
+        trainer = NnTrainer(
+            model, self.num_classes,
+            TrainConfig(
+                batch_size=self.batch_size, learning_rate=self.learning_rate,
+                l2=self.l2, optimizer=self.optimizer, epochs=self.epochs,
+                seed=self.seed,
+            ),
+        )
+        if self.action == "estimate-priors":
+            priors = trainer.estimate_priors(ds)
+            priors.save(self.priors_file)
+            self.log("priors estimated", classes=self.num_classes)
+            return 0
+        params, stats = trainer.train(ds, log=self.log)
+        trainer.save_params(params, self.params_file)
+        priors = trainer.estimate_priors(ds)
+        priors.save(self.priors_file)
+        self.log("training done", final=stats[-1] if stats else {})
+        return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(NnTrainerTool.main())
