@@ -1,0 +1,120 @@
+"""Packed LM + native ARPA parser tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rasr_tpu.models.lm.arpa import NgramLm
+from rasr_tpu.models.lm.ngram_tpu import compile_ngram, score_batch
+from rasr_tpu.models.lm.packed import PackedNgramLm, compile_packed
+from rasr_tpu.utils.native import arpa_to_lmbin, load_native, rtar_read, rtar_scan
+
+
+@pytest.fixture(scope="module")
+def toy_lm():
+    sents = [["a", "b", "c"], ["b", "a", "c"], ["a", "c", "b"], ["c", "a"]] * 3
+    return NgramLm.train_from_text(sents, order=3)
+
+
+def test_packed_matches_host_lm(toy_lm):
+    packed = PackedNgramLm.from_ngram_lm(toy_lm)
+    rng = np.random.default_rng(0)
+    contexts = [()] + [g for g in toy_lm.ngrams if len(g) < toy_lm.order]
+    for _ in range(100):
+        h = contexts[rng.integers(len(contexts))]
+        w = int(rng.choice(list(toy_lm.vocab.values())))
+        np.testing.assert_allclose(
+            packed.score(h, w), toy_lm.score(h, w), rtol=1e-5, atol=1e-6
+        )
+        assert packed.extended_history(h, w) == toy_lm.extended_history(h, w)
+
+
+def test_packed_sequence_score(toy_lm):
+    packed = PackedNgramLm.from_ngram_lm(toy_lm)
+    np.testing.assert_allclose(
+        packed.sequence_score(["a", "b", "c"]),
+        toy_lm.sequence_score(["a", "b", "c"]),
+        rtol=1e-5,
+    )
+
+
+def test_compile_packed_matches_compile_ngram(toy_lm):
+    """Device tables from the packed path score identically."""
+    t_ref = compile_ngram(toy_lm)
+    packed = PackedNgramLm.from_ngram_lm(toy_lm)
+    t_new = compile_packed(packed)
+    assert t_new.order == t_ref.order
+    rng = np.random.default_rng(1)
+    # enumerate states of the packed layout via the packed lm itself
+    contexts = [()] + [g for g in toy_lm.ngrams if len(g) < toy_lm.order]
+    for _ in range(60):
+        h = contexts[rng.integers(len(contexts))]
+        w = int(rng.choice(list(toy_lm.vocab.values())))
+        # resolve packed state id by walking from start via extended_history
+        # — instead, compare scores via the host lm as common reference
+        want = toy_lm.score(h, w)
+        # packed state id: find row
+        if h == ():
+            sid = 0
+        else:
+            n = len(h)
+            row = packed._find(h)
+            assert row >= 0
+            ofs = 1
+            for k in range(n - 1):
+                ofs += packed.ids[k].shape[0]
+            sid = ofs + row
+        cost, nxt = score_batch(
+            t_new, jnp.asarray([sid], jnp.int32), jnp.asarray([w], jnp.int32)
+        )
+        np.testing.assert_allclose(float(cost[0]), want, rtol=1e-4, atol=1e-5)
+
+
+def test_native_arpa_parser(tmp_path, toy_lm):
+    if load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    arpa = str(tmp_path / "toy.arpa")
+    toy_lm.write_arpa(arpa)
+    lmbin = str(tmp_path / "toy.lmbin")
+    assert arpa_to_lmbin(arpa, lmbin)
+    packed = PackedNgramLm.load_lmbin(lmbin)
+    assert packed.order == toy_lm.order
+    # native vocab ids differ; compare by symbol
+    for seq in (["a", "b"], ["c", "a"], ["a", "b", "c"]):
+        np.testing.assert_allclose(
+            packed.sequence_score(seq), toy_lm.sequence_score(seq), rtol=1e-4
+        )
+
+
+def test_from_arpa_builds_cache(tmp_path, toy_lm):
+    arpa = str(tmp_path / "toy.arpa")
+    toy_lm.write_arpa(arpa)
+    packed = PackedNgramLm.from_arpa(arpa)
+    np.testing.assert_allclose(
+        packed.sequence_score(["a", "b"]), toy_lm.sequence_score(["a", "b"]), rtol=1e-4
+    )
+    if load_native() is not None:
+        assert os.path.exists(arpa + ".lmbin")
+
+
+def test_native_rtar_matches_python(tmp_path):
+    if load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    from rasr_tpu.utils.archive import FileArchive
+
+    path = str(tmp_path / "a.cache")
+    with FileArchive(path, "w") as ar:
+        ar.write("x", b"hello" * 200)
+        ar.write("y", b"\x01\x02\x03")
+        ar.write("x", b"updated")  # shadowing
+        ar.write("z", b"gone")
+        ar.delete("z")
+    index = rtar_scan(path)
+    assert set(index) == {"x", "y"}
+    off, flags, raw, comp = index["x"]
+    assert rtar_read(path, off, flags, raw, comp) == b"updated"
+    off, flags, raw, comp = index["y"]
+    assert rtar_read(path, off, flags, raw, comp) == b"\x01\x02\x03"
