@@ -130,8 +130,8 @@ def main():
 
     def pipeline():
         feats, nf = fe(samples, lengths)
-        emis = scorer(feats)
-        results = dec.decode_scores(np.asarray(emis), np.asarray(nf))
+        emis = scorer(feats)  # stays on device; decode consumes it directly
+        results = dec.decode_scores(emis, np.asarray(nf))
         return results
 
     t0 = time.time()

@@ -54,9 +54,9 @@ class OfflineRecognizer:
             for batch in visitor.batches():
                 t0 = time.perf_counter()
                 feats, n_frames = self.frontend(batch.samples, batch.lengths)
-                emis = self.scorer(feats)
+                emis = self.scorer(feats)  # device array straight into decode
                 batch_results = self.decoder.decode_scores(
-                    np.asarray(emis), np.asarray(n_frames), batch.names
+                    emis, np.asarray(n_frames), batch.names
                 )
                 elapsed = time.perf_counter() - t0
                 audio_s = float(batch.lengths.sum()) / visitor.sample_rate

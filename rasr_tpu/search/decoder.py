@@ -416,11 +416,15 @@ def _decode_scan(
         jnp.full((B * fstate.shape[1],), max(lm.end_word, 0), jnp.int32),
     )
     end_cost = jnp.where(lm.end_word >= 0, cfg.lm_scale * end_cost.reshape(fstate.shape), 0.0)
-    final_total = jnp.where(fstate == 0, fscore + end_cost, BIG)
-    best_idx = jnp.argmin(final_total, axis=1)
-    best_score = jnp.take_along_axis(final_total, best_idx[:, None], axis=1)[:, 0]
-    best_bp = jnp.take_along_axis(fbp, best_idx[:, None], axis=1)[:, 0]
-    return best_score, best_bp, recs, (fstate, flm, fscore, fbp, end_cost)
+    # pack outputs into few arrays: every device->host transfer pays a
+    # fixed latency (large through the axon tunnel), so ship 4 tensors,
+    # not 13
+    r_lemma, r_score, r_prev, r_lmcost, r_word, r_lm = recs
+    rec_int = jnp.stack([r_lemma, r_prev, r_word, r_lm], axis=-1)  # [T,B,R,4]
+    rec_f = jnp.stack([r_score, r_lmcost], axis=-1)  # [T,B,R,2]
+    fin_int = jnp.stack([fstate, flm, fbp], axis=-1)  # [B,K,3]
+    fin_f = jnp.stack([fscore, end_cost], axis=-1)  # [B,K,2]
+    return rec_int, rec_f, fin_int, fin_f
 
 
 @dataclasses.dataclass
@@ -467,7 +471,7 @@ class TreeDecoder:
         B = emissions.shape[0]
         names = names or [f"utt{i}" for i in range(B)]
         kbranch = self.cfg.branch_hyps or self.cfg.max_hyps
-        best_score, best_bp, recs, finals = _decode_scan(
+        rec_int, rec_f, fin_int, fin_f = _decode_scan(
             self.tables,
             self.lm,
             jnp.asarray(emissions),
@@ -477,12 +481,19 @@ class TreeDecoder:
             min(self.cfg.root_hyps, self.cfg.max_hyps),
             min(kbranch, self.cfg.max_hyps),
         )
-        rec_lemma, rec_score, rec_prev, rec_lmcost, rec_word, rec_lm = (
-            np.asarray(r) for r in recs
-        )  # [T, B, R]
-        best_score = np.array(best_score)
-        best_bp = np.array(best_bp)
-        fstate, flm, fscore, fbp, fend = (np.asarray(x) for x in finals)
+        rec_int = np.asarray(rec_int)  # [T,B,R,4]
+        rec_f = np.asarray(rec_f)  # [T,B,R,2]
+        fin_int = np.asarray(fin_int)  # [B,K,3]
+        fin_f = np.asarray(fin_f)  # [B,K,2]
+        rec_lemma, rec_prev, rec_word, rec_lm = (rec_int[..., i] for i in range(4))
+        rec_score, rec_lmcost = rec_f[..., 0], rec_f[..., 1]
+        fstate, flm, fbp = (fin_int[..., i] for i in range(3))
+        fscore, fend = fin_f[..., 0], fin_f[..., 1]
+        # best complete hypothesis per utterance (host-side: tiny)
+        final_total = np.where(fstate == 0, fscore + fend, BIG)
+        best_idx = np.argmin(final_total, axis=1)
+        best_score = final_total[np.arange(B), best_idx]
+        best_bp = fbp[np.arange(B), best_idx]
         R = self.cfg.word_end_limit
 
         results = []
