@@ -82,9 +82,17 @@ class TreeTables:
     we_word: jnp.ndarray  # [S+1, W]
     we_cost: jnp.ndarray
     we_lemma: jnp.ndarray
+    # LM lookahead potentials (all-zero when disabled): per-arc deltas
+    # la[dst]-la[src] precomposed so shaping costs no extra gathers
+    la: jnp.ndarray  # [S+1]
+    dense1_dla: jnp.ndarray  # [S+1]
+    dense2_dla: jnp.ndarray  # [S+1]
+    branch_dla: jnp.ndarray  # [A']
+    root_dla: jnp.ndarray  # [G]
     num_states: int
     branch_degree: int  # max overflow degree
     root_degree: int
+    has_lookahead: bool
 
     @property
     def sentinel(self) -> int:
@@ -99,8 +107,9 @@ jax.tree_util.register_pytree_node(
          t.dense2_dst, t.dense2_cost, t.dense2_cls,
          t.branch_ptr, t.branch_deg, t.branch_dst, t.branch_cost, t.branch_cls,
          t.root_dst, t.root_cost, t.root_cls,
-         t.we_word, t.we_cost, t.we_lemma),
-        (t.num_states, t.branch_degree, t.root_degree),
+         t.we_word, t.we_cost, t.we_lemma,
+         t.la, t.dense1_dla, t.dense2_dla, t.branch_dla, t.root_dla),
+        (t.num_states, t.branch_degree, t.root_degree, t.has_lookahead),
     ),
     lambda aux, ch: TreeTables(*ch, *aux),
 )
@@ -149,6 +158,18 @@ def tree_to_device(tree: PrefixTree) -> TreeTables:
     def cls_of(dst):
         return ecls[np.minimum(dst, SENT)].astype(np.int32)
 
+    la_src = tree.lookahead
+    has_la = la_src is not None and np.any(la_src != 0)
+    la = np.zeros(S + 1, np.float32)
+    if la_src is not None:
+        la[:S] = la_src
+
+    def dla_of(src_idx, dst):
+        if not has_la:
+            return np.zeros_like(dst, np.float32)
+        return (la[np.minimum(dst, SENT)] - la[src_idx]).astype(np.float32)
+
+    all_states = np.arange(S + 1)
     return TreeTables(
         emission_class=jnp.asarray(ecls),
         loop_cost=jnp.asarray(
@@ -183,10 +204,29 @@ def tree_to_device(tree: PrefixTree) -> TreeTables:
                 [tree.we_lemma, np.full((1, tree.max_word_ends), -1, np.int32)]
             )
         ),
+        la=jnp.asarray(la),
+        dense1_dla=jnp.asarray(dla_of(all_states, d1_dst)),
+        dense2_dla=jnp.asarray(dla_of(all_states, d2_dst)),
+        branch_dla=jnp.asarray(
+            dla_of(_branch_src_of(br_ptr, S, len(br_dst_a)), br_dst_a)
+        ),
+        root_dla=jnp.asarray(
+            (la[np.minimum(root_dst, SENT)] - la[0]).astype(np.float32)
+            if has_la else np.zeros(root_dst.shape[0], np.float32)
+        ),
         num_states=S,
         branch_degree=max(int(br_deg.max()), 1),
         root_degree=int(root_dst.shape[0]),
+        has_lookahead=bool(has_la),
     )
+
+
+def _branch_src_of(br_ptr: np.ndarray, S: int, num_arcs: int) -> np.ndarray:
+    """Source state of each branch arc (from the CSR ptr)."""
+    src = np.zeros(num_arcs, np.int64)
+    for s in range(S + 1):
+        src[br_ptr[s] : br_ptr[s + 1]] = s
+    return src
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,6 +241,10 @@ class BeamConfig:
     branch_hyps: int = 0  # Kb: hyps expanded through branch arcs (0 = K)
     expansion_limit: int = 4096  # E: candidates surviving into recombination
     lm_scale: float = 1.0
+    #: weight of the unigram lookahead potential (x lm_scale); exact
+    #: potential shaping — path scores are unchanged, pruning becomes
+    #: LM-aware (ref: LM lookahead fold-in). 0 disables.
+    lookahead_scale: float = 1.0
 
 
 @partial(jax.jit, static_argnames=("cfg", "wmax", "hroot", "kbranch"))
@@ -220,6 +264,9 @@ def _decode_scan(
     SENT = tree.sentinel
     Db = tree.branch_degree
     G = tree.root_degree
+    use_la = tree.has_lookahead and cfg.lookahead_scale != 0.0
+    la_coeff = cfg.lm_scale * cfg.lookahead_scale
+    la0 = tree.la[0]
 
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
@@ -243,6 +290,9 @@ def _decode_scan(
         d2 = tree.dense2_dst[state]
         d2_cls = tree.dense2_cls[state]
         c_d2 = score + tree.dense2_cost[state] + jnp.take_along_axis(emis_t, d2_cls, axis=1)
+        if use_la:
+            c_d1 = c_d1 + la_coeff * tree.dense1_dla[state]
+            c_d2 = c_d2 + la_coeff * tree.dense2_dla[state]
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
         has_branch = tree.branch_deg[state] > 0
@@ -260,6 +310,8 @@ def _decode_scan(
         b_dst = jnp.where(ok, tree.branch_dst[bi], SENT)
         b_cls = jnp.where(ok, tree.branch_cls[bi], 0)
         b_cost = jnp.where(ok, tree.branch_cost[bi], BIG)
+        if use_la:
+            b_cost = b_cost + la_coeff * jnp.where(ok, tree.branch_dla[bi], 0.0)
         c_br = (
             b_score[..., None] + b_cost
             + jnp.take_along_axis(emis_t, b_cls.reshape(B, kbranch * Db), axis=1)
@@ -275,8 +327,11 @@ def _decode_scan(
         emis_root = jnp.take_along_axis(
             emis_t, jnp.broadcast_to(tree.root_cls, (B, G)), axis=1
         )  # [B,G]
+        root_arc_cost = tree.root_cost
+        if use_la:
+            root_arc_cost = root_arc_cost + la_coeff * tree.root_dla
         c_root = (
-            h_score[:, :, None] + tree.root_cost[None, None, :]
+            h_score[:, :, None] + root_arc_cost[None, None, :]
             + emis_root[:, None, :]
         )  # [B,H,G]
 
@@ -341,7 +396,11 @@ def _decode_scan(
         ww = tree.we_word[n_state]  # [B,K,W]
         wc = tree.we_cost[n_state]
         wl = tree.we_lemma[n_state]
-        pre = jnp.where(ww != WORD_NONE, n_score[..., None] + wc, BIG).reshape(B, K * wmax)
+        we_base = n_score
+        if use_la:
+            # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
+            we_base = n_score - la_coeff * (tree.la[n_state] - la0)
+        pre = jnp.where(ww != WORD_NONE, we_base[..., None] + wc, BIG).reshape(B, K * wmax)
         neg_r, ridx = jax.lax.top_k(-pre, R)
         r_pre = -neg_r  # [B,R]
         r_word = jnp.take_along_axis(ww.reshape(B, K * wmax), ridx, axis=1)

@@ -53,6 +53,11 @@ class PrefixTree:
     we_lemma: np.ndarray  # [S, Wmax] i32
     lemmas: List  # lemma objects by index used in we_lemma
     max_out_degree: int
+    #: unigram LM lookahead potential per state (min unscaled unigram LM
+    #: cost over word ends reachable in the subtree; 0 everywhere when no
+    #: unigram table was provided at build). ref: src/Search/LmLookahead —
+    #: folded into pruning via exact potential shaping in the decoder.
+    lookahead: Optional[np.ndarray] = None
 
     @property
     def num_states(self) -> int:
@@ -83,12 +88,14 @@ def build_prefix_tree(
     transitions: TransitionModel = TransitionModel(),
     lm_vocab: Optional[Dict[str, int]] = None,
     within_phone_skip: bool = True,
+    lm_unigrams: Optional[Dict[int, float]] = None,
 ) -> PrefixTree:
     """Compile the decoding network from the lexicon.
 
     ``lm_vocab`` maps syntactic tokens to LM word ids; lemmas whose first
     synt token is missing from it decode via <unk> if present, else are
-    scored as no-LM words.
+    scored as no-LM words. ``lm_unigrams`` (LM word id -> unscaled -log
+    unigram cost) enables the lookahead potential.
     """
     alphabet = AllophoneAlphabet(
         lexicon, max_states=max(topology.states_per_phone, topology.silence_states)
@@ -205,7 +212,7 @@ def build_prefix_tree(
             we_cost_arr[s, k] = c
             we_lemma[s, k] = l
 
-    return PrefixTree(
+    tree = PrefixTree(
         emission_class=np.asarray(emission_class, np.int32),
         loop_cost=np.asarray(loop_cost, np.float32),
         arc_ptr=arc_ptr,
@@ -217,3 +224,31 @@ def build_prefix_tree(
         lemmas=lemma_list,
         max_out_degree=max_deg,
     )
+    if lm_unigrams is not None:
+        tree.lookahead = compute_lookahead(tree, lm_unigrams)
+    return tree
+
+
+def compute_lookahead(tree: PrefixTree, lm_unigrams: Dict[int, float]) -> np.ndarray:
+    """Per-state lookahead potential: min unscaled unigram cost over word
+    ends reachable below each state (silence/no-LM words count as 0).
+
+    States are created parent-before-child, so a single reverse sweep is
+    a valid reverse-topological relaxation (loops/word-end re-entries are
+    not tree arcs).
+    """
+    S = tree.num_states
+    la = np.full(S, np.float32(BIG), np.float32)
+    default = max(lm_unigrams.values()) if lm_unigrams else 0.0
+    for s in range(S - 1, -1, -1):
+        best = BIG
+        for k in range(tree.max_word_ends):
+            w = tree.we_word[s, k]
+            if w == WORD_NONE:
+                break
+            best = min(best, 0.0 if w < 0 else lm_unigrams.get(int(w), default))
+        for ai in range(tree.arc_ptr[s], tree.arc_ptr[s + 1]):
+            best = min(best, float(la[tree.arc_dst[ai]]))
+        la[s] = best
+    la[la >= BIG / 2] = 0.0  # dead-end states (shouldn't exist): neutral
+    return la.astype(np.float32)

@@ -182,6 +182,32 @@ def test_decoder_batched_ragged(setup, rng):
         ]
 
 
+def test_lookahead_shaping_is_exact(setup, rng):
+    """Unigram lookahead (potential shaping) must not change results when
+    pruning is off — same best scores and words as without lookahead."""
+    lex, topo, tying, trans, lm, tables, tree = setup
+    unigrams = {
+        wid: lm.score((), wid) for wid in lm.vocab.values()
+    }
+    from rasr_tpu.search.tree import build_prefix_tree
+
+    tree_la = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm.vocab, lm_unigrams=unigrams
+    )
+    assert tree_la.lookahead is not None and np.any(tree_la.lookahead != 0)
+    M = tying.num_classes
+    cfg = BeamConfig(max_hyps=256, beam=1e9, word_end_limit=64,
+                     root_hyps=256, lm_scale=0.7)
+    dec_plain = TreeDecoder(tree, tables, cfg)
+    dec_la = TreeDecoder(tree_la, tables, cfg)
+    for _ in range(3):
+        emis = rng.uniform(0.0, 6.0, size=(1, 7, M)).astype(np.float32)
+        (a,) = dec_plain.decode_scores(emis, np.array([7]))
+        (b,) = dec_la.decode_scores(emis, np.array([7]))
+        np.testing.assert_allclose(a.score, b.score, rtol=1e-4, atol=1e-3)
+        assert [l.primary_orth for l in a.lemmas] == [l.primary_orth for l in b.lemmas]
+
+
 def test_beam_pruning_monotone(setup, rng):
     """Tighter pruning can only increase (or keep) the best cost."""
     lex, topo, tying, trans, lm, tables, tree = setup
