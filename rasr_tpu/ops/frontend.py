@@ -57,8 +57,9 @@ class FrontendConfig:
     dct_norm: str = "rasr"  # rasr (scale 2/num_mel-ish) | ortho
     log_floor: float = 1e-10
     append_energy: bool = False
-    normalize: str = "segment"  # none | segment (mean+var over segment)
+    normalize: str = "segment"  # none | segment | sliding (cyclic window)
     norm_variance: bool = True
+    norm_window: int = 300  # frames, for normalize="sliding"
 
     @property
     def frame_length(self) -> int:
@@ -260,6 +261,45 @@ def cmvn(
     return out
 
 
+def sliding_cmvn(
+    feats: jnp.ndarray,
+    frame_mask: jnp.ndarray,
+    window: int = 300,
+    norm_variance: bool = True,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Sliding-window (cyclic) mean/variance normalization.
+
+    Each frame normalizes by statistics of the ±window/2 frames around it
+    (clipped at segment edges), the reference's cyclic normalization mode
+    (ref: Signal::Normalization with a bounded history) — used for long
+    recordings where segment-global CMVN lags. Implemented with cumulative
+    sums: O(T·D), jit-friendly.
+    """
+    mask = frame_mask[..., None]
+    x = feats * mask
+    half = window // 2
+    T = feats.shape[-2]
+    csum = jnp.cumsum(x, axis=-2)
+    csum2 = jnp.cumsum(x * x, axis=-2)
+    cnt = jnp.cumsum(mask, axis=-2)
+
+    def rangesum(c):
+        zero = jnp.zeros_like(c[..., :1, :])
+        padded = jnp.concatenate([zero, c], axis=-2)
+        idx_hi = np.minimum(np.arange(T) + half + 1, T)
+        idx_lo = np.maximum(np.arange(T) - half, 0)
+        return padded[..., idx_hi, :] - padded[..., idx_lo, :]
+
+    n = jnp.maximum(rangesum(cnt), 1.0)
+    mean = rangesum(csum) / n
+    out = (feats - mean) * mask
+    if norm_variance:
+        var = jnp.maximum(rangesum(csum2) / n - mean * mean, eps)
+        out = out * jax.lax.rsqrt(var)
+    return out
+
+
 def splice(feats: jnp.ndarray, context: int) -> jnp.ndarray:
     """[..., T, D] -> [..., T, (2*context+1)*D] with edge replication.
 
@@ -348,6 +388,8 @@ class FeatureFrontend:
         ).astype(jnp.float32)
         if cfg.normalize == "segment":
             feats = cmvn(feats, mask, cfg.norm_variance)
+        elif cfg.normalize == "sliding":
+            feats = sliding_cmvn(feats, mask, cfg.norm_window, cfg.norm_variance)
         if self.delta_order:
             feats = deltas(feats, self.delta_order)
         if self.splice_context:

@@ -8,12 +8,14 @@ hundreds of MB of write+read traffic for a tensor that only exists to be
 min-reduced.
 
 This kernel fuses the reduction into the matmul epilogue: a grid over
-(frame tiles × mixture tiles) computes each ``[TN, TM*K]`` density block
-in VMEM with two MXU dots and writes only the ``[TN, TM]`` reduced
-emission scores — the K axis never touches HBM.
+(frame tiles × mixture tiles) computes, per density index k, the
+``[TN, TM]`` score block in VMEM with two MXU dots and min/LSE-combines
+across k on the fly — the K axis never touches HBM. The scoring tensors
+are laid out ``[K, D, M]`` (k-major) so the combine is over unit-stride
+blocks; Mosaic supports no lane-splitting reshapes.
 
-Used by GmmFeatureScorer via use_pallas=True (TPU backend); falls back
-to the XLA path elsewhere (CPU tests run the interpreter).
+Used via mixture_scores_fused (drop-in for models.gmm.mixture_scores);
+interpret=True runs on CPU for tests.
 """
 
 from __future__ import annotations
@@ -30,22 +32,31 @@ from jax.experimental.pallas import tpu as pltpu
 from ..viterbi import BIG
 
 
-def _kernel(x2_ref, x_ref, a_ref, b_ref, c_ref, out_ref, *, k_densities, max_approx):
-    # x2/x: [TN, D]; a/b: [D, TM*K]; c: [TM*K]; out: [TN, TM]
-    dens = (
-        jnp.dot(x2_ref[:], a_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(x_ref[:], b_ref[:], preferred_element_type=jnp.float32)
-        + c_ref[:][None, :]
-    )
-    tn = dens.shape[0]
-    tm = dens.shape[1] // k_densities
-    dens = dens.reshape(tn, tm, k_densities)
+def _kernel(x2_ref, x_ref, a_ref, b_ref, c_ref, out_ref, *, k_densities,
+            max_approx, precision):
+    # x2/x: [TN, D]; a/b: [K, D, TM]; c: [K, TM]; out: [TN, TM]
+    def dens_k(k):
+        return (
+            jnp.dot(x2_ref[:], a_ref[k], preferred_element_type=jnp.float32,
+                    precision=precision)
+            + jnp.dot(x_ref[:], b_ref[k], preferred_element_type=jnp.float32,
+                      precision=precision)
+            + c_ref[k][None, :]
+        )
+
     if max_approx:
-        out_ref[:] = jnp.min(dens, axis=-1)
+        acc = dens_k(0)
+        for k in range(1, k_densities):
+            acc = jnp.minimum(acc, dens_k(k))
+        out_ref[:] = acc
     else:
-        m = jnp.min(dens, axis=-1, keepdims=True)
-        s = jnp.sum(jnp.exp(-(dens - m)), axis=-1)
-        out_ref[:] = m[..., 0] - jnp.log(s)
+        m = dens_k(0)
+        for k in range(1, k_densities):
+            m = jnp.minimum(m, dens_k(k))
+        s = jnp.zeros_like(m)
+        for k in range(k_densities):
+            s = s + jnp.exp(-(dens_k(k) - m))
+        out_ref[:] = m - jnp.log(s)
 
 
 def _round_up(x, m):
@@ -53,46 +64,60 @@ def _round_up(x, m):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_mixtures", "k_densities", "max_approx", "interpret")
+    jax.jit,
+    static_argnames=(
+        "num_mixtures", "k_densities", "max_approx", "interpret", "precision",
+    ),
 )
 def gmm_scores_pallas(
     feats: jnp.ndarray,  # [N, D]
-    a: jnp.ndarray,  # [D, M*K]
+    a: jnp.ndarray,  # [D, M*K] (m-major, as in ScoringTensors)
     b: jnp.ndarray,  # [D, M*K]
     c: jnp.ndarray,  # [M*K]
     num_mixtures: int,
     k_densities: int,
     max_approx: bool = True,
     interpret: bool = False,
+    precision: str = "highest",  # matches the XLA path's HIGHEST default
 ) -> jnp.ndarray:
     """[N, D] -> [N, M] fused emission scores."""
     N, D = feats.shape
     M = num_mixtures
     K = k_densities
     TN = 256
-    TM = 128  # output tile last dim must be 128-aligned (Mosaic tiling)
+    TM = 128
 
-    # pad N to TN, M to TM, D to 128-multiples for clean tiling
     Np = _round_up(max(N, 1), TN)
     Mp = _round_up(M, TM)
     Dp = _round_up(D, 128)
     x = feats.astype(jnp.float32)
     x = jnp.pad(x, ((0, Np - N), (0, Dp - D)))
-    a_p = jnp.pad(a, ((0, Dp - D), (0, (Mp - M) * K)))
-    b_p = jnp.pad(b, ((0, Dp - D), (0, (Mp - M) * K)))
-    c_p = jnp.pad(c, (0, (Mp - M) * K), constant_values=BIG)
+    # [D, M*K] -> k-major [K, Dp, Mp]
+    a3 = jnp.pad(a.reshape(D, M, K), ((0, Dp - D), (0, Mp - M), (0, 0))).transpose(2, 0, 1)
+    b3 = jnp.pad(b.reshape(D, M, K), ((0, Dp - D), (0, Mp - M), (0, 0))).transpose(2, 0, 1)
+    c2 = jnp.pad(
+        c.reshape(M, K), ((0, Mp - M), (0, 0)), constant_values=BIG
+    ).transpose(1, 0)
 
     grid = (Np // TN, Mp // TM)
     out = pl.pallas_call(
-        functools.partial(_kernel, k_densities=K, max_approx=max_approx),
+        functools.partial(
+            _kernel, k_densities=K, max_approx=max_approx,
+            precision=(
+                {"default": jax.lax.Precision.DEFAULT,
+                 "high": jax.lax.Precision.HIGH,
+                 "highest": jax.lax.Precision.HIGHEST}[precision]
+                if isinstance(precision, str) else precision
+            ),
+        ),
         out_shape=jax.ShapeDtypeStruct((Np, Mp), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TN, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dp, TM * K), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dp, TM * K), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM * K,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Dp, TM), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Dp, TM), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TN, TM), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
@@ -101,12 +126,13 @@ def gmm_scores_pallas(
             transcendentals=0 if max_approx else Np * Mp * K,
         ),
         interpret=interpret,
-    )(x * x, x, a_p, b_p, c_p)
+    )(x * x, x, a3, b3, c2)
     return out[:N, :M]
 
 
 def mixture_scores_fused(
-    feats: jnp.ndarray, st, max_approx: bool = True, interpret: bool = False
+    feats: jnp.ndarray, st, max_approx: bool = True, interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Drop-in for models.gmm.mixture_scores using the fused kernel.
 
@@ -116,6 +142,6 @@ def mixture_scores_fused(
     flat = feats.reshape(-1, feats.shape[-1])
     out = gmm_scores_pallas(
         flat, st.a, st.b, st.c, st.num_mixtures, st.max_densities,
-        max_approx=max_approx, interpret=interpret,
+        max_approx=max_approx, interpret=interpret, precision=precision,
     )
     return out.reshape(*lead, st.num_mixtures)

@@ -82,6 +82,7 @@ class TreeTables:
     we_word: jnp.ndarray  # [S+1, W]
     we_cost: jnp.ndarray
     we_lemma: jnp.ndarray
+    we_next: jnp.ndarray  # [S+1, W] re-entry state (0 = root)
     # LM lookahead potentials (all-zero when disabled): per-arc deltas
     # la[dst]-la[src] precomposed so shaping costs no extra gathers
     la: jnp.ndarray  # [S+1]
@@ -107,7 +108,7 @@ jax.tree_util.register_pytree_node(
          t.dense2_dst, t.dense2_cost, t.dense2_cls,
          t.branch_ptr, t.branch_deg, t.branch_dst, t.branch_cost, t.branch_cls,
          t.root_dst, t.root_cost, t.root_cls,
-         t.we_word, t.we_cost, t.we_lemma,
+         t.we_word, t.we_cost, t.we_lemma, t.we_next,
          t.la, t.dense1_dla, t.dense2_dla, t.branch_dla, t.root_dla),
         (t.num_states, t.branch_degree, t.root_degree, t.has_lookahead),
     ),
@@ -202,6 +203,15 @@ def tree_to_device(tree: PrefixTree) -> TreeTables:
         we_lemma=jnp.asarray(
             np.concatenate(
                 [tree.we_lemma, np.full((1, tree.max_word_ends), -1, np.int32)]
+            )
+        ),
+        we_next=jnp.asarray(
+            np.concatenate(
+                [
+                    tree.we_next if tree.we_next is not None
+                    else np.zeros_like(tree.we_word),
+                    np.zeros((1, tree.max_word_ends), np.int32),
+                ]
             )
         ),
         la=jnp.asarray(la),
@@ -396,6 +406,7 @@ def _decode_scan(
         ww = tree.we_word[n_state]  # [B,K,W]
         wc = tree.we_cost[n_state]
         wl = tree.we_lemma[n_state]
+        wn = tree.we_next[n_state]
         we_base = n_score
         if use_la:
             # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
@@ -405,6 +416,7 @@ def _decode_scan(
         r_pre = -neg_r  # [B,R]
         r_word = jnp.take_along_axis(ww.reshape(B, K * wmax), ridx, axis=1)
         r_lemma = jnp.take_along_axis(wl.reshape(B, K * wmax), ridx, axis=1)
+        r_next = jnp.take_along_axis(wn.reshape(B, K * wmax), ridx, axis=1)
         src = ridx // wmax
         r_srclm = jnp.take_along_axis(n_lm, src, axis=1)
         r_srcbp = jnp.take_along_axis(n_bp, src, axis=1)
@@ -423,7 +435,7 @@ def _decode_scan(
         rec_id = jnp.broadcast_to(
             t * R + jnp.arange(R, dtype=jnp.int32)[None, :], (B, R)
         )
-        root_state = jnp.where(r_valid, 0, SENT)
+        root_state = jnp.where(r_valid, r_next, SENT)
         root_score = jnp.where(r_valid, r_score, BIG)
         root_bp = rec_id
 

@@ -58,6 +58,10 @@ class PrefixTree:
     #: unigram table was provided at build). ref: src/Search/LmLookahead —
     #: folded into pruning via exact potential shaping in the decoder.
     lookahead: Optional[np.ndarray] = None
+    #: word-end re-entry state per (state, word-end slot). None = all 0
+    #: (the prefix tree's root). Generic WFST networks re-enter at
+    #: non-emitting junction states instead (search/wfst.py).
+    we_next: Optional[np.ndarray] = None
 
     @property
     def num_states(self) -> int:

@@ -190,3 +190,43 @@ def test_batch_equals_single(rng):
             np.asarray(feats_b)[i, :ni], np.asarray(feats_s)[0, :ni],
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_sliding_cmvn(rng):
+    from rasr_tpu.ops.frontend import sliding_cmvn
+
+    feats = jnp.asarray(rng.normal(loc=3.0, size=(1, 100, 4)).astype(np.float32))
+    mask = np.ones((1, 100), np.float32)
+    out = np.asarray(sliding_cmvn(feats, jnp.asarray(mask), window=30))
+    # interior frames: locally near zero-mean unit-var
+    mid = out[0, 30:70]
+    assert abs(mid.mean()) < 0.2
+    assert 0.5 < mid.std() < 1.5
+    # huge window: converges to segment cmvn
+    out_big = np.asarray(sliding_cmvn(feats, jnp.asarray(mask), window=10000))
+    ref = np.asarray(cmvn(feats, jnp.asarray(mask)))
+    np.testing.assert_allclose(out_big, ref, atol=1e-4)
+
+
+def test_sliding_cmvn_respects_mask(rng):
+    from rasr_tpu.ops.frontend import sliding_cmvn
+
+    feats = jnp.asarray(rng.normal(size=(1, 50, 3)).astype(np.float32))
+    mask = np.zeros((1, 50), np.float32)
+    mask[0, :30] = 1
+    out = np.asarray(sliding_cmvn(feats, jnp.asarray(mask), window=20))
+    np.testing.assert_array_equal(out[0, 30:], 0)
+
+
+def test_checkpoint_manager(tmp_path, rng):
+    from rasr_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=2)
+    state = {"w": np.arange(6, dtype=np.float32).reshape(2, 3), "step": 0}
+    for step in (1, 2, 3):
+        state["step"] = step
+        mgr.save(step, state, {"loss": 0.5 / step})
+    assert mgr.all_steps() == [2, 3]  # gc keeps last 2
+    restored, meta = mgr.restore({"w": np.zeros((2, 3), np.float32), "step": 0})
+    np.testing.assert_array_equal(restored["w"], state["w"])
+    assert meta["step"] == 3 and "loss" in meta
