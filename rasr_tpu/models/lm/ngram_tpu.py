@@ -114,8 +114,10 @@ def compile_ngram(lm: NgramLm, max_probe: int = 16) -> NgramTables:
         nxt = ctx_state(gram[-(order - 1):]) if order > 1 else 0
         entries.append((state_id[h], w, cost, nxt))
     n = len(entries)
+    # 4x load factor: worst-case probe chains stay short (the decoder
+    # unrolls order x max_probe gathers per word-end lookup every frame)
     H = 1
-    while H < 2 * max(n, 1):
+    while H < 4 * max(n, 1):
         H *= 2
 
     while True:

@@ -288,7 +288,7 @@ def compile_packed(lm: PackedNgramLm, max_probe: int = 16):
     n_entries = states.shape[0]
 
     H = 1
-    while H < 2 * max(n_entries, 1):
+    while H < 4 * max(n_entries, 1):
         H *= 2
     while True:
         key_state = np.full(H, -1, np.int32)

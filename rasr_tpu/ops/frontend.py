@@ -349,12 +349,23 @@ class FeatureFrontend:
         splice_context: int = 0,
         lda: Optional[np.ndarray] = None,
         delta_order: int = 0,
+        vtln_warp: Optional[np.ndarray] = None,
     ):
         self.cfg = cfg
         self.splice_context = splice_context
         self.delta_order = delta_order
         self.params = make_params(cfg)
         self.lda = None if lda is None else jnp.asarray(lda, jnp.float32)
+        # VTLN: warp matrix [K, K] applied on the power spectrum before
+        # the mel filterbank (ref: Signal::Warping applied in the filter
+        # stage); folded into the mel matrix so it costs nothing extra.
+        if vtln_warp is not None:
+            self.params = dataclasses.replace(
+                self.params,
+                mel=jnp.asarray(
+                    np.asarray(vtln_warp, np.float32) @ np.asarray(self.params.mel)
+                ),
+            )
         self._jitted = jax.jit(self._forward, static_argnames=("max_frames",))
 
     @property

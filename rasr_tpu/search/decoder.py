@@ -165,6 +165,13 @@ def tree_to_device(tree: PrefixTree) -> TreeTables:
     if la_src is not None:
         la[:S] = la_src
 
+    # static promise order for the root fan-out (cost + lookahead), so a
+    # root_arc_limit slice keeps the most promising word starts
+    root_rank = root_cost + (la[np.minimum(root_dst, SENT)] - la[0] if has_la else 0.0)
+    root_order = np.argsort(root_rank, kind="stable")
+    root_dst = root_dst[root_order]
+    root_cost = root_cost[root_order]
+
     def dla_of(src_idx, dst):
         if not has_la:
             return np.zeros_like(dst, np.float32)
@@ -250,6 +257,11 @@ class BeamConfig:
     root_hyps: int = 32  # H: root (re-entry) hyps expanded per frame
     branch_hyps: int = 0  # Kb: hyps expanded through branch arcs (0 = K)
     expansion_limit: int = 4096  # E: candidates surviving into recombination
+    #: word-start fan-out cap: non-best histories expand only the
+    #: root_arc_limit most promising root arcs (static lookahead order);
+    #: the best history always expands all of them. 0 = no cap (exact).
+    #: (ref: the anticipated/lookahead pruning at word starts)
+    root_arc_limit: int = 0
     lm_scale: float = 1.0
     #: weight of the unigram lookahead potential (x lm_scale); exact
     #: potential shaping — path scores are unchanged, pruning becomes
@@ -277,6 +289,7 @@ def _decode_scan(
     use_la = tree.has_lookahead and cfg.lookahead_scale != 0.0
     la_coeff = cfg.lm_scale * cfg.lookahead_scale
     la0 = tree.la[0]
+    gcap = min(cfg.root_arc_limit or G, G)
 
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
@@ -328,10 +341,12 @@ def _decode_scan(
             .reshape(B, kbranch, Db)
         )
 
-        # root re-entry: top-H root hyps, shared emission pre-gather
+        # root re-entry: top-H root hyps, shared emission pre-gather.
+        # The best history expands every root arc; the others only the
+        # Gcap most promising (arrays are in static promise order).
         root_score = jnp.where(state == 0, score, BIG)
         negH, hidx = jax.lax.top_k(-root_score, hroot)
-        h_score = -negH
+        h_score = -negH  # ascending: h=0 is the best root hypothesis
         h_lm = jnp.take_along_axis(lms, hidx, axis=1)
         h_bp = jnp.take_along_axis(bp, hidx, axis=1)
         emis_root = jnp.take_along_axis(
@@ -340,30 +355,42 @@ def _decode_scan(
         root_arc_cost = tree.root_cost
         if use_la:
             root_arc_cost = root_arc_cost + la_coeff * tree.root_dla
-        c_root = (
-            h_score[:, :, None] + root_arc_cost[None, None, :]
+        c_root_best = (
+            h_score[:, :1, None] + root_arc_cost[None, None, :]
             + emis_root[:, None, :]
-        )  # [B,H,G]
+        )  # [B,1,G]
+        root_states = [jnp.broadcast_to(tree.root_dst, (B, G))]
+        root_scores = [c_root_best.reshape(B, G)]
+        root_lms = [jnp.repeat(h_lm[:, :1], G, axis=1)]
+        root_bps = [jnp.repeat(h_bp[:, :1], G, axis=1)]
+        if hroot > 1:
+            c_root_rest = (
+                h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
+                + emis_root[:, None, :gcap]
+            )  # [B,H-1,Gcap]
+            root_states.append(
+                jnp.broadcast_to(tree.root_dst[:gcap], (B, hroot - 1, gcap))
+                .reshape(B, (hroot - 1) * gcap)
+            )
+            root_scores.append(c_root_rest.reshape(B, (hroot - 1) * gcap))
+            root_lms.append(jnp.repeat(h_lm[:, 1:], gcap, axis=1))
+            root_bps.append(jnp.repeat(h_bp[:, 1:], gcap, axis=1))
 
         # ------------------------------------------- assemble candidates
         cand_state = jnp.concatenate(
-            [state, d1, d2, b_dst.reshape(B, kbranch * Db),
-             jnp.broadcast_to(tree.root_dst, (B, hroot, G)).reshape(B, hroot * G)],
+            [state, d1, d2, b_dst.reshape(B, kbranch * Db), *root_states],
             axis=1,
         )
         cand_score = jnp.concatenate(
-            [c_loop, c_d1, c_d2, c_br.reshape(B, kbranch * Db),
-             c_root.reshape(B, hroot * G)],
+            [c_loop, c_d1, c_d2, c_br.reshape(B, kbranch * Db), *root_scores],
             axis=1,
         )
         cand_lm = jnp.concatenate(
-            [lms, lms, lms, jnp.repeat(b_lm, Db, axis=1),
-             jnp.repeat(h_lm, G, axis=1)],
+            [lms, lms, lms, jnp.repeat(b_lm, Db, axis=1), *root_lms],
             axis=1,
         )
         cand_bp = jnp.concatenate(
-            [bp, bp, bp, jnp.repeat(b_bp, Db, axis=1),
-             jnp.repeat(h_bp, G, axis=1)],
+            [bp, bp, bp, jnp.repeat(b_bp, Db, axis=1), *root_bps],
             axis=1,
         )
         cand_score = jnp.minimum(cand_score, BIG)
@@ -487,15 +514,50 @@ def _decode_scan(
         jnp.full((B * fstate.shape[1],), max(lm.end_word, 0), jnp.int32),
     )
     end_cost = jnp.where(lm.end_word >= 0, cfg.lm_scale * end_cost.reshape(fstate.shape), 0.0)
-    # pack outputs into few arrays: every device->host transfer pays a
-    # fixed latency (large through the axon tunnel), so ship 4 tensors,
-    # not 13
+    # ---- best-complete-hypothesis selection + traceback ON DEVICE ----
+    # host transfers through the tunnel run at MB/s; the full record
+    # tensors ship only when lattices are requested (lazy), while the
+    # best path walks here and returns [MAXW, B] words/times.
     r_lemma, r_score, r_prev, r_lmcost, r_word, r_lm = recs
+    final_total = jnp.where(fstate == 0, fscore + end_cost, BIG)
+    best_idx = jnp.argmin(final_total, axis=1)
+    best_score = jnp.take_along_axis(final_total, best_idx[:, None], axis=1)[:, 0]
+    best_bp = jnp.take_along_axis(fbp, best_idx[:, None], axis=1)[:, 0]
+    # fallback for utterances with no complete hypothesis
+    fb_idx = jnp.argmin(fscore, axis=1)
+    incomplete = best_score >= BIG / 2
+    best_score = jnp.where(
+        incomplete, jnp.take_along_axis(fscore, fb_idx[:, None], axis=1)[:, 0],
+        best_score,
+    )
+    best_bp = jnp.where(
+        incomplete, jnp.take_along_axis(fbp, fb_idx[:, None], axis=1)[:, 0], best_bp
+    )
+
+    MAXW = min(T, 512)
+    barange = jnp.arange(B)
+
+    def walk(bp, _):
+        valid = bp >= 0
+        t = jnp.maximum(bp, 0) // R
+        r = jnp.maximum(bp, 0) % R
+        lem = r_lemma[t, barange, r]
+        prev = r_prev[t, barange, r]
+        out = (
+            jnp.where(valid, lem, -1),
+            jnp.where(valid, t, -1),
+            jnp.where(valid, bp, -1),
+        )
+        return jnp.where(valid, prev, -1), out
+
+    _, (w_lemma, w_time, w_rec) = jax.lax.scan(walk, best_bp, None, length=MAXW)
+
     rec_int = jnp.stack([r_lemma, r_prev, r_word, r_lm], axis=-1)  # [T,B,R,4]
     rec_f = jnp.stack([r_score, r_lmcost], axis=-1)  # [T,B,R,2]
     fin_int = jnp.stack([fstate, flm, fbp], axis=-1)  # [B,K,3]
     fin_f = jnp.stack([fscore, end_cost], axis=-1)  # [B,K,2]
-    return rec_int, rec_f, fin_int, fin_f
+    best = (best_score, jnp.stack([w_lemma, w_time, w_rec], axis=-1))  # [MAXW,B,3]
+    return best, (rec_int, rec_f, fin_int, fin_f)
 
 
 @dataclasses.dataclass
@@ -542,7 +604,7 @@ class TreeDecoder:
         B = emissions.shape[0]
         names = names or [f"utt{i}" for i in range(B)]
         kbranch = self.cfg.branch_hyps or self.cfg.max_hyps
-        rec_int, rec_f, fin_int, fin_f = _decode_scan(
+        best, records = _decode_scan(
             self.tables,
             self.lm,
             jnp.asarray(emissions),
@@ -552,45 +614,23 @@ class TreeDecoder:
             min(self.cfg.root_hyps, self.cfg.max_hyps),
             min(kbranch, self.cfg.max_hyps),
         )
-        rec_int = np.asarray(rec_int)  # [T,B,R,4]
-        rec_f = np.asarray(rec_f)  # [T,B,R,2]
-        fin_int = np.asarray(fin_int)  # [B,K,3]
-        fin_f = np.asarray(fin_f)  # [B,K,2]
-        rec_lemma, rec_prev, rec_word, rec_lm = (rec_int[..., i] for i in range(4))
-        rec_score, rec_lmcost = rec_f[..., 0], rec_f[..., 1]
-        fstate, flm, fbp = (fin_int[..., i] for i in range(3))
-        fscore, fend = fin_f[..., 0], fin_f[..., 1]
-        # best complete hypothesis per utterance (host-side: tiny)
-        final_total = np.where(fstate == 0, fscore + fend, BIG)
-        best_idx = np.argmin(final_total, axis=1)
-        best_score = final_total[np.arange(B), best_idx]
-        best_bp = fbp[np.arange(B), best_idx]
-        R = self.cfg.word_end_limit
+        best_score = np.asarray(best[0])
+        walk = np.asarray(best[1])  # [MAXW, B, 3] (lemma, time, rec_id)
+        # records stay on device; decoder_lattice pulls them lazily
+        self._last_device_records = records
+        self._last_n_frames = np.asarray(n_frames)
 
         results = []
         for b in range(B):
-            if best_score[b] >= BIG / 2:
-                # no hypothesis ended at a word boundary: fall back to the
-                # best incomplete hypothesis (words up to its last boundary)
-                k = int(np.argmin(fscore[b]))
-                best_score[b] = fscore[b, k]
-                best_bp[b] = fbp[b, k]
-            chain = []
-            bp = int(best_bp[b])
-            while bp >= 0:
-                t, r = bp // R, bp % R
-                chain.append((t, r))
-                bp = int(rec_prev[t, b, r])
-            chain.reverse()
             lemmas, words, ends, rec_ids = [], [], [], []
-            for t, r in chain:
-                li = int(rec_lemma[t, b, r])
-                if li < 0:
+            for i in range(walk.shape[0] - 1, -1, -1):  # walk is end-first
+                li, t, rid = (int(x) for x in walk[i, b])
+                if rid < 0 or li < 0:
                     continue
                 lemma = self.tree.lemmas[li]
                 lemmas.append(lemma)
                 ends.append(t)
-                rec_ids.append(t * R + r)
+                rec_ids.append(rid)
                 words.extend(lemma.eval_tokens())
             results.append(
                 DecodeResult(
@@ -602,9 +642,26 @@ class TreeDecoder:
                     record_ids=rec_ids,
                 )
             )
-        self._last_records = (
-            rec_lemma, rec_score, rec_prev, rec_lmcost, rec_word, rec_lm,
-        )
-        self._last_finals = (fstate, flm, fscore, fbp, fend)
-        self._last_n_frames = np.asarray(n_frames)
         return results
+
+    # -------------------------------------------------- lattice record pull
+    @property
+    def _last_records(self):
+        """Host copies of the last decode's traceback records (lazy)."""
+        rec_int, rec_f, _, _ = self._last_device_records
+        rec_int = np.asarray(rec_int)
+        rec_f = np.asarray(rec_f)
+        return (
+            rec_int[..., 0], rec_f[..., 0], rec_int[..., 1],
+            rec_f[..., 1], rec_int[..., 2], rec_int[..., 3],
+        )
+
+    @property
+    def _last_finals(self):
+        _, _, fin_int, fin_f = self._last_device_records
+        fin_int = np.asarray(fin_int)
+        fin_f = np.asarray(fin_f)
+        return (
+            fin_int[..., 0], fin_int[..., 1], fin_f[..., 0],
+            fin_int[..., 2], fin_f[..., 1],
+        )

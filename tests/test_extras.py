@@ -149,3 +149,73 @@ def test_mmi_end_to_end_improves_separation(rng):
     # updated model should still be a valid mixture set
     assert np.all(new.variances > 0)
     assert np.allclose(new.weights.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_vtln_estimation_tracks_frequency_shift(rng):
+    """Speakers with scaled formants get warping factors on the right side."""
+    from rasr_tpu.align.aligner import BatchAligner, linear_segmentation
+    from rasr_tpu.align.graph import build_linear_graph
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.models.gmm import MixtureSet
+    from rasr_tpu.models.hmm import HmmTopology
+    from rasr_tpu.models.scorer import GmmFeatureScorer
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.ops.frontend import FeatureFrontend, FrontendConfig
+    from rasr_tpu.train.em import GmmAccumulator, accumulate, estimate
+    from rasr_tpu.train.vtln import estimate_warping_factor
+
+    sr = 16000
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    M = tying.num_classes
+    cfg = FrontendConfig(normalize="none")
+
+    def synth(scale):
+        def tone(f, d):
+            t = np.arange(int(d * sr)) / sr
+            return (0.3 * np.sin(2 * np.pi * f * scale * t)).astype(np.float32)
+        s = (0.002 * rng.normal(size=int(0.15 * sr))).astype(np.float32)
+        return np.concatenate([s, tone(800, 0.3), tone(2400, 0.3), s])
+
+    # train a model on scale-1.0 audio
+    train = np.stack([synth(1.0) for _ in range(4)])
+    lengths = np.full(4, train.shape[1])
+    fe = FeatureFrontend(cfg)
+    feats, nf = fe(train, lengths)
+    nf = np.asarray(nf)
+    graphs = [build_linear_graph("AB", lex, tying, topo) for _ in range(4)]
+    model = MixtureSet.single_density(np.zeros((M, 16), np.float32), np.ones((M, 16), np.float32))
+    labels = linear_segmentation(graphs, nf)
+    labels = np.pad(labels, ((0, 0), (0, feats.shape[1] - labels.shape[1])), constant_values=-1)
+    acc = GmmAccumulator.zeros(M, 1, 16)
+    accumulate(acc, model, np.asarray(feats), labels)
+    model = estimate(acc)
+    for _ in range(3):
+        als = BatchAligner(GmmFeatureScorer(model, var_floor=0.1)).align(feats, graphs, nf)
+        labels = np.full(feats.shape[:2], -1, np.int32)
+        for i, al in enumerate(als):
+            labels[i, : al.num_frames] = al.emission_ids
+        acc = GmmAccumulator.zeros(*model.means.shape)
+        accumulate(acc, model, np.asarray(feats), labels)
+        model = estimate(acc, prev=model)
+
+    def factory():
+        return BatchAligner(GmmFeatureScorer(model, var_floor=0.1))
+
+    alphas = (0.85, 1.0, 1.18)
+    results = {}
+    for scale in (0.85, 1.0, 1.18):
+        utt = np.stack([synth(scale) for _ in range(2)])
+        best, scores = estimate_warping_factor(
+            utt, np.full(2, utt.shape[1]), graphs[:2], factory, cfg, alphas=alphas
+        )
+        results[scale] = best
+    # matched speaker picks neutral; shifted speakers pick shifted warps
+    assert results[1.0] == 1.0
+    assert results[1.18] != 1.0 or results[0.85] != 1.0
+    # direction: the two shifted speakers should not pick the same side
+    if results[1.18] != 1.0 and results[0.85] != 1.0:
+        assert (results[1.18] - 1.0) * (results[0.85] - 1.0) < 0

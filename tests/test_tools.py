@@ -1,0 +1,145 @@
+"""CLI tool-chain integration test (subprocess level, toy corpus).
+
+Covers the reference's de-facto regression-setup testing style
+(SURVEY §4): run the real tools end-to-end and check WER.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_tool(module, *args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", module, *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, f"{module} failed:\n{out.stdout}\n{out.stderr}"
+    return out.stdout
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tools")
+    sys.path.insert(0, REPO)
+    from rasr_tpu.corpus.audio import write_wav
+    from rasr_tpu.models.lm.arpa import NgramLm
+
+    rng = np.random.default_rng(9)
+    sr = 16000
+    ph = {"a": 500, "b": 2000}
+    words = {"AB": ["a", "b"], "BA": ["b", "a"]}
+    texts = [["AB", "BA"], ["BA", "AB"], ["AB", "AB"], ["BA", "BA"]] * 2
+
+    def tone(s, d):
+        t = np.arange(int(d * sr)) / sr
+        return (0.3 * np.sin(2 * np.pi * ph[s] * t)).astype(np.float32)
+
+    def sil(d):
+        return (0.002 * rng.normal(size=int(d * sr))).astype(np.float32)
+
+    xml = ['<corpus name="toy">']
+    for i, ws in enumerate(texts):
+        audio = [sil(0.15)]
+        for w in ws:
+            for p in words[w]:
+                audio.append(tone(p, 0.25))
+            audio.append(sil(0.15))
+        a = np.concatenate(audio)
+        write_wav(str(tmp / f"rec{i}.wav"), a, sr)
+        orth = " ".join(ws)
+        xml.append(
+            f'<recording name="rec{i}" audio="rec{i}.wav">'
+            f'<segment name="s" start="0" end="{len(a)/sr}"><orth>{orth}</orth></segment></recording>'
+        )
+    xml.append("</corpus>")
+    (tmp / "toy.corpus").write_text("".join(xml))
+    (tmp / "lexicon.xml").write_text(
+        "<lexicon><phoneme-inventory>"
+        "<phoneme><symbol>a</symbol></phoneme><phoneme><symbol>b</symbol></phoneme>"
+        "<phoneme><symbol>si</symbol><variation>none</variation></phoneme>"
+        "</phoneme-inventory>"
+        '<lemma special="silence"><orth>[SILENCE]</orth><phon>si</phon><synt/><eval/></lemma>'
+        "<lemma><orth>AB</orth><phon>a b</phon></lemma>"
+        "<lemma><orth>BA</orth><phon>b a</phon></lemma></lexicon>"
+    )
+    NgramLm.train_from_text(texts, order=2).write_arpa(str(tmp / "lm.arpa"))
+    return tmp
+
+
+def test_full_tool_chain(workdir):
+    cwd = str(workdir)
+    out = run_tool(
+        "rasr_tpu.tools.corpus_statistics",
+        "--corpus-statistics.corpus-file=toy.corpus", cwd=cwd,
+    )
+    assert json.loads(out)["segments"] == 8
+
+    run_tool(
+        "rasr_tpu.tools.feature_extraction",
+        "--feature-extraction.corpus-file=toy.corpus",
+        "--feature-extraction.cache=feat.cache",
+        "--feature-extraction.frontend.normalize=none", cwd=cwd,
+    )
+    listing = run_tool(
+        "rasr_tpu.tools.archiver",
+        "--archiver.mode=list", "--archiver.archive=feat.cache", cwd=cwd,
+    )
+    assert len(listing.splitlines()) == 8
+
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=train",
+        "--acoustic-model-trainer.corpus-file=toy.corpus",
+        "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.iterations=5",
+        "--acoustic-model-trainer.new-mixture-file=model.mix",
+        "--acoustic-model-trainer.frontend.normalize=none", cwd=cwd,
+    )
+    assert (workdir / "model.mix.npz").exists()
+
+    out = run_tool(
+        "rasr_tpu.tools.speech_recognizer",
+        "--speech-recognizer.corpus-file=toy.corpus",
+        "--speech-recognizer.lexicon-file=lexicon.xml",
+        "--speech-recognizer.lm-file=lm.arpa",
+        "--speech-recognizer.mixture-file=model.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.lattice-archive=lat.cache",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.frontend.normalize=none", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
+
+    out = run_tool(
+        "rasr_tpu.tools.flf_tool",
+        "--flf-tool.lattice-archive=lat.cache",
+        "--flf-tool.corpus-file=toy.corpus",
+        "--flf-tool.ops=prune best evaluate oracle", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out and "oracle WER: 0.0000" in out
+
+
+def test_tool_help_and_bad_config(workdir):
+    out = run_tool("rasr_tpu.tools.speech_recognizer", "--help", cwd=str(workdir))
+    assert "speech-recognizer" in out
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    bad = subprocess.run(
+        [sys.executable, "-m", "rasr_tpu.tools.lm_util",
+         "--lm-util.action=bogus", "--lm-util.lm-file=x"],
+        cwd=str(workdir), env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert bad.returncode != 0  # invalid choice rejected
