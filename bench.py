@@ -21,6 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# persistent compilation cache: remote TPU compiles take minutes and vary
+# wildly; cached executables make repeated bench runs start in seconds
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 
 def build_setup(
     num_words=5000,
@@ -90,7 +100,11 @@ def build_setup(
     lm = NgramLm(2, vocab, ngrams)
     tables = compile_ngram(lm)
 
-    tree = build_prefix_tree(lex, tying, topology, TransitionModel(), lm_vocab=vocab)
+    unigrams = {wid: ngrams[(wid,)][0] for wid in vocab.values()}
+    tree = build_prefix_tree(
+        lex, tying, topology, TransitionModel(), lm_vocab=vocab,
+        lm_unigrams=unigrams,
+    )
 
     ms = MixtureSet(
         means=rng.normal(size=(num_classes, densities, feat_dim)).astype(np.float32),
@@ -103,7 +117,11 @@ def build_setup(
     lda = (rng.normal(size=(16 * 9, feat_dim)) * 0.1).astype(np.float32)
     fe = FeatureFrontend(FrontendConfig(), splice_context=4, lda=lda)
     dec = TreeDecoder(
-        tree, tables, BeamConfig(max_hyps=1024, beam=1e9, word_end_limit=128, lm_scale=10.0)
+        tree, tables,
+        BeamConfig(
+            max_hyps=1024, beam=1e9, word_end_limit=64, root_hyps=16,
+            branch_hyps=256, root_arc_limit=256, lm_scale=10.0,
+        ),
     )
     return fe, scorer, dec, tree
 

@@ -178,17 +178,38 @@ def lookup(
     found = jnp.zeros(N, jnp.bool_)
     cur = states
 
+    # packed [H, 4] table: one gather per probe instead of four
+    # (key_state, key_word, cost-bits, next) — loop-invariant, hoisted
+    packed = jnp.stack(
+        [
+            tables.key_state,
+            tables.key_word,
+            jax.lax.bitcast_convert_type(tables.val_cost, jnp.int32),
+            tables.val_next,
+        ],
+        axis=1,
+    )
+    bo_packed = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(tables.backoff_cost, jnp.int32),
+            tables.backoff_state,
+        ],
+        axis=1,
+    )
+
     def probe_level(acc, nxt, found, cur, words):
         h = _hash_jax(cur, words, mask)
         hit_cost = jnp.zeros_like(acc)
         hit_next = jnp.zeros_like(nxt)
         hit_any = jnp.zeros_like(found)
         for p in range(tables.max_probe):
-            idx = (h + p) & mask
-            match = (tables.key_state[idx] == cur) & (tables.key_word[idx] == words)
+            row = packed[(h + p) & mask]  # [..., 4]
+            match = (row[..., 0] == cur) & (row[..., 1] == words)
             first = match & ~hit_any
-            hit_cost = jnp.where(first, tables.val_cost[idx], hit_cost)
-            hit_next = jnp.where(first, tables.val_next[idx], hit_next)
+            hit_cost = jnp.where(
+                first, jax.lax.bitcast_convert_type(row[..., 2], jnp.float32), hit_cost
+            )
+            hit_next = jnp.where(first, row[..., 3], hit_next)
             hit_any = hit_any | match
         return hit_cost, hit_next, hit_any
 
@@ -200,8 +221,11 @@ def lookup(
         found = found | hit_any
         # back off where still unfound and not yet at the empty context
         can_bo = ~found & (cur != 0)
-        acc = jnp.where(can_bo, acc + tables.backoff_cost[cur], acc)
-        cur = jnp.where(can_bo, tables.backoff_state[cur], cur)
+        bo = bo_packed[cur]  # 1 gather for (cost, state)
+        acc = jnp.where(
+            can_bo, acc + jax.lax.bitcast_convert_type(bo[..., 0], jnp.float32), acc
+        )
+        cur = jnp.where(can_bo, bo[..., 1], cur)
 
     # words with no unigram at all: <unk> unigram or flat 99
     if tables.unk_word >= 0:

@@ -297,44 +297,84 @@ def _decode_scan(
     bp0 = jnp.full((B, K), -1, jnp.int32)
     ecls0 = jnp.zeros((B, K), jnp.int32)
 
+    # ---- packed gather tables (trace-time; loop-invariant, hoisted) ----
+    # every scan-body gather is an op dispatch on a small core: packing
+    # per-state columns into one table turns 10 gathers into 1.
+    def bc_f(a):  # int32 -> f32 bits
+        return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+    def bc_i(a):  # f32 bits -> int32
+        return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+    state_pack = jnp.stack(
+        [
+            tree.loop_cost,  # 0
+            bc_f(tree.dense1_dst),  # 1
+            tree.dense1_cost + (la_coeff * tree.dense1_dla if use_la else 0.0),  # 2
+            bc_f(tree.dense1_cls),  # 3
+            bc_f(tree.dense2_dst),  # 4
+            tree.dense2_cost + (la_coeff * tree.dense2_dla if use_la else 0.0),  # 5
+            bc_f(tree.dense2_cls),  # 6
+            bc_f(tree.branch_ptr[: SENT + 1]),  # 7
+            bc_f(tree.branch_deg),  # 8
+            tree.la,  # 9
+        ],
+        axis=1,
+    )  # [S+1, 10]
+    branch_pack = jnp.stack(
+        [
+            bc_f(tree.branch_dst),
+            tree.branch_cost + (la_coeff * tree.branch_dla if use_la else 0.0),
+            bc_f(tree.branch_cls),
+        ],
+        axis=1,
+    )  # [A', 3]
+    we_pack = jnp.stack(
+        [
+            bc_f(tree.we_word),
+            tree.we_cost,
+            bc_f(tree.we_lemma),
+            bc_f(tree.we_next),
+            jnp.broadcast_to(tree.la[:, None], tree.we_word.shape),
+        ],
+        axis=2,
+    )  # [S+1, W, 5]
+
     def step(carry, inputs):
         state, lms, score, bp, ecls, fstate, flm, fscore, fbp = carry
         emis_t, t = inputs
         active = (t < n_frames)[:, None]
 
-        # ---------------------------------------------------- expansion
+        # ------------------------------- per-hyp state columns (1 gather)
+        pk = state_pack[state]  # [B,K,10]
         # loop candidates: own emission class carried in the beam state
-        c_loop = score + tree.loop_cost[state] + jnp.take_along_axis(emis_t, ecls, axis=1)
+        c_loop = score + pk[..., 0] + jnp.take_along_axis(emis_t, ecls, axis=1)
 
         # dense slot 1 / 2 (chain transitions)
-        d1 = tree.dense1_dst[state]
-        d1_cls = tree.dense1_cls[state]
-        c_d1 = score + tree.dense1_cost[state] + jnp.take_along_axis(emis_t, d1_cls, axis=1)
-        d2 = tree.dense2_dst[state]
-        d2_cls = tree.dense2_cls[state]
-        c_d2 = score + tree.dense2_cost[state] + jnp.take_along_axis(emis_t, d2_cls, axis=1)
-        if use_la:
-            c_d1 = c_d1 + la_coeff * tree.dense1_dla[state]
-            c_d2 = c_d2 + la_coeff * tree.dense2_dla[state]
+        d1 = bc_i(pk[..., 1])
+        d1_cls = bc_i(pk[..., 3])
+        c_d1 = score + pk[..., 2] + jnp.take_along_axis(emis_t, d1_cls, axis=1)
+        d2 = bc_i(pk[..., 4])
+        d2_cls = bc_i(pk[..., 6])
+        c_d2 = score + pk[..., 5] + jnp.take_along_axis(emis_t, d2_cls, axis=1)
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
-        has_branch = tree.branch_deg[state] > 0
+        has_branch = bc_i(pk[..., 8]) > 0
         br_sel_score = jnp.where(has_branch, score, BIG)
         _, bidx = jax.lax.top_k(-br_sel_score, kbranch)
-        b_state = jnp.take_along_axis(state, bidx, axis=1)
+        b_state_pk = jnp.take_along_axis(pk, bidx[..., None], axis=1)  # [B,Kb,10]
         b_score = jnp.take_along_axis(br_sel_score, bidx, axis=1)
         b_lm = jnp.take_along_axis(lms, bidx, axis=1)
         b_bp = jnp.take_along_axis(bp, bidx, axis=1)
-        deg = tree.branch_deg[b_state]  # [B,Kb]
+        deg = bc_i(b_state_pk[..., 8])  # [B,Kb]
         dslots = jnp.arange(Db, dtype=jnp.int32)
-        bi = tree.branch_ptr[b_state][..., None] + dslots
+        bi = bc_i(b_state_pk[..., 7])[..., None] + dslots
         ok = dslots < deg[..., None]
         bi = jnp.where(ok, bi, 0)
-        b_dst = jnp.where(ok, tree.branch_dst[bi], SENT)
-        b_cls = jnp.where(ok, tree.branch_cls[bi], 0)
-        b_cost = jnp.where(ok, tree.branch_cost[bi], BIG)
-        if use_la:
-            b_cost = b_cost + la_coeff * jnp.where(ok, tree.branch_dla[bi], 0.0)
+        bpk = branch_pack[bi]  # [B,Kb,Db,3] (1 gather for dst/cost/cls)
+        b_dst = jnp.where(ok, bc_i(bpk[..., 0]), SENT)
+        b_cls = jnp.where(ok, bc_i(bpk[..., 2]), 0)
+        b_cost = jnp.where(ok, bpk[..., 1], BIG)
         c_br = (
             b_score[..., None] + b_cost
             + jnp.take_along_axis(emis_t, b_cls.reshape(B, kbranch * Db), axis=1)
@@ -399,15 +439,9 @@ def _decode_scan(
         best = jnp.min(cand_score, axis=1, keepdims=True)
         cand_score = jnp.where(cand_score > best + cfg.beam, BIG, cand_score)
 
-        # ------------------------- expansion pre-prune (approx top-E)
-        if cand_score.shape[1] > cfg.expansion_limit:
-            neg_e, eidx = jax.lax.approx_max_k(-cand_score, cfg.expansion_limit)
-            cand_score = -neg_e
-            cand_state = jnp.take_along_axis(cand_state, eidx, axis=1)
-            cand_lm = jnp.take_along_axis(cand_lm, eidx, axis=1)
-            cand_bp = jnp.take_along_axis(cand_bp, eidx, axis=1)
-
         # ------------------------------------- recombination (sort+dedup)
+        # (no pre-prune stage: sort cost here is nearly width-insensitive,
+        # so an approx-top-k cut only added op dispatches)
         s_state, s_lm, s_score, s_bp = jax.lax.sort(
             (cand_state, cand_lm, cand_score, cand_bp), dimension=1, num_keys=3
         )
@@ -430,20 +464,21 @@ def _decode_scan(
         n_state = jnp.where(n_score >= BIG / 2, SENT, n_state)
 
         # ------------------------------------------------- word ends
-        ww = tree.we_word[n_state]  # [B,K,W]
-        wc = tree.we_cost[n_state]
-        wl = tree.we_lemma[n_state]
-        wn = tree.we_next[n_state]
+        wpk = we_pack[n_state]  # [B,K,W,5] (1 gather for all we columns)
+        ww = jax.lax.bitcast_convert_type(wpk[..., 0], jnp.int32)
+        wc = wpk[..., 1]
         we_base = n_score
         if use_la:
             # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
-            we_base = n_score - la_coeff * (tree.la[n_state] - la0)
+            we_base = n_score - la_coeff * (wpk[..., 0, 4] - la0)
         pre = jnp.where(ww != WORD_NONE, we_base[..., None] + wc, BIG).reshape(B, K * wmax)
         neg_r, ridx = jax.lax.top_k(-pre, R)
         r_pre = -neg_r  # [B,R]
-        r_word = jnp.take_along_axis(ww.reshape(B, K * wmax), ridx, axis=1)
-        r_lemma = jnp.take_along_axis(wl.reshape(B, K * wmax), ridx, axis=1)
-        r_next = jnp.take_along_axis(wn.reshape(B, K * wmax), ridx, axis=1)
+        wflat = wpk.reshape(B, K * wmax, 5)
+        rsel = jnp.take_along_axis(wflat, ridx[..., None], axis=1)  # [B,R,5]
+        r_word = jax.lax.bitcast_convert_type(rsel[..., 0], jnp.int32)
+        r_lemma = jax.lax.bitcast_convert_type(rsel[..., 2], jnp.int32)
+        r_next = jax.lax.bitcast_convert_type(rsel[..., 3], jnp.int32)
         src = ridx // wmax
         r_srclm = jnp.take_along_axis(n_lm, src, axis=1)
         r_srcbp = jnp.take_along_axis(n_bp, src, axis=1)

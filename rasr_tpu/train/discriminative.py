@@ -171,3 +171,105 @@ def mmi_objective(
 ) -> float:
     """-log posterior of the reference given the lattice (lower=better)."""
     return num_score - den_score
+
+
+# ------------------------------------------------------------------------ MPE
+def arc_accuracies(
+    lattice: Lattice, ref_words: Sequence[str], ref_bounds: Sequence[Tuple[int, int]]
+) -> np.ndarray:
+    """Per-arc phone/word accuracy against the reference alignment
+    (ref: the MPE criterion's arc accuracy; word-level approximation):
+    acc(arc) = max over overlapping reference words of
+               (-1 + 2*overlap) if same word else (-1 + overlap),
+    the standard Povey approximation with time overlap ratios.
+    """
+    acc = np.full(len(lattice.arcs), -1.0)
+    for ai, arc in enumerate(lattice.arcs):
+        if arc.lemma < 0:
+            acc[ai] = 0.0
+            continue
+        w = lattice.lemma_orths[arc.lemma]
+        s, e = int(lattice.node_time[arc.from_node]), int(lattice.node_time[arc.to_node])
+        if w.startswith("["):
+            acc[ai] = 0.0  # silence-like arcs are accuracy-neutral
+            continue
+        best = -1.0
+        for rw, (rs, re_) in zip(ref_words, ref_bounds):
+            inter = max(0, min(e, re_) - max(s, rs))
+            denom = max(1, re_ - rs)
+            ov = inter / denom
+            cand = (-1.0 + 2.0 * ov) if rw == w else (-1.0 + ov)
+            best = max(best, cand)
+        acc[ai] = best
+    return acc
+
+
+def accumulate_mpe_from_lattice(
+    acc: MmiAccumulators,
+    model: MixtureSet,
+    feats: np.ndarray,  # [T, D]
+    lattice: Lattice,
+    ref_words: Sequence[str],
+    ref_bounds: Sequence[Tuple[int, int]],
+    aligner: BatchAligner,
+    lexicon,
+    tying,
+    topology,
+    transitions,
+    am_scale: float = 1.0,
+    lm_scale: float = 1.0,
+    min_weight: float = 1e-3,
+) -> float:
+    """MPE accumulation (ref: the MPE mode of the Ebw estimators).
+
+    Per arc: weight = posterior * (accuracy - expected_accuracy); positive
+    weights accumulate as numerator statistics, negative as denominator.
+    Returns the expected lattice accuracy (the MPE objective).
+    """
+    total, post = forward_backward(lattice, am_scale, lm_scale)
+    accs = arc_accuracies(lattice, ref_words, ref_bounds)
+    expected = float((post * accs).sum() / max(post.sum(), 1e-9))
+
+    spans, graphs, weights = [], [], []
+    for ai, arc in enumerate(lattice.arcs):
+        w = float(post[ai]) * (float(accs[ai]) - expected)
+        if abs(w) < min_weight or arc.lemma < 0:
+            continue
+        orth = lattice.lemma_orths[arc.lemma]
+        lo = int(lattice.node_time[arc.from_node])
+        hi = int(lattice.node_time[arc.to_node])
+        if hi <= lo:
+            continue
+        try:
+            g = build_linear_graph(
+                orth, lexicon, tying, topology, transitions, optional_silence=False
+            )
+        except Exception:
+            continue
+        if g.num_states > hi - lo:
+            continue
+        spans.append((lo, hi))
+        graphs.append(g)
+        weights.append(w)
+    if not graphs:
+        return expected
+    T_max = max(hi - lo for lo, hi in spans)
+    D = feats.shape[-1]
+    batch = np.zeros((len(graphs), T_max, D), np.float32)
+    n_frames = np.zeros(len(graphs), np.int32)
+    for i, (lo, hi) in enumerate(spans):
+        batch[i, : hi - lo] = feats[lo:hi]
+        n_frames[i] = hi - lo
+    als = aligner.align_scores(aligner.scorer(batch), graphs, n_frames)
+    labels = np.full((len(graphs), T_max), -1, np.int32)
+    wmat = np.zeros((len(graphs), T_max), np.float32)
+    for i, al in enumerate(als):
+        labels[i, : al.num_frames] = al.emission_ids
+        wmat[i, : al.num_frames] = abs(weights[i])
+    pos = [i for i, w in enumerate(weights) if w > 0]
+    neg = [i for i, w in enumerate(weights) if w < 0]
+    if pos:
+        accumulate(acc.num, model, batch[pos], labels[pos], wmat[pos])
+    if neg:
+        accumulate(acc.den, model, batch[neg], labels[neg], wmat[neg])
+    return expected

@@ -219,3 +219,68 @@ def test_vtln_estimation_tracks_frequency_shift(rng):
     # direction: the two shifted speakers should not pick the same side
     if results[1.18] != 1.0 and results[0.85] != 1.0:
         assert (results[1.18] - 1.0) * (results[0.85] - 1.0) < 0
+
+
+def test_mpe_arc_accuracies():
+    from rasr_tpu.lattice.lattice import Lattice, LatticeArc
+    from rasr_tpu.train.discriminative import arc_accuracies
+
+    arcs = [
+        LatticeArc(0, 1, 0, 1.0, 0.0),  # HELLO 0-10 (matches ref exactly)
+        LatticeArc(0, 1, 1, 1.0, 0.0),  # WORLD 0-10 (wrong word, full overlap)
+        LatticeArc(1, 2, 2, 1.0, 0.0),  # [SIL] 10-12
+    ]
+    lat = Lattice(3, arcs, np.array([0, 10, 12], np.int32), {2: 0.0},
+                  ["HELLO", "WORLD", "[SIL]"])
+    acc = arc_accuracies(lat, ["HELLO"], [(0, 10)])
+    np.testing.assert_allclose(acc[0], 1.0)   # correct word, full overlap
+    np.testing.assert_allclose(acc[1], 0.0)   # wrong word, full overlap
+    np.testing.assert_allclose(acc[2], 0.0)   # silence neutral
+
+
+def test_mpe_accumulation_runs(rng):
+    from rasr_tpu.align.aligner import BatchAligner
+    from rasr_tpu.align.graph import build_linear_graph
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.lattice.lattice import decoder_lattice
+    from rasr_tpu.models.gmm import MixtureSet
+    from rasr_tpu.models.hmm import HmmTopology, TransitionModel
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+    from rasr_tpu.models.scorer import GmmFeatureScorer
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+    from rasr_tpu.search.tree import build_prefix_tree
+    from rasr_tpu.train.discriminative import (
+        MmiAccumulators, accumulate_mpe_from_lattice, ebw_update,
+    )
+
+    lex = Lexicon(); build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    trans = TransitionModel()
+    M, D = tying.num_classes, 4
+    means = rng.normal(size=(M, D)).astype(np.float32) * 1.5
+    model = MixtureSet.single_density(means, np.ones((M, D), np.float32))
+    lm = NgramLm.train_from_text([["AB"], ["BA"]], order=1)
+    tree = build_prefix_tree(lex, tying, topo, trans, lm_vocab=lm.vocab)
+    g = build_linear_graph("AB", lex, tying, topo, trans)
+    plan = [0, 1, 1, 2, 2, 3]
+    feats = np.stack([
+        means[g.emission_ids[s]] + 0.3 * rng.normal(size=D).astype(np.float32)
+        for s in plan
+    ]).astype(np.float32)
+    scorer = GmmFeatureScorer(model)
+    dec = TreeDecoder(tree, compile_ngram(lm), BeamConfig(max_hyps=64, word_end_limit=16))
+    dec.decode_scores(np.asarray(scorer(feats[None])), np.array([len(plan)]))
+    lat = decoder_lattice(dec, 0)
+    acc = MmiAccumulators.zeros(M, 1, D)
+    expected = accumulate_mpe_from_lattice(
+        acc, model, feats, lat, ["AB"], [(0, len(plan))],
+        BatchAligner(scorer), lex, tying, topo, trans,
+    )
+    assert -1.0 <= expected <= 1.0
+    new = ebw_update(model, acc)
+    assert np.all(new.variances > 0)

@@ -128,3 +128,49 @@ def test_sharded_decode_batch(rng):
     for a, b in zip(plain, sharded):
         assert a.orth == b.orth
         np.testing.assert_allclose(a.score, b.score, rtol=1e-5)
+
+
+def test_workqueue_partition_and_resume(tmp_path, rng):
+    from rasr_tpu.corpus.audio import write_wav
+    from rasr_tpu.corpus.bliss import CorpusDescription
+    from rasr_tpu.parallel.workqueue import CorpusWorkQueue
+    from rasr_tpu.utils.archive import FileArchive
+
+    sr = 16000
+    xml = ['<corpus name="t">']
+    for i in range(10):
+        wav = tmp_path / f"r{i}.wav"
+        write_wav(str(wav), np.zeros(1600, np.float32), sr)
+        xml.append(
+            f'<recording name="r{i}" audio="{wav}">'
+            f'<segment name="s" start="0" end="0.1"><orth>X</orth></segment></recording>'
+        )
+    xml.append("</corpus>")
+    (tmp_path / "c.xml").write_text("".join(xml))
+    corpus = CorpusDescription.load(str(tmp_path / "c.xml"))
+    done = str(tmp_path / "done.cache")
+
+    # two virtual processes cover the corpus disjointly
+    q0 = CorpusWorkQueue(corpus, 0, 2, done)
+    q1 = CorpusWorkQueue(corpus, 1, 2, done)
+    names0 = {s.full_name for s in q0.segments()}
+    names1 = {s.full_name for s in q1.segments()}
+    assert not (names0 & names1)
+    assert len(names0 | names1) == 10
+
+    # process half of q0's slice, then resume
+    def make_fn(limit):
+        def fn(batch):
+            finished = []
+            with FileArchive(done, "a") as ar:
+                for seg in batch[:limit]:
+                    ar.write(seg.full_name, b"ok")
+                    finished.append(seg.full_name)
+            return finished
+        return fn
+
+    rep1 = q0.run(make_fn(1), batch_size=2)  # finishes 1 per batch of 2
+    assert rep1.processed >= 1
+    rep2 = q0.run(make_fn(10), batch_size=10)
+    assert rep2.skipped == rep1.processed
+    assert not q0.pending()  # everything done now
