@@ -119,8 +119,13 @@ def build_setup(
     dec = TreeDecoder(
         tree, tables,
         BeamConfig(
-            max_hyps=1024, beam=1e9, word_end_limit=64, root_hyps=16,
-            branch_hyps=256, root_arc_limit=256, lm_scale=10.0,
+            max_hyps=int(os.environ.get("BENCH_MAX_HYPS", "1024")),
+            beam=1e9,
+            word_end_limit=int(os.environ.get("BENCH_WORD_END", "64")),
+            root_hyps=int(os.environ.get("BENCH_ROOT_HYPS", "16")),
+            branch_hyps=int(os.environ.get("BENCH_BRANCH_HYPS", "256")),
+            root_arc_limit=int(os.environ.get("BENCH_ROOT_CAP", "256")),
+            lm_scale=10.0,
         ),
     )
     return fe, scorer, dec, tree

@@ -50,12 +50,18 @@ class SpeechRecognizerTool(Application):
     audio_dir = ParameterString("audio-dir", default="")
     lexicon_file = ParameterString("lexicon-file")
     lm_file = ParameterString("lm-file")
-    mixture_file = ParameterString("mixture-file")
+    mixture_file = ParameterString("mixture-file", default="")
     cart_file = ParameterString("cart-file", default="")
     lattice_archive = ParameterString("lattice-archive", default="")
     batch_size = ParameterInt("batch-size", default=8)
     am_scale = ParameterFloat("am-scale", default=1.0)
     states_per_phone = ParameterInt("states-per-phone", default=3)
+    # ref: feature-scorer-type selection (Mm registry seam)
+    feature_scorer_type = ParameterString("feature-scorer-type", default="gmm")
+    nn_params_file = ParameterString("nn-params-file", default="")
+    nn_priors_file = ParameterString("nn-priors-file", default="")
+    nn_hidden = ParameterString("nn-hidden-layers", default="512 512")
+    prior_scale = ParameterFloat("prior-scale", default=1.0)
 
     def run(self, args: List[str]) -> int:
         corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
@@ -66,12 +72,36 @@ class SpeechRecognizerTool(Application):
         else:
             tying = MonophoneStateTying(lexicon, topology)
         transitions = TransitionModel.from_config(self)
-        mixtures = MixtureSet.load(self.mixture_file)
-        scorer = GmmFeatureScorer(mixtures, scale=self.am_scale)
+        frontend = frontend_from_config(self)
+        if self.feature_scorer_type in ("nn-hybrid", "nn-precomputed-hybrid"):
+            import jax
+            import jax.numpy as jnp
+
+            from ..models.nn import FeedForwardNet, NnHybridScorer, StatePriors
+            from ..train.nn_trainer import NnTrainer
+
+            priors = StatePriors.load(self.nn_priors_file)
+            net = FeedForwardNet(
+                num_classes=priors.log_priors.shape[0],
+                hidden=tuple(int(h) for h in self.nn_hidden.split()),
+            )
+            template = net.init(
+                jax.random.PRNGKey(0), jnp.zeros((2, frontend.output_dim))
+            )["params"]
+            params = NnTrainer.load_params(template, self.nn_params_file)
+            scorer = NnHybridScorer(
+                net, params, priors, scale=self.am_scale,
+                prior_scale=self.prior_scale,
+            )
+        else:
+            mixtures = MixtureSet.load(self.mixture_file)
+            scorer = GmmFeatureScorer(mixtures, scale=self.am_scale)
         lm = NgramLm.read_arpa(self.lm_file)
         tables = compile_ngram(lm)
+        unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
         tree = build_prefix_tree(
-            lexicon, tying, topology, transitions, lm_vocab=lm.vocab
+            lexicon, tying, topology, transitions, lm_vocab=lm.vocab,
+            lm_unigrams=unigrams,
         )
         search = self.select("search")
         cfg = BeamConfig(
@@ -79,10 +109,11 @@ class SpeechRecognizerTool(Application):
             beam=float(search.param("beam", 1e9)),
             word_end_limit=int(search.param("word-end-limit", 128)),
             root_hyps=int(search.param("root-hyps", 32)),
+            root_arc_limit=int(search.param("root-arc-limit", 0)),
+            lookahead_scale=float(search.param("lookahead-scale", 1.0)),
             lm_scale=float(search.param("lm-scale", 10.0)),
         )
         decoder = TreeDecoder(tree, tables, cfg)
-        frontend = frontend_from_config(self)
         rec = OfflineRecognizer(
             frontend, scorer, decoder,
             lattice_archive=self.lattice_archive or None,
