@@ -85,34 +85,19 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def compile_ngram(lm: NgramLm, max_probe: int = 16) -> NgramTables:
-    """Host-side compilation ARPA dict -> device tables."""
-    order = lm.order
-    # ---------------------------------------------------------------- states
-    contexts = [()] + sorted(g for g in lm.ngrams if len(g) < order)
-    state_id: Dict[Tuple[int, ...], int] = {g: i for i, g in enumerate(contexts)}
-
-    def ctx_state(g: Tuple[int, ...]) -> int:
-        while g not in state_id:
-            g = g[1:]
-        return state_id[g]
-
-    S = len(contexts)
-    backoff_cost = np.zeros(S, np.float32)
-    backoff_state = np.zeros(S, np.int32)
-    for g, i in state_id.items():
-        if g:
-            backoff_cost[i] = lm.ngrams[g][1]
-            backoff_state[i] = ctx_state(g[1:])
-
-    # ----------------------------------------------------------- transitions
-    entries = []  # (state, word, cost, next_state)
-    for gram, (cost, _bo) in lm.ngrams.items():
-        h, w = gram[:-1], gram[-1]
-        if h not in state_id:
-            continue  # unreachable context (its own prefix is unlisted)
-        nxt = ctx_state(gram[-(order - 1):]) if order > 1 else 0
-        entries.append((state_id[h], w, cost, nxt))
+def build_tables(
+    entries,
+    backoff_cost: np.ndarray,
+    backoff_state: np.ndarray,
+    order: int,
+    start_state: int,
+    end_word: int,
+    unk_word: int,
+    max_probe: int = 16,
+) -> NgramTables:
+    """Low-level constructor: hash ``(state, word) -> (cost, next)``
+    entries into an open-addressing table + pack with backoff arrays.
+    Shared by the word n-gram compiler and the class-LM compiler."""
     n = len(entries)
     # 4x load factor: worst-case probe chains stay short (the decoder
     # unrolls order x max_probe gathers per word-end lookup every frame)
@@ -145,21 +130,62 @@ def compile_ngram(lm: NgramLm, max_probe: int = 16) -> NgramTables:
             break
         H *= 2  # probe bound exceeded: grow table
 
-    bos = lm.vocab.get("<s>")
-    start = state_id.get((bos,), 0) if bos is not None else 0
     return NgramTables(
         key_state=jnp.asarray(key_state),
         key_word=jnp.asarray(key_word),
         val_cost=jnp.asarray(val_cost),
         val_next=jnp.asarray(val_next),
-        backoff_cost=jnp.asarray(backoff_cost),
-        backoff_state=jnp.asarray(backoff_state),
+        backoff_cost=jnp.asarray(backoff_cost.astype(np.float32)),
+        backoff_state=jnp.asarray(backoff_state.astype(np.int32)),
         order=order,
         max_probe=worst,
+        start_state=start_state,
+        end_word=end_word,
+        unk_word=unk_word,
+        num_states=backoff_cost.shape[0],
+    )
+
+
+def compile_ngram(lm: NgramLm, max_probe: int = 16) -> NgramTables:
+    """Host-side compilation ARPA dict -> device tables."""
+    order = lm.order
+    # ---------------------------------------------------------------- states
+    contexts = [()] + sorted(g for g in lm.ngrams if len(g) < order)
+    state_id: Dict[Tuple[int, ...], int] = {g: i for i, g in enumerate(contexts)}
+
+    def ctx_state(g: Tuple[int, ...]) -> int:
+        while g not in state_id:
+            g = g[1:]
+        return state_id[g]
+
+    S = len(contexts)
+    backoff_cost = np.zeros(S, np.float32)
+    backoff_state = np.zeros(S, np.int32)
+    for g, i in state_id.items():
+        if g:
+            backoff_cost[i] = lm.ngrams[g][1]
+            backoff_state[i] = ctx_state(g[1:])
+
+    # ----------------------------------------------------------- transitions
+    entries = []  # (state, word, cost, next_state)
+    for gram, (cost, _bo) in lm.ngrams.items():
+        h, w = gram[:-1], gram[-1]
+        if h not in state_id:
+            continue  # unreachable context (its own prefix is unlisted)
+        nxt = ctx_state(gram[-(order - 1):]) if order > 1 else 0
+        entries.append((state_id[h], w, cost, nxt))
+
+    bos = lm.vocab.get("<s>")
+    start = state_id.get((bos,), 0) if bos is not None else 0
+    return build_tables(
+        entries,
+        backoff_cost,
+        backoff_state,
+        order=order,
         start_state=start,
         end_word=lm.vocab.get("</s>", -1),
         unk_word=lm.vocab.get("<unk>", -1),
-        num_states=S,
+        max_probe=max_probe,
     )
 
 

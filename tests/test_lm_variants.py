@@ -79,3 +79,79 @@ def test_rnn_lm_in_lattice_rescoring():
     res = rescore_lm(lat, lm, {0: lm.vocab["A"], 1: lm.vocab["B"], 2: lm.vocab["C"]})
     score, path = best_path(res)
     assert [res.lemma_orths[a.lemma] for a in path] == ["A", "C"]  # LM prefers A
+
+
+# ---------------------------------------------------------------- class LM
+
+
+def _toy_class_lm():
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.classlm import ClassLm
+
+    # classes: DIGIT={one,two}, VERB={call}; specials map to themselves
+    cls_vocab = {"<s>": 0, "</s>": 1, "<unk>": 2, "DIGIT": 3, "VERB": 4}
+    ngrams = {
+        (0,): (99.0, 0.1),
+        (1,): (1.0, 0.0),
+        (2,): (5.0, 0.0),
+        (3,): (0.7, 0.2),
+        (4,): (1.2, 0.3),
+        (4, 3): (0.3, 0.0),  # DIGIT after VERB is likely
+    }
+    class_lm = NgramLm(2, cls_vocab, ngrams)
+    vocab = {"<s>": 0, "</s>": 1, "<unk>": 2, "one": 3, "two": 4, "call": 5}
+    w2c = {"one": "DIGIT", "two": "DIGIT", "call": "VERB",
+           "<s>": "<s>", "</s>": "</s>", "<unk>": "<unk>"}
+    return ClassLm(class_lm, vocab, w2c)
+
+
+def test_class_lm_scores():
+    lm = _toy_class_lm()
+    h = lm.start_history()
+    one, call = lm.vocab["one"], lm.vocab["call"]
+    # membership uniform over 2 digits: -log P = log 2; from the <s>
+    # context no bigram is listed -> backoff 0.1 + unigram
+    np.testing.assert_allclose(lm.score(h, one), 0.1 + 0.7 + np.log(2), rtol=1e-6)
+    np.testing.assert_allclose(lm.score(h, call), 0.1 + 1.2, rtol=1e-6)
+    h2 = lm.extended_history(h, call)
+    # bigram (VERB, DIGIT) applies
+    np.testing.assert_allclose(lm.score(h2, one), 0.3 + np.log(2), rtol=1e-6)
+    # sequence_score == manual sum
+    manual = lm.score(h, call) + lm.score(h2, one) + lm.sentence_end_score(
+        lm.extended_history(h2, one))
+    np.testing.assert_allclose(lm.sequence_score(["call", "one"]), manual, rtol=1e-6)
+
+
+def test_class_lm_device_tables_match_host():
+    from rasr_tpu.models.lm.ngram_tpu import score_batch
+
+    lm = _toy_class_lm()
+    tables = lm.compile_to_device()
+    words = ["one", "two", "call"]
+    h = lm.start_history()
+    state = tables.start_state
+    for tok in words:
+        w = lm.vocab[tok]
+        host = lm.score(h, w)
+        cost, nxt = score_batch(tables, np.array([state], np.int32),
+                                np.array([w], np.int32))
+        np.testing.assert_allclose(float(cost[0]), host, rtol=1e-5)
+        h = lm.extended_history(h, w)
+        state = int(nxt[0])
+
+
+def test_combine_lm_weighted_sum():
+    from rasr_tpu.models.lm.classlm import CombineLm
+    from rasr_tpu.models.lm.interface import Zerogram
+
+    lm = _toy_class_lm()
+    zg = Zerogram(dict(lm.vocab))
+    comb = CombineLm([lm, zg], [0.7, 0.3])
+    h = comb.start_history()
+    one = comb.vocab["one"]
+    expect = 0.7 * lm.score(lm.start_history(), one) + 0.3 * zg.score((), one)
+    np.testing.assert_allclose(comb.score(h, one), expect, rtol=1e-6)
+    h2 = comb.extended_history(h, comb.vocab["call"])
+    expect2 = (0.7 * lm.score(lm.extended_history(lm.start_history(), comb.vocab["call"]), one)
+               + 0.3 * zg.score((), one))
+    np.testing.assert_allclose(comb.score(h2, one), expect2, rtol=1e-6)
