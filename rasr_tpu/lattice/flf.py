@@ -321,3 +321,57 @@ def cn_decode(slots: Sequence[ConfusionSlot]) -> List[str]:
         if w:
             words.append(w)
     return words
+
+
+# ------------------------------------------------------- time-frame CN
+
+
+def time_frame_cn(
+    lat: Lattice, am_scale: float = 1.0, lm_scale: float = 1.0
+) -> List[Dict[str, float]]:
+    """Time-frame confusion network (ref: Flf time-frame CN — per-FRAME
+    word posterior distributions; the basis of min-fWER decoding and
+    frame-level confidence).
+
+    Returns one dict {orth: posterior} per frame; "" collects epsilon
+    (silence/no-word) mass. Each arc spreads its posterior uniformly
+    over the frames it covers.
+    """
+    _, post = forward_backward(lat, am_scale, lm_scale)
+    T = int(lat.node_time.max()) if lat.num_nodes else 0
+    frames: List[Dict[str, float]] = [dict() for _ in range(T)]
+    for ai, a in enumerate(lat.arcs):
+        if post[ai] <= 0.0:
+            continue
+        s, e = int(lat.node_time[a.from_node]), int(lat.node_time[a.to_node])
+        orth = lat.lemma_orths[a.lemma] if a.lemma >= 0 else ""
+        for t in range(max(s, 0), min(e, T)):
+            frames[t][orth] = frames[t].get(orth, 0.0) + post[ai]
+    for d in frames:
+        mass = sum(d.values())
+        if mass < 1.0:
+            d[""] = d.get("", 0.0) + (1.0 - mass)
+    return frames
+
+
+def word_confidence(
+    lat: Lattice,
+    am_scale: float = 1.0,
+    lm_scale: float = 1.0,
+) -> List[Tuple[str, float]]:
+    """Frame-CN confidence for the best path's words (ref: the
+    fCN-confidence used by the reference's CN tooling): each best-path
+    word's confidence = mean over its frames of that word's frame
+    posterior."""
+    frames = time_frame_cn(lat, am_scale, lm_scale)
+    _, best = best_path(lat, am_scale, lm_scale)
+    out: List[Tuple[str, float]] = []
+    for a in best:
+        if a.lemma < 0:
+            continue
+        orth = lat.lemma_orths[a.lemma]
+        s, e = int(lat.node_time[a.from_node]), int(lat.node_time[a.to_node])
+        span = [frames[t].get(orth, 0.0) for t in range(max(s, 0), min(e, len(frames)))]
+        conf = float(np.mean(span)) if span else 0.0
+        out.append((orth, conf))
+    return out

@@ -172,3 +172,21 @@ def test_decoder_lattice_end_to_end(rng):
     # oracle WER of the decoded sequence is 0 by construction
     errs, _ = lattice_oracle(lat, [lat.lemma_orths[a.lemma] for a in path])
     assert errs == 0
+
+
+def test_time_frame_cn_and_confidence():
+    from rasr_tpu.lattice.flf import best_path, time_frame_cn, word_confidence
+
+    lat = _diamond()
+    frames = time_frame_cn(lat)
+    assert len(frames) == int(lat.node_time.max())
+    # posteriors are distributions per frame (eps mass completes to 1)
+    for d in frames:
+        assert abs(sum(d.values()) - 1.0) < 1e-6
+        for v in d.values():
+            assert -1e-9 <= v <= 1.0 + 1e-9
+    conf = word_confidence(lat)
+    _, best = best_path(lat)
+    assert len(conf) == sum(1 for a in best if a.lemma >= 0)
+    for w, c in conf:
+        assert 0.0 <= c <= 1.0 + 1e-9
