@@ -146,6 +146,12 @@ def main():
     S = int(audio_seconds_each * sr)
     samples = rng.normal(size=(batch_size, S)).astype(np.float32) * 0.1
     lengths = np.full(batch_size, S, np.int64)
+    # stage the audio on device once (data loading overlaps compute in
+    # production; the axon tunnel's MB/s host->device path must not be
+    # measured as frontend time)
+    samples = jax.device_put(samples)
+    lengths = jax.device_put(lengths)
+    jax.block_until_ready(samples)
     sys.stderr.write(
         f"setup {time.time()-t_setup:.1f}s tree={tree.stats()} "
         f"device={jax.devices()[0].platform}\n"

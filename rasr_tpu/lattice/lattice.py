@@ -215,5 +215,5 @@ def decoder_lattice(decoder, b: int = 0) -> Lattice:
     R = decoder.cfg.word_end_limit
     return lattice_from_records(
         decoder._last_records, b, R, decoder.tree.lemmas,
-        decoder._last_finals, int(decoder._last_n_frames[b]),
+        decoder._last_finals, int(np.asarray(decoder._last_n_frames_dev)[b]),
     )

@@ -99,10 +99,11 @@ def build_tables(
     entries into an open-addressing table + pack with backoff arrays.
     Shared by the word n-gram compiler and the class-LM compiler."""
     n = len(entries)
-    # 4x load factor: worst-case probe chains stay short (the decoder
-    # unrolls order x max_probe gathers per word-end lookup every frame)
+    # 8x load factor: worst-case probe chains stay short (the decoder
+    # pays order x max_probe gathered elements per word-end lookup every
+    # frame; the table itself is tiny next to HBM)
     H = 1
-    while H < 4 * max(n, 1):
+    while H < 8 * max(n, 1):
         H *= 2
 
     while True:
@@ -223,20 +224,23 @@ def lookup(
         axis=1,
     )
 
+    probes = jnp.arange(tables.max_probe, dtype=jnp.int32)
+
     def probe_level(acc, nxt, found, cur, words):
+        # windowed probe: all max_probe rows in ONE gather (linear
+        # probing makes them contiguous), then reduce over the window
         h = _hash_jax(cur, words, mask)
-        hit_cost = jnp.zeros_like(acc)
-        hit_next = jnp.zeros_like(nxt)
-        hit_any = jnp.zeros_like(found)
-        for p in range(tables.max_probe):
-            row = packed[(h + p) & mask]  # [..., 4]
-            match = (row[..., 0] == cur) & (row[..., 1] == words)
-            first = match & ~hit_any
-            hit_cost = jnp.where(
-                first, jax.lax.bitcast_convert_type(row[..., 2], jnp.float32), hit_cost
-            )
-            hit_next = jnp.where(first, row[..., 3], hit_next)
-            hit_any = hit_any | match
+        rows = packed[(h[..., None] + probes) & mask]  # [..., P, 4]
+        match = (rows[..., 0] == cur[..., None]) & (rows[..., 1] == words[..., None])
+        # first match in probe order: min probe index among matches
+        pidx = jnp.where(match, probes, tables.max_probe)
+        sel = jnp.argmin(pidx, axis=-1)[..., None]
+        hit_any = jnp.any(match, axis=-1)
+        row = jnp.take_along_axis(rows, sel[..., None], axis=-2)[..., 0, :]
+        hit_cost = jnp.where(
+            hit_any, jax.lax.bitcast_convert_type(row[..., 2], jnp.float32), 0.0
+        )
+        hit_next = jnp.where(hit_any, row[..., 3], 0)
         return hit_cost, hit_next, hit_any
 
     for _level in range(tables.order):

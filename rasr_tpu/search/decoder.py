@@ -290,6 +290,10 @@ def _decode_scan(
     la_coeff = cfg.lm_scale * cfg.lookahead_scale
     la0 = tree.la[0]
     gcap = min(cfg.root_arc_limit or G, G)
+    # packed (state, lm) recombination key when it fits int32; sentinel
+    # state included so pruned slots pack too
+    L = lm.num_states
+    pack_keys = (SENT + 1) * L < 2**31
 
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
@@ -315,12 +319,10 @@ def _decode_scan(
             bc_f(tree.dense2_dst),  # 4
             tree.dense2_cost + (la_coeff * tree.dense2_dla if use_la else 0.0),  # 5
             bc_f(tree.dense2_cls),  # 6
-            bc_f(tree.branch_ptr[: SENT + 1]),  # 7
-            bc_f(tree.branch_deg),  # 8
-            tree.la,  # 9
+            bc_f(tree.branch_deg),  # 7
         ],
         axis=1,
-    )  # [S+1, 10]
+    )  # [S+1, 8] (branch_ptr is gathered only for the Kb selected hyps)
     branch_pack = jnp.stack(
         [
             bc_f(tree.branch_dst),
@@ -346,7 +348,7 @@ def _decode_scan(
         active = (t < n_frames)[:, None]
 
         # ------------------------------- per-hyp state columns (1 gather)
-        pk = state_pack[state]  # [B,K,10]
+        pk = state_pack[state]  # [B,K,8]
         # loop candidates: own emission class carried in the beam state
         c_loop = score + pk[..., 0] + jnp.take_along_axis(emis_t, ecls, axis=1)
 
@@ -359,16 +361,16 @@ def _decode_scan(
         c_d2 = score + pk[..., 5] + jnp.take_along_axis(emis_t, d2_cls, axis=1)
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
-        has_branch = bc_i(pk[..., 8]) > 0
+        has_branch = bc_i(pk[..., 7]) > 0
         br_sel_score = jnp.where(has_branch, score, BIG)
         _, bidx = jax.lax.top_k(-br_sel_score, kbranch)
-        b_state_pk = jnp.take_along_axis(pk, bidx[..., None], axis=1)  # [B,Kb,10]
+        b_state = jnp.take_along_axis(state, bidx, axis=1)  # [B,Kb]
         b_score = jnp.take_along_axis(br_sel_score, bidx, axis=1)
         b_lm = jnp.take_along_axis(lms, bidx, axis=1)
         b_bp = jnp.take_along_axis(bp, bidx, axis=1)
-        deg = bc_i(b_state_pk[..., 8])  # [B,Kb]
+        deg = tree.branch_deg[b_state]  # [B,Kb]
         dslots = jnp.arange(Db, dtype=jnp.int32)
-        bi = bc_i(b_state_pk[..., 7])[..., None] + dslots
+        bi = tree.branch_ptr[b_state][..., None] + dslots
         ok = dslots < deg[..., None]
         bi = jnp.where(ok, bi, 0)
         bpk = branch_pack[bi]  # [B,Kb,Db,3] (1 gather for dst/cost/cls)
@@ -442,17 +444,29 @@ def _decode_scan(
         # ------------------------------------- recombination (sort+dedup)
         # (no pre-prune stage: sort cost here is nearly width-insensitive,
         # so an approx-top-k cut only added op dispatches)
-        s_state, s_lm, s_score, s_bp = jax.lax.sort(
-            (cand_state, cand_lm, cand_score, cand_bp), dimension=1, num_keys=3
-        )
-        first = jnp.concatenate(
-            [
-                jnp.ones((B, 1), bool),
-                (s_state[:, 1:] != s_state[:, :-1])
-                | (s_lm[:, 1:] != s_lm[:, :-1]),
-            ],
-            axis=1,
-        )
+        if pack_keys:
+            # (state, lm) packed into one int32: 2 sort keys, 3 operands
+            cand_key = cand_state * jnp.int32(L) + cand_lm
+            s_key, s_score, s_bp = jax.lax.sort(
+                (cand_key, cand_score, cand_bp), dimension=1, num_keys=2
+            )
+            s_state = s_key // jnp.int32(L)
+            s_lm = s_key - s_state * jnp.int32(L)
+            first = jnp.concatenate(
+                [jnp.ones((B, 1), bool), s_key[:, 1:] != s_key[:, :-1]], axis=1
+            )
+        else:
+            s_state, s_lm, s_score, s_bp = jax.lax.sort(
+                (cand_state, cand_lm, cand_score, cand_bp), dimension=1, num_keys=3
+            )
+            first = jnp.concatenate(
+                [
+                    jnp.ones((B, 1), bool),
+                    (s_state[:, 1:] != s_state[:, :-1])
+                    | (s_lm[:, 1:] != s_lm[:, :-1]),
+                ],
+                axis=1,
+            )
         s_score = jnp.where(first, s_score, BIG)
 
         # ------------------------------------------------- histogram top-K
@@ -591,7 +605,16 @@ def _decode_scan(
     rec_f = jnp.stack([r_score, r_lmcost], axis=-1)  # [T,B,R,2]
     fin_int = jnp.stack([fstate, flm, fbp], axis=-1)  # [B,K,3]
     fin_f = jnp.stack([fscore, end_cost], axis=-1)  # [B,K,2]
-    best = (best_score, jnp.stack([w_lemma, w_time, w_rec], axis=-1))  # [MAXW,B,3]
+    # single host-transfer payload: walk rows + one trailer row holding
+    # the bitcast best score (the tunnel charges ~70ms per transfer
+    # regardless of size, so everything rides one array)
+    score_row = jnp.broadcast_to(
+        jax.lax.bitcast_convert_type(best_score, jnp.int32)[None, :, None],
+        (1, B, 3),
+    )
+    best = jnp.concatenate(
+        [jnp.stack([w_lemma, w_time, w_rec], axis=-1), score_row], axis=0
+    )  # [MAXW+1, B, 3]
     return best, (rec_int, rec_f, fin_int, fin_f)
 
 
@@ -649,11 +672,12 @@ class TreeDecoder:
             min(self.cfg.root_hyps, self.cfg.max_hyps),
             min(kbranch, self.cfg.max_hyps),
         )
-        best_score = np.asarray(best[0])
-        walk = np.asarray(best[1])  # [MAXW, B, 3] (lemma, time, rec_id)
+        packed = np.asarray(best)  # ONE host transfer: walk + score row
+        walk = packed[:-1]  # [MAXW, B, 3] (lemma, time, rec_id)
+        best_score = packed[-1, :, 0].view(np.float32)
         # records stay on device; decoder_lattice pulls them lazily
         self._last_device_records = records
-        self._last_n_frames = np.asarray(n_frames)
+        self._last_n_frames_dev = n_frames
 
         results = []
         for b in range(B):
