@@ -230,3 +230,50 @@ def test_checkpoint_manager(tmp_path, rng):
     restored, meta = mgr.restore({"w": np.zeros((2, 3), np.float32), "step": 0})
     np.testing.assert_array_equal(restored["w"], state["w"])
     assert meta["step"] == 3 and "loss" in meta
+
+
+# ----------------------------------------------------------- misc DSP ops
+
+
+def test_frame_energy_matches_numpy():
+    from rasr_tpu.ops.dsp import frame_energy
+
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(2, 7, 25)).astype(np.float32)
+    e = np.asarray(frame_energy(jnp.asarray(frames), log=False))
+    np.testing.assert_allclose(e, (frames ** 2).sum(-1), rtol=1e-5)
+
+
+def test_silence_detection_marks_tone_frames():
+    from rasr_tpu.ops.dsp import frame_energy, silence_detection
+
+    # 20 frames: silence, loud tone in 8..12, silence
+    rng = np.random.default_rng(1)
+    frames = rng.normal(size=(1, 20, 50)).astype(np.float32) * 1e-3
+    frames[0, 8:12] += np.sin(np.linspace(0, 20, 50)).astype(np.float32)
+    e = frame_energy(jnp.asarray(frames))
+    mask = np.ones((1, 20), np.float32)
+    speech = np.asarray(silence_detection(e, jnp.asarray(mask), hangover=1))
+    assert speech[0, 8:12].all()
+    assert speech[0, 7] == 1.0 and speech[0, 12] == 1.0  # hangover
+    assert speech[0, :5].sum() == 0.0 and speech[0, 15:].sum() == 0.0
+
+
+def test_fir_filter_matches_scipy():
+    from rasr_tpu.ops.dsp import fir_filter
+
+    scipy_signal = pytest.importorskip("scipy.signal")
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(3, 40)).astype(np.float32)
+    taps = np.array([0.5, 0.3, -0.2], np.float32)
+    got = np.asarray(fir_filter(jnp.asarray(x), taps))
+    want = scipy_signal.lfilter(taps, [1.0], x, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_delay_shifts():
+    from rasr_tpu.ops.dsp import delay
+
+    x = jnp.asarray(np.arange(6, dtype=np.float32)[None])
+    np.testing.assert_allclose(np.asarray(delay(x, 2))[0], [0, 0, 0, 1, 2, 3])
+    np.testing.assert_allclose(np.asarray(delay(x, -2))[0], [2, 3, 4, 5, 0, 0])
