@@ -23,21 +23,26 @@ passing with top-k pruning on-chip"):
   predecessor record), assembled on the host after the scan — replacing
   the reference's ref-counted Trace garbage collection.
 
-Performance shape (measured on v5e): the cost driver is GATHERED
-ELEMENTS, not the sort — TPU random gathers run near one element per
-cycle. The expansion is therefore layered to touch as little as
-possible per hypothesis:
+Performance shape (measured on v5e, HLO-profiled): the cost driver is
+GATHER INDICES — a random gather costs ~7 cycles per index for single
+elements and ~1.5-2 cycles per index when each index fetches a packed
+ROW of columns; row width is nearly free, and sorts/top-k are
+secondary. The decoder is therefore organized around "one gather, many
+columns":
 
-* **dense slots**: each state's first two out-arcs live in dense
-  ``[S]`` arrays (next/skip chain transitions cover ≥95% of states) —
-  2 gathers of ``[B,K]`` instead of a padded ``[B,K,Dmax]`` table;
+* **dense slots**: each state's first two out-arcs + loop/class columns
+  live in one packed ``[S+1, 9]`` table — a single row gather per hyp;
 * **branch overflow**: remaining arcs (phone-boundary fan-out) in a CSR
   expanded only for the top ``branch_hyps`` hypotheses that actually sit
-  at fan-out states;
-* **root re-entry**: one shared emission pre-gather ``[B, DegRoot]`` per
-  frame; per-history candidates are pure broadcasts;
-* emission classes are precomposed per arc table (``*_cls`` arrays), and
-  each hypothesis carries its own emission class in the beam state.
+  at fan-out states (packed 3-column arc rows);
+* **root re-entry**: root-arc emission scores come from a static one-hot
+  MATMUL (MXU streams beat the gather unit for fixed index sets);
+  per-history candidates are pure broadcasts;
+* every beam/sort/merge selection gathers packed rows (``rowsel``), and
+  ``take_along_axis`` is never used on the hot path (its batched-gather
+  lowering measures ~5x slower than flat gathers);
+* optional ``expansion_limit`` ranks candidates BEFORE the emission
+  gather so only E survivors pay emission-gather indices at all.
 """
 
 from __future__ import annotations
@@ -256,7 +261,14 @@ class BeamConfig:
     word_end_limit: int = 128  # R: word-end survivors / records per frame
     root_hyps: int = 32  # H: root (re-entry) hyps expanded per frame
     branch_hyps: int = 0  # Kb: hyps expanded through branch arcs (0 = K)
-    expansion_limit: int = 4096  # E: candidates surviving into recombination
+    #: E: pre-emission expansion pruning — keep only the E most promising
+    #: candidates (ranked BEFORE adding the current frame's emission)
+    #: ahead of the emission gather + recombination sort. 0 = off
+    #: (exact expansion). The emission gather indices and the sort width
+    #: are the decoder's dominant costs; E >= 2*max_hyps keeps the
+    #: search-quality risk negligible (a dropped candidate must overcome
+    #: its pre-emission rank deficit within one frame's emission).
+    expansion_limit: int = 0
     #: word-start fan-out cap: non-best histories expand only the
     #: root_arc_limit most promising root arcs (static lookahead order);
     #: the best history always expands all of them. 0 = no cap (exact).
@@ -294,12 +306,14 @@ def _decode_scan(
     # state included so pruned slots pack too
     L = lm.num_states
     pack_keys = (SENT + 1) * L < 2**31
+    cand_width = 3 * K + kbranch * Db + G + max(hroot - 1, 0) * gcap
+    use_exp = 0 < cfg.expansion_limit < cand_width
+    E = cfg.expansion_limit
 
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
     score0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
     bp0 = jnp.full((B, K), -1, jnp.int32)
-    ecls0 = jnp.zeros((B, K), jnp.int32)
 
     # ---- packed gather tables (trace-time; loop-invariant, hoisted) ----
     # every scan-body gather is an op dispatch on a small core: packing
@@ -320,9 +334,10 @@ def _decode_scan(
             tree.dense2_cost + (la_coeff * tree.dense2_dla if use_la else 0.0),  # 5
             bc_f(tree.dense2_cls),  # 6
             bc_f(tree.branch_deg),  # 7
+            bc_f(tree.emission_class),  # 8 (own class: loop emission)
         ],
         axis=1,
-    )  # [S+1, 8] (branch_ptr is gathered only for the Kb selected hyps)
+    )  # [S+1, 9] (branch_ptr is gathered only for the Kb selected hyps)
     branch_pack = jnp.stack(
         [
             bc_f(tree.branch_dst),
@@ -342,32 +357,69 @@ def _decode_scan(
         axis=2,
     )  # [S+1, W, 5]
 
+    # root emission selection as a static one-hot matmul: a [B,G] gather
+    # costs ~7 cycles/index on the TPU gather unit; the MXU streams the
+    # same selection in ~no time (one-hot rows select exactly, and
+    # HIGHEST precision keeps f32 values intact)
+    root_sel = jax.nn.one_hot(
+        tree.root_cls, emissions.shape[2], dtype=jnp.float32, axis=0
+    )  # [M, G]
+
+    def fsel(x, idx):
+        """Batched element selection as a FLAT 1-D gather (the
+        take_along_axis lowering adds a slow batched-gather dimension).
+        Gather cost on TPU is ~7 cycles per INDEX (row width is nearly
+        free — see rowsel), so dynamic per-element selections like the
+        emission lookups stay the decoder's cost floor."""
+        Bx, N = x.shape
+        off = jnp.arange(Bx, dtype=jnp.int32).reshape(
+            (Bx,) + (1,) * (idx.ndim - 1)
+        ) * N
+        return x.reshape(-1)[idx + off]
+
+    def rowsel(rows, idx):
+        """Batched ROW selection: one gather fetches all C columns per
+        index (measured ~1.5-2 cycles/index vs ~7 for element gathers:
+        pack columns, gather once)."""
+        Bx, N, C = rows.shape
+        off = jnp.arange(Bx, dtype=jnp.int32).reshape(
+            (Bx,) + (1,) * (idx.ndim - 1)
+        ) * N
+        return rows.reshape(Bx * N, C)[idx + off]
+
     def step(carry, inputs):
-        state, lms, score, bp, ecls, fstate, flm, fscore, fbp = carry
+        state, lms, score, bp, fstate, flm, fscore, fbp = carry
         emis_t, t = inputs
         active = (t < n_frames)[:, None]
 
         # ------------------------------- per-hyp state columns (1 gather)
-        pk = state_pack[state]  # [B,K,8]
-        # loop candidates: own emission class carried in the beam state
-        c_loop = score + pk[..., 0] + jnp.take_along_axis(emis_t, ecls, axis=1)
+        pk = state_pack[state]  # [B,K,9]
+        own_cls = bc_i(pk[..., 8])
+        p_loop = score + pk[..., 0]
 
         # dense slot 1 / 2 (chain transitions)
         d1 = bc_i(pk[..., 1])
         d1_cls = bc_i(pk[..., 3])
-        c_d1 = score + pk[..., 2] + jnp.take_along_axis(emis_t, d1_cls, axis=1)
+        p_d1 = score + pk[..., 2]
         d2 = bc_i(pk[..., 4])
         d2_cls = bc_i(pk[..., 6])
-        c_d2 = score + pk[..., 5] + jnp.take_along_axis(emis_t, d2_cls, axis=1)
+        p_d2 = score + pk[..., 5]
+
+        # packed beam rows: every downstream selection gathers all four
+        # beam columns with ONE row gather
+        beam_rows = jnp.stack(
+            [bc_f(state), bc_f(lms), score, bc_f(bp)], axis=-1
+        )  # [B,K,4]
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
         has_branch = bc_i(pk[..., 7]) > 0
         br_sel_score = jnp.where(has_branch, score, BIG)
-        _, bidx = jax.lax.top_k(-br_sel_score, kbranch)
-        b_state = jnp.take_along_axis(state, bidx, axis=1)  # [B,Kb]
-        b_score = jnp.take_along_axis(br_sel_score, bidx, axis=1)
-        b_lm = jnp.take_along_axis(lms, bidx, axis=1)
-        b_bp = jnp.take_along_axis(bp, bidx, axis=1)
+        negb, bidx = jax.lax.top_k(-br_sel_score, kbranch)
+        b_score = -negb
+        b_rows = rowsel(beam_rows, bidx)  # [B,Kb,4]
+        b_state = bc_i(b_rows[..., 0])
+        b_lm = bc_i(b_rows[..., 1])
+        b_bp = bc_i(b_rows[..., 3])
         deg = tree.branch_deg[b_state]  # [B,Kb]
         dslots = jnp.arange(Db, dtype=jnp.int32)
         bi = tree.branch_ptr[b_state][..., None] + dslots
@@ -377,54 +429,44 @@ def _decode_scan(
         b_dst = jnp.where(ok, bc_i(bpk[..., 0]), SENT)
         b_cls = jnp.where(ok, bc_i(bpk[..., 2]), 0)
         b_cost = jnp.where(ok, bpk[..., 1], BIG)
-        c_br = (
-            b_score[..., None] + b_cost
-            + jnp.take_along_axis(emis_t, b_cls.reshape(B, kbranch * Db), axis=1)
-            .reshape(B, kbranch, Db)
-        )
+        p_br = b_score[..., None] + b_cost  # [B,Kb,Db]
 
-        # root re-entry: top-H root hyps, shared emission pre-gather.
-        # The best history expands every root arc; the others only the
-        # Gcap most promising (arrays are in static promise order).
+        # root re-entry: top-H root hyps. The best history expands every
+        # root arc; the others only the Gcap most promising (arrays are
+        # in static promise order).
         root_score = jnp.where(state == 0, score, BIG)
         negH, hidx = jax.lax.top_k(-root_score, hroot)
         h_score = -negH  # ascending: h=0 is the best root hypothesis
-        h_lm = jnp.take_along_axis(lms, hidx, axis=1)
-        h_bp = jnp.take_along_axis(bp, hidx, axis=1)
-        emis_root = jnp.take_along_axis(
-            emis_t, jnp.broadcast_to(tree.root_cls, (B, G)), axis=1
-        )  # [B,G]
+        h_rows = rowsel(beam_rows, hidx)  # [B,H,4]
+        h_lm = bc_i(h_rows[..., 1])
+        h_bp = bc_i(h_rows[..., 3])
         root_arc_cost = tree.root_cost
         if use_la:
             root_arc_cost = root_arc_cost + la_coeff * tree.root_dla
-        c_root_best = (
-            h_score[:, :1, None] + root_arc_cost[None, None, :]
-            + emis_root[:, None, :]
-        )  # [B,1,G]
+        p_root_best = h_score[:, :1, None] + root_arc_cost[None, None, :]
         root_states = [jnp.broadcast_to(tree.root_dst, (B, G))]
-        root_scores = [c_root_best.reshape(B, G)]
+        root_pres = [p_root_best.reshape(B, G)]
         root_lms = [jnp.repeat(h_lm[:, :1], G, axis=1)]
         root_bps = [jnp.repeat(h_bp[:, :1], G, axis=1)]
+        root_clss = [jnp.broadcast_to(tree.root_cls[None, :], (B, G))]
         if hroot > 1:
-            c_root_rest = (
-                h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
-                + emis_root[:, None, :gcap]
-            )  # [B,H-1,Gcap]
+            p_root_rest = h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
             root_states.append(
                 jnp.broadcast_to(tree.root_dst[:gcap], (B, hroot - 1, gcap))
                 .reshape(B, (hroot - 1) * gcap)
             )
-            root_scores.append(c_root_rest.reshape(B, (hroot - 1) * gcap))
+            root_pres.append(p_root_rest.reshape(B, (hroot - 1) * gcap))
             root_lms.append(jnp.repeat(h_lm[:, 1:], gcap, axis=1))
             root_bps.append(jnp.repeat(h_bp[:, 1:], gcap, axis=1))
+            root_clss.append(
+                jnp.broadcast_to(
+                    tree.root_cls[None, None, :gcap], (B, hroot - 1, gcap)
+                ).reshape(B, (hroot - 1) * gcap)
+            )
 
         # ------------------------------------------- assemble candidates
         cand_state = jnp.concatenate(
             [state, d1, d2, b_dst.reshape(B, kbranch * Db), *root_states],
-            axis=1,
-        )
-        cand_score = jnp.concatenate(
-            [c_loop, c_d1, c_d2, c_br.reshape(B, kbranch * Db), *root_scores],
             axis=1,
         )
         cand_lm = jnp.concatenate(
@@ -435,7 +477,59 @@ def _decode_scan(
             [bp, bp, bp, jnp.repeat(b_bp, Db, axis=1), *root_bps],
             axis=1,
         )
-        cand_score = jnp.minimum(cand_score, BIG)
+
+        if use_exp:
+            # ---- pre-emission expansion pruning: rank candidates before
+            # the emission gather, keep top-E, then gather emission for
+            # the survivors only (E indices instead of the full width)
+            cand_pre = jnp.minimum(
+                jnp.concatenate(
+                    [p_loop, p_d1, p_d2, p_br.reshape(B, kbranch * Db), *root_pres],
+                    axis=1,
+                ),
+                BIG,
+            )
+            cand_cls = jnp.concatenate(
+                [own_cls, d1_cls, d2_cls, b_cls.reshape(B, kbranch * Db), *root_clss],
+                axis=1,
+            )
+            nege, eidx = jax.lax.top_k(-cand_pre, E)
+            e_pre = -nege
+            erows = rowsel(
+                jnp.stack([cand_state, cand_lm, cand_bp, cand_cls], axis=-1),
+                eidx,
+            )  # [B,E,4]
+            cand_state = erows[..., 0]
+            cand_lm = erows[..., 1]
+            cand_bp = erows[..., 2]
+            cand_score = jnp.where(
+                e_pre < BIG / 2, e_pre + fsel(emis_t, erows[..., 3]), BIG
+            )
+        else:
+            # exact expansion: emission added per section
+            emis_root = jnp.matmul(
+                emis_t, root_sel, precision=jax.lax.Precision.HIGHEST
+            )  # [B,G]
+            c_loop = p_loop + fsel(emis_t, own_cls)
+            c_d1 = p_d1 + fsel(emis_t, d1_cls)
+            c_d2 = p_d2 + fsel(emis_t, d2_cls)
+            c_br = p_br + fsel(emis_t, b_cls)
+            root_scores = [
+                (root_pres[0] + emis_root).reshape(B, G)
+            ]
+            if hroot > 1:
+                root_scores.append(
+                    (
+                        p_root_rest + emis_root[:, None, :gcap]
+                    ).reshape(B, (hroot - 1) * gcap)
+                )
+            cand_score = jnp.minimum(
+                jnp.concatenate(
+                    [c_loop, c_d1, c_d2, c_br.reshape(B, kbranch * Db), *root_scores],
+                    axis=1,
+                ),
+                BIG,
+            )
 
         # ------------------------------------------------- beam prune
         best = jnp.min(cand_score, axis=1, keepdims=True)
@@ -450,11 +544,10 @@ def _decode_scan(
             s_key, s_score, s_bp = jax.lax.sort(
                 (cand_key, cand_score, cand_bp), dimension=1, num_keys=2
             )
-            s_state = s_key // jnp.int32(L)
-            s_lm = s_key - s_state * jnp.int32(L)
             first = jnp.concatenate(
                 [jnp.ones((B, 1), bool), s_key[:, 1:] != s_key[:, :-1]], axis=1
             )
+            s_rows = jnp.stack([s_key, s_bp], axis=-1)  # [B,Cw,2]
         else:
             s_state, s_lm, s_score, s_bp = jax.lax.sort(
                 (cand_state, cand_lm, cand_score, cand_bp), dimension=1, num_keys=3
@@ -467,14 +560,22 @@ def _decode_scan(
                 ],
                 axis=1,
             )
+            s_rows = jnp.stack([s_state, s_lm, s_bp], axis=-1)  # [B,Cw,3]
         s_score = jnp.where(first, s_score, BIG)
 
         # ------------------------------------------------- histogram top-K
         neg, idx = jax.lax.top_k(-s_score, K)
-        n_state = jnp.take_along_axis(s_state, idx, axis=1)
-        n_lm = jnp.take_along_axis(s_lm, idx, axis=1)
+        n_rows = rowsel(s_rows, idx)  # one row gather for key/bp columns
         n_score = -neg
-        n_bp = jnp.take_along_axis(s_bp, idx, axis=1)
+        if pack_keys:
+            n_key = n_rows[..., 0]
+            n_state = n_key // jnp.int32(L)
+            n_lm = n_key - n_state * jnp.int32(L)
+            n_bp = n_rows[..., 1]
+        else:
+            n_state = n_rows[..., 0]
+            n_lm = n_rows[..., 1]
+            n_bp = n_rows[..., 2]
         n_state = jnp.where(n_score >= BIG / 2, SENT, n_state)
 
         # ------------------------------------------------- word ends
@@ -488,14 +589,16 @@ def _decode_scan(
         pre = jnp.where(ww != WORD_NONE, we_base[..., None] + wc, BIG).reshape(B, K * wmax)
         neg_r, ridx = jax.lax.top_k(-pre, R)
         r_pre = -neg_r  # [B,R]
-        wflat = wpk.reshape(B, K * wmax, 5)
-        rsel = jnp.take_along_axis(wflat, ridx[..., None], axis=1)  # [B,R,5]
+        # flat row gather of the selected word-end records (fast path)
+        roff = jnp.arange(B, dtype=jnp.int32)[:, None] * (K * wmax)
+        rsel = wpk.reshape(B * K * wmax, 5)[ridx + roff]  # [B,R,5]
         r_word = jax.lax.bitcast_convert_type(rsel[..., 0], jnp.int32)
         r_lemma = jax.lax.bitcast_convert_type(rsel[..., 2], jnp.int32)
         r_next = jax.lax.bitcast_convert_type(rsel[..., 3], jnp.int32)
         src = ridx // wmax
-        r_srclm = jnp.take_along_axis(n_lm, src, axis=1)
-        r_srcbp = jnp.take_along_axis(n_bp, src, axis=1)
+        src_rows = rowsel(jnp.stack([n_lm, n_bp], axis=-1), src)  # [B,R,2]
+        r_srclm = src_rows[..., 0]
+        r_srcbp = src_rows[..., 1]
 
         is_lm_word = r_word >= 0
         lm_cost, lm_next = lookup(
@@ -516,24 +619,27 @@ def _decode_scan(
         root_bp = rec_id
 
         # ------------------------------------------- merge root re-entries
-        m_state = jnp.concatenate([n_state, root_state], axis=1)
-        m_lm = jnp.concatenate([n_lm, r_newlm], axis=1)
         m_score = jnp.concatenate([n_score, root_score], axis=1)
-        m_bp = jnp.concatenate([n_bp, root_bp], axis=1)
+        m_rows = jnp.stack(
+            [
+                jnp.concatenate([n_state, root_state], axis=1),
+                jnp.concatenate([n_lm, r_newlm], axis=1),
+                jnp.concatenate([n_bp, root_bp], axis=1),
+            ],
+            axis=-1,
+        )  # [B,K+R,3]
         neg2, idx2 = jax.lax.top_k(-m_score, K)
-        f2_state = jnp.take_along_axis(m_state, idx2, axis=1)
-        f2_lm = jnp.take_along_axis(m_lm, idx2, axis=1)
+        f2 = rowsel(m_rows, idx2)
         f2_score = -neg2
-        f2_bp = jnp.take_along_axis(m_bp, idx2, axis=1)
-        f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2_state)
-        f2_ecls = tree.emission_class[f2_state]
+        f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2[..., 0])
+        f2_lm = f2[..., 1]
+        f2_bp = f2[..., 2]
 
         # ----------------------------------------------- freeze inactive
         state = jnp.where(active, f2_state, state)
         lms = jnp.where(active, f2_lm, lms)
         score = jnp.where(active, f2_score, score)
         bp = jnp.where(active, f2_bp, bp)
-        ecls = jnp.where(active, f2_ecls, ecls)
 
         is_last = (t == n_frames - 1)[:, None]
         fstate = jnp.where(is_last, state, fstate)
@@ -549,12 +655,12 @@ def _decode_scan(
             jnp.where(r_valid, r_word, WORD_NONE),
             jnp.where(r_valid, r_newlm, -1),
         )
-        return (state, lms, score, bp, ecls, fstate, flm, fscore, fbp), recs
+        return (state, lms, score, bp, fstate, flm, fscore, fbp), recs
 
     ts = jnp.arange(T, dtype=jnp.int32)
-    carry0 = (state0, lm0, score0, bp0, ecls0, state0, lm0, score0, bp0)
+    carry0 = (state0, lm0, score0, bp0, state0, lm0, score0, bp0)
     carry, recs = jax.lax.scan(step, carry0, (jnp.swapaxes(emissions, 0, 1), ts))
-    _, _, _, _, _, fstate, flm, fscore, fbp = carry
+    _, _, _, _, fstate, flm, fscore, fbp = carry
 
     # sentence-end LM scores for final root hyps
     end_cost, _ = lookup(

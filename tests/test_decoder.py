@@ -6,6 +6,7 @@ must be EXACT — its best score equals a brute-force minimum over all word
 sequences, each scored by forced alignment + LM.
 """
 
+import dataclasses
 import itertools
 import math
 
@@ -219,3 +220,24 @@ def test_beam_pruning_monotone(setup, rng):
         (res,) = dec.decode_scores(emis, np.array([10]))
         scores.append(res.score)
     assert scores[0] >= scores[1] >= scores[2]
+
+
+def test_expansion_limit_matches_exact_when_generous(setup, rng):
+    """With E larger than the number of finite candidates, the
+    pre-emission expansion pruning path must reproduce the exact path
+    bit-for-bit (same best sentence and score)."""
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    T = 7
+    for trial in range(2):
+        emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
+        base = BeamConfig(max_hyps=64, beam=1e9, word_end_limit=64,
+                          root_hyps=64, lm_scale=0.7)
+        dec = TreeDecoder(tree, tables, base)
+        (exact,) = dec.decode_scores(emis, np.array([T]))
+        dec_e = TreeDecoder(
+            tree, tables, dataclasses.replace(base, expansion_limit=128)
+        )
+        (approx,) = dec_e.decode_scores(emis, np.array([T]))
+        assert approx.words == exact.words
+        np.testing.assert_allclose(approx.score, exact.score, rtol=1e-6)
