@@ -205,8 +205,7 @@ def lookup(
     found = jnp.zeros(N, jnp.bool_)
     cur = states
 
-    # packed [H, 4] table: one gather per probe instead of four
-    # (key_state, key_word, cost-bits, next) — loop-invariant, hoisted
+    # packed [H, 4] table: (key_state, key_word, cost-bits, next)
     packed = jnp.stack(
         [
             tables.key_state,
@@ -224,19 +223,30 @@ def lookup(
         axis=1,
     )
 
-    probes = jnp.arange(tables.max_probe, dtype=jnp.int32)
+    P = tables.max_probe
+    probes = jnp.arange(P, dtype=jnp.int32)
+    H = tables.table_size
+    # probe-chain replication: bucket h's row holds its WHOLE linear-
+    # probe window, so a lookup level costs ONE gather index (gathers
+    # on TPU cost ~7 cycles/index regardless of row width; the P-times
+    # larger table is loop-invariant and built once per jit trace).
+    # Guarded by table size: giant LMs fall back to the windowed gather.
+    replicate = H * P * 16 <= 512 * 1024 * 1024
+    if replicate:
+        rep = packed[
+            (jnp.arange(H, dtype=jnp.int32)[:, None] + probes) & mask
+        ].reshape(H, P * 4)
 
     def probe_level(acc, nxt, found, cur, words):
-        # windowed probe: all max_probe rows in ONE gather (linear
-        # probing makes them contiguous), then reduce over the window
         h = _hash_jax(cur, words, mask)
-        rows = packed[(h[..., None] + probes) & mask]  # [..., P, 4]
+        if replicate:
+            rows = rep[h].reshape(h.shape + (P, 4))  # one row gather
+        else:
+            rows = packed[(h[..., None] + probes) & mask]  # [..., P, 4]
         match = (rows[..., 0] == cur[..., None]) & (rows[..., 1] == words[..., None])
-        # first match in probe order: min probe index among matches
-        pidx = jnp.where(match, probes, tables.max_probe)
-        sel = jnp.argmin(pidx, axis=-1)[..., None]
+        # at most one window row can match (keys are unique in the table)
         hit_any = jnp.any(match, axis=-1)
-        row = jnp.take_along_axis(rows, sel[..., None], axis=-2)[..., 0, :]
+        row = jnp.sum(jnp.where(match[..., None], rows, 0), axis=-2)
         hit_cost = jnp.where(
             hit_any, jax.lax.bitcast_convert_type(row[..., 2], jnp.float32), 0.0
         )
