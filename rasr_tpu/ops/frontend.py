@@ -14,8 +14,9 @@ Design notes (TPU-first):
   multiply.
 * The power spectrum is computed either via ``jnp.fft.rfft`` or as a
   **real DFT by matmul** with precomputed cos/sin bases — the matmul path
-  rides the MXU, fuses with the surrounding elementwise ops under XLA, and
-  is the form reused by the fused Pallas kernel (ops/pallas/frontend_kernel).
+  rides the MXU and fuses with the surrounding elementwise ops under XLA.
+  An opt-in fused Pallas kernel (ops/pallas/frontend_kernel) keeps the
+  whole windowed-DFT→mel→log→DCT chain in VMEM (``use_pallas=True``).
 * Mel filterbank, DCT (cepstrum) and LDA are all matmuls by construction.
 * CMVN masks padded frames; all shapes are static (bucketed batches).
 
@@ -350,10 +351,14 @@ class FeatureFrontend:
         lda: Optional[np.ndarray] = None,
         delta_order: int = 0,
         vtln_warp: Optional[np.ndarray] = None,
+        use_pallas: bool = False,
     ):
         self.cfg = cfg
         self.splice_context = splice_context
         self.delta_order = delta_order
+        # opt-in fused Pallas MFCC kernel (ops/pallas/frontend_kernel):
+        # kept off by default because remote TPU Pallas compiles are slow
+        self.use_pallas = use_pallas
         self.params = make_params(cfg)
         self.lda = None if lda is None else jnp.asarray(lda, jnp.float32)
         # VTLN: warp matrix [K, K] applied on the power spectrum before
@@ -385,7 +390,12 @@ class FeatureFrontend:
         cfg = self.cfg
         x = preemphasize(samples.astype(jnp.float32), cfg.preemphasis)
         frames = frame_signal(x, max_frames, cfg)
-        feats = mfcc_from_frames(frames, self.params, cfg)
+        if self.use_pallas:
+            from .pallas.frontend_kernel import mfcc_frames_fused
+
+            feats = mfcc_frames_fused(frames, self.params, cfg)
+        else:
+            feats = mfcc_from_frames(frames, self.params, cfg)
         n_frames = jnp.where(
             lengths >= cfg.frame_length,
             1 + (lengths - cfg.frame_length) // cfg.frame_shift,

@@ -241,3 +241,40 @@ def test_expansion_limit_matches_exact_when_generous(setup, rng):
         (approx,) = dec_e.decode_scores(emis, np.array([T]))
         assert approx.words == exact.words
         np.testing.assert_allclose(approx.score, exact.score, rtol=1e-6)
+
+
+def test_decoder_with_4gram_lm(setup, rng):
+    """Config #4 shape: decode against a 4-gram backing-off LM — the
+    compiled automaton handles higher orders with the same gather
+    lookup; spot-check the decode score against a host-side rescore of
+    the winning sequence."""
+    lex, topo, tying, trans, lm, _, tree = setup
+    # MUST reuse the tree's word-id assignment (tree word-end arcs carry
+    # the fixture vocab's ids)
+    vocab = dict(lm.vocab)
+    bos, eos = vocab["<s>"], vocab["</s>"]
+    ab, ba, aa = vocab["AB"], vocab["BA"], vocab["AA"]
+    ngrams = {
+        (bos,): (99.0, 0.2), (eos,): (1.2, 0.0),
+        (ab,): (1.0, 0.3), (ba,): (1.3, 0.3), (aa,): (1.6, 0.3),
+        (ab, ba): (0.6, 0.2), (ba, ab): (0.7, 0.2), (bos, ab): (0.5, 0.2),
+        (ab, ba, ab): (0.4, 0.1), (bos, ab, ba): (0.3, 0.1),
+        (ab, ba, ab, ba): (0.2, 0.0), (bos, ab, ba, ab): (0.15, 0.0),
+    }
+    if "<unk>" in vocab:
+        ngrams[(vocab["<unk>"],)] = (9.0, 0.0)
+    lm4 = NgramLm(4, vocab, ngrams)
+    tables4 = compile_ngram(lm4)
+    assert tables4.order == 4
+    T = 7
+    lm_scale = 0.8
+    emis = rng.uniform(0.0, 6.0, size=(1, T, tying.num_classes)).astype(np.float32)
+    dec = TreeDecoder(
+        tree, tables4,
+        BeamConfig(max_hyps=256, beam=1e9, word_end_limit=64,
+                   root_hyps=256, lm_scale=lm_scale),
+    )
+    (res,) = dec.decode_scores(emis, np.array([T]))
+    # pruning off -> exact minimum over word sequences under the 4-gram
+    oracle_score, _ = _oracle_best(lex, topo, tying, trans, lm4, emis, T, lm_scale)
+    np.testing.assert_allclose(res.score, oracle_score, rtol=1e-5)

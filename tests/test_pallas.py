@@ -43,3 +43,35 @@ def test_fused_gmm_kernel_ragged_and_batched(rng):
     got = np.asarray(mixture_scores_fused(jnp.asarray(x), st, True, interpret=True))
     assert got.shape == (2, 5, 13)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mfcc_kernel_matches_jnp(rng):
+    from rasr_tpu.ops.frontend import (
+        FrontendConfig, frame_signal, make_params, mfcc_from_frames,
+        preemphasize,
+    )
+    from rasr_tpu.ops.pallas.frontend_kernel import mfcc_frames_fused
+
+    cfg = FrontendConfig()
+    params = make_params(cfg)
+    sig = rng.normal(size=(2, 16000)).astype(np.float32)
+    x = preemphasize(jnp.asarray(sig), cfg.preemphasis)
+    frames = frame_signal(x, 98, cfg)
+    ref = np.asarray(mfcc_from_frames(frames, params, cfg))
+    got = np.asarray(mfcc_frames_fused(frames, params, cfg, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mfcc_kernel_ragged_tile(rng):
+    """Frame count not a multiple of the tile pads correctly."""
+    from rasr_tpu.ops.frontend import FrontendConfig, make_params, mfcc_from_frames
+    from rasr_tpu.ops.pallas.frontend_kernel import mfcc_frames_fused
+
+    cfg = FrontendConfig()
+    params = make_params(cfg)
+    frames = rng.normal(size=(1, 7, cfg.frame_length)).astype(np.float32)
+    ref = np.asarray(mfcc_from_frames(jnp.asarray(frames), params, cfg))
+    got = np.asarray(
+        mfcc_frames_fused(jnp.asarray(frames), params, cfg, tile_n=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
