@@ -178,3 +178,19 @@ def psum_counters(mesh: Mesh, values: np.ndarray) -> np.ndarray:
     )
     with mesh:
         return np.asarray(fn(jnp.asarray(values)))
+
+
+def dp_decode(decoder, mesh: Mesh, emissions: np.ndarray, n_frames: np.ndarray,
+              names=None):
+    """Data-parallel beam decode: utterance batch rows shard over the
+    ``data`` axis and every chip runs the frame-synchronous scan on its
+    shard — the in-process replacement for the reference's independent
+    recognition jobs (SURVEY §2.8; BASELINE config #5 "multi-host
+    sharded decode"). Tree/LM tables are replicated (they are read-only
+    gather tables); outputs come back data-sharded and are assembled on
+    host.
+
+    ``decoder`` is a search.decoder.TreeDecoder; batch size must divide
+    by the mesh's data axis.
+    """
+    return decoder.decode_scores(emissions, n_frames, names=names, mesh=mesh)

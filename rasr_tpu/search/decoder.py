@@ -764,20 +764,58 @@ class TreeDecoder:
         emissions: np.ndarray,  # [B, T, M] acoustic -log scores (scaled)
         n_frames: np.ndarray,
         names: Optional[Sequence[str]] = None,
+        mesh=None,
     ) -> List[DecodeResult]:
+        """Batched decode. With ``mesh``, the utterance batch shards
+        over the mesh's ``data`` axis and each device runs the scan on
+        its shard via shard_map — embarrassingly-parallel DP decode with
+        zero collectives (the in-process form of the reference's
+        independent recognition jobs; tree/LM tables are replicated)."""
         B = emissions.shape[0]
         names = names or [f"utt{i}" for i in range(B)]
         kbranch = self.cfg.branch_hyps or self.cfg.max_hyps
-        best, records = _decode_scan(
-            self.tables,
-            self.lm,
-            jnp.asarray(emissions),
-            jnp.asarray(n_frames, jnp.int32),
+        args = (
             self.cfg,
             self.tree.max_word_ends,
             min(self.cfg.root_hyps, self.cfg.max_hyps),
             min(kbranch, self.cfg.max_hyps),
         )
+        if mesh is None:
+            best, records = _decode_scan(
+                self.tables,
+                self.lm,
+                jnp.asarray(emissions),
+                jnp.asarray(n_frames, jnp.int32),
+                *args,
+            )
+        else:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep, dp = P(), P("data")
+            fn = shard_map(
+                lambda tb, lmt, e, nf: _decode_scan(tb, lmt, e, nf, *args),
+                mesh=mesh,
+                in_specs=(rep, rep, dp, dp),
+                out_specs=(
+                    P(None, "data", None),
+                    (
+                        P(None, "data", None, None),
+                        P(None, "data", None, None),
+                        P("data", None, None),
+                        P("data", None, None),
+                    ),
+                ),
+                check_vma=False,
+            )
+            emis_s = jax.device_put(
+                jnp.asarray(emissions), NamedSharding(mesh, dp)
+            )
+            nf_s = jax.device_put(
+                jnp.asarray(n_frames, jnp.int32), NamedSharding(mesh, dp)
+            )
+            with mesh:
+                best, records = fn(self.tables, self.lm, emis_s, nf_s)
         packed = np.asarray(best)  # ONE host transfer: walk + score row
         walk = packed[:-1]  # [MAXW, B, 3] (lemma, time, rec_id)
         best_score = packed[-1, :, 0].view(np.float32)

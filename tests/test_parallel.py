@@ -122,9 +122,9 @@ def test_sharded_decode_batch(rng):
     n = np.full(8, 6, np.int32)
     plain = dec.decode_scores(emis, n)
     mesh = make_mesh(data=8, model=1)
-    sharded_emis = shard_batch(mesh, emis)
-    with mesh:
-        sharded = dec.decode_scores(np.asarray(sharded_emis), n)
+    from rasr_tpu.parallel.sharded import dp_decode
+
+    sharded = dp_decode(dec, mesh, emis, n)
     for a, b in zip(plain, sharded):
         assert a.orth == b.orth
         np.testing.assert_allclose(a.score, b.score, rtol=1e-5)
