@@ -57,7 +57,7 @@ import numpy as np
 
 from ..models.lm.ngram_tpu import NgramTables, lookup
 from ..ops.viterbi import BIG
-from .tree import WORD_NONE, WORD_SILENCE, PrefixTree
+from .tree import WORD_NONE, PrefixTree
 
 
 @dataclasses.dataclass(frozen=True)
@@ -536,8 +536,6 @@ def _decode_scan(
         cand_score = jnp.where(cand_score > best + cfg.beam, BIG, cand_score)
 
         # ------------------------------------- recombination (sort+dedup)
-        # (no pre-prune stage: sort cost here is nearly width-insensitive,
-        # so an approx-top-k cut only added op dispatches)
         if pack_keys:
             # (state, lm) packed into one int32: 2 sort keys, 3 operands
             cand_key = cand_state * jnp.int32(L) + cand_lm
