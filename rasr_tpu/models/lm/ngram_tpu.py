@@ -190,21 +190,15 @@ def compile_ngram(lm: NgramLm, max_probe: int = 16) -> NgramTables:
     )
 
 
-def lookup(
-    tables: NgramTables, states: jnp.ndarray, words: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Vectorized backing-off lookup.
+def prepare_lookup(tables: NgramTables):
+    """Build the gather-side lookup tables ONCE.
 
-    states, words ``[N] i32`` -> (costs ``[N] f32``, next states ``[N] i32``).
-    Unknown words (no unigram) get the <unk> unigram or cost 99.
+    Must be called OUTSIDE any scan/loop body: the probe-chain
+    replication below is ~max_probe x the hash table and XLA does not
+    hoist its construction out of while loops — rebuilding it per frame
+    collapses decoder throughput (measured 92 -> 3 audio-s/s).
     """
     mask = tables.table_size - 1
-    N = states.shape
-    acc = jnp.zeros(N, jnp.float32)
-    nxt = jnp.zeros(N, jnp.int32)
-    found = jnp.zeros(N, jnp.bool_)
-    cur = states
-
     # packed [H, 4] table: (key_state, key_word, cost-bits, next)
     packed = jnp.stack(
         [
@@ -222,24 +216,45 @@ def lookup(
         ],
         axis=1,
     )
-
     P = tables.max_probe
-    probes = jnp.arange(P, dtype=jnp.int32)
     H = tables.table_size
     # probe-chain replication: bucket h's row holds its WHOLE linear-
-    # probe window, so a lookup level costs ONE gather index (gathers
-    # on TPU cost ~7 cycles/index regardless of row width; the P-times
-    # larger table is loop-invariant and built once per jit trace).
-    # Guarded by table size: giant LMs fall back to the windowed gather.
-    replicate = H * P * 16 <= 512 * 1024 * 1024
-    if replicate:
+    # probe window, so a lookup level costs ONE gather index (gathers on
+    # TPU cost ~7 cycles/index regardless of row width). Guarded by
+    # table size: giant LMs fall back to the windowed gather.
+    rep = None
+    if H * P * 16 <= 512 * 1024 * 1024:
+        probes = jnp.arange(P, dtype=jnp.int32)
         rep = packed[
             (jnp.arange(H, dtype=jnp.int32)[:, None] + probes) & mask
         ].reshape(H, P * 4)
+    return packed, bo_packed, rep
+
+
+def lookup_prepared(
+    tables: NgramTables,
+    prep,
+    states: jnp.ndarray,
+    words: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized backing-off lookup over prepare_lookup() tables.
+
+    states, words ``[N] i32`` -> (costs ``[N] f32``, next states ``[N] i32``).
+    Unknown words (no unigram) get the <unk> unigram or cost 99.
+    """
+    packed, bo_packed, rep = prep
+    mask = tables.table_size - 1
+    N = states.shape
+    acc = jnp.zeros(N, jnp.float32)
+    nxt = jnp.zeros(N, jnp.int32)
+    found = jnp.zeros(N, jnp.bool_)
+    cur = states
+    P = tables.max_probe
+    probes = jnp.arange(P, dtype=jnp.int32)
 
     def probe_level(acc, nxt, found, cur, words):
         h = _hash_jax(cur, words, mask)
-        if replicate:
+        if rep is not None:
             rows = rep[h].reshape(h.shape + (P, 4))  # one row gather
         else:
             rows = packed[(h[..., None] + probes) & mask]  # [..., P, 4]
@@ -279,6 +294,14 @@ def lookup(
         acc = jnp.where(~found, acc + 99.0, acc)
         nxt = jnp.where(~found, 0, nxt)
     return acc, nxt
+
+
+def lookup(
+    tables: NgramTables, states: jnp.ndarray, words: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-shot lookup (standalone use; inside scan bodies call
+    prepare_lookup once outside and lookup_prepared per step)."""
+    return lookup_prepared(tables, prepare_lookup(tables), states, words)
 
 
 @jax.jit

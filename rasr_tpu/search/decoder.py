@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.lm.ngram_tpu import NgramTables, lookup
+from ..models.lm.ngram_tpu import NgramTables, lookup_prepared, prepare_lookup
 from ..ops.viterbi import BIG
 from .tree import WORD_NONE, PrefixTree
 
@@ -361,6 +361,9 @@ def _decode_scan(
     # costs ~7 cycles/index on the TPU gather unit; the MXU streams the
     # same selection in ~no time (one-hot rows select exactly, and
     # HIGHEST precision keeps f32 values intact)
+    # LM gather tables built ONCE outside the scan (rebuilding the
+    # replicated probe-chain per frame is a throughput disaster)
+    lm_prep = prepare_lookup(lm)
     root_sel = jax.nn.one_hot(
         tree.root_cls, emissions.shape[2], dtype=jnp.float32, axis=0
     )  # [M, G]
@@ -599,8 +602,8 @@ def _decode_scan(
         r_srcbp = src_rows[..., 1]
 
         is_lm_word = r_word >= 0
-        lm_cost, lm_next = lookup(
-            lm, r_srclm.reshape(-1), jnp.maximum(r_word, 0).reshape(-1)
+        lm_cost, lm_next = lookup_prepared(
+            lm, lm_prep, r_srclm.reshape(-1), jnp.maximum(r_word, 0).reshape(-1)
         )
         lm_cost = lm_cost.reshape(B, R)
         lm_next = lm_next.reshape(B, R)
@@ -661,8 +664,8 @@ def _decode_scan(
     _, _, _, _, fstate, flm, fscore, fbp = carry
 
     # sentence-end LM scores for final root hyps
-    end_cost, _ = lookup(
-        lm,
+    end_cost, _ = lookup_prepared(
+        lm, lm_prep,
         flm.reshape(-1),
         jnp.full((B * fstate.shape[1],), max(lm.end_word, 0), jnp.int32),
     )

@@ -52,6 +52,7 @@ def frontend_from_config(component) -> FeatureFrontend:
         splice_context=int(scope.param("splice", 0)),
         lda=lda,
         delta_order=int(scope.param("delta-order", 0)),
+        use_pallas=str(scope.param("use-pallas", "false")).lower() == "true",
     )
 
 

@@ -67,6 +67,10 @@ class NnTrainerTool(Application):
     def run(self, args: List[str]) -> int:
         feats, labels, weights = _load_frames(self.feature_cache, self.alignment_cache)
         ds = FrameDataset(feats, labels, weights)
+        if not self.num_classes:
+            # infer the tied-state inventory from the alignment labels
+            # (the reference takes it from the mixture set)
+            self.num_classes = int(labels.max()) + 1
         model = FeedForwardNet(
             num_classes=self.num_classes, hidden=tuple(self.hidden),
             activation=self.activation,

@@ -110,6 +110,8 @@ class SpeechRecognizerTool(Application):
             word_end_limit=int(search.param("word-end-limit", 128)),
             root_hyps=int(search.param("root-hyps", 32)),
             root_arc_limit=int(search.param("root-arc-limit", 0)),
+            branch_hyps=int(search.param("branch-hyps", 0)),
+            expansion_limit=int(search.param("expansion-limit", 0)),
             lookahead_scale=float(search.param("lookahead-scale", 1.0)),
             lm_scale=float(search.param("lm-scale", 10.0)),
         )

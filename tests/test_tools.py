@@ -143,3 +143,78 @@ def test_tool_help_and_bad_config(workdir):
         cwd=str(workdir), env=env, capture_output=True, text=True, timeout=60,
     )
     assert bad.returncode != 0  # invalid choice rejected
+
+
+def test_align_nn_and_util_tools(workdir):
+    """Second half of the tool chain: alignment cache -> nn-trainer
+    (supervised + priors), plus lm-util, fsa, lattice-processor."""
+    cwd = str(workdir)
+    if not (workdir / "model.mix.npz").exists():
+        test_full_tool_chain(workdir)  # build the chain artifacts
+
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=align",
+        "--acoustic-model-trainer.corpus-file=toy.corpus",
+        "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.mixture-file=model.mix",
+        "--acoustic-model-trainer.alignment-cache=align.cache",
+        "--acoustic-model-trainer.frontend.normalize=none", cwd=cwd,
+    )
+    run_tool(
+        "rasr_tpu.tools.nn_trainer",
+        "--nn-trainer.action=supervised-training",
+        "--nn-trainer.feature-cache=feat.cache",
+        "--nn-trainer.alignment-cache=align.cache",
+        "--nn-trainer.hidden-layers=16",
+        "--nn-trainer.epochs=2",
+        "--nn-trainer.params-file=nn.msgpack", cwd=cwd,
+    )
+    assert (workdir / "nn.msgpack").exists()
+    run_tool(
+        "rasr_tpu.tools.nn_trainer",
+        "--nn-trainer.action=estimate-priors",
+        "--nn-trainer.feature-cache=feat.cache",
+        "--nn-trainer.alignment-cache=align.cache",
+        "--nn-trainer.priors-file=priors.npy", cwd=cwd,
+    )
+    assert (workdir / "priors.npy").exists()
+
+    out = run_tool(
+        "rasr_tpu.tools.lm_util",
+        "--lm-util.action=statistics", "--lm-util.lm-file=lm.arpa", cwd=cwd,
+    )
+    assert json.loads(out)["order"] == 2
+    out = run_tool(
+        "rasr_tpu.tools.lm_util",
+        "--lm-util.action=compile-check", "--lm-util.lm-file=lm.arpa", cwd=cwd,
+    )
+    assert json.loads(out)["states"] > 0
+    out = run_tool(
+        "rasr_tpu.tools.lm_util",
+        "--lm-util.action=perplexity", "--lm-util.lm-file=lm.arpa",
+        "--lm-util.corpus-file=toy.corpus", cwd=cwd,
+    )
+    assert "perplexity" in out
+
+    # fsa tool: compose two toy transducers, then best path
+    (workdir / "a.att").write_text("0 1 1 1 0.5\n1 0.0\n")
+    (workdir / "b.att").write_text("0 1 1 2 0.25\n1 0.0\n")
+    run_tool(
+        "rasr_tpu.tools.fsa_tool", "--fsa.op=compose",
+        "--fsa.output=c.att", "a.att", "b.att", cwd=cwd,
+    )
+    out = run_tool("rasr_tpu.tools.fsa_tool", "--fsa.op=best", "c.att", cwd=cwd)
+    assert "0.75" in out
+    out = run_tool("rasr_tpu.tools.fsa_tool", "--fsa.op=draw", "c.att", cwd=cwd)
+    assert "digraph" in out
+
+    # legacy lattice-processor alias over the recognition lattices
+    out = run_tool(
+        "rasr_tpu.tools.lattice_processor",
+        "--lattice-processor.lattice-archive=lat.cache",
+        "--lattice-processor.corpus-file=toy.corpus",
+        "--lattice-processor.ops=best evaluate", cwd=cwd,
+    )
+    assert "WER:" in out
