@@ -14,9 +14,11 @@ host-side, into
   holding (cost, next_state), linear probing with a build-time-verified
   probe bound.
 
-``lookup(states, words)`` is fully vectorized: at most ``order`` backoff
-levels × ``max_probe`` probes, all unrolled gathers — no data-dependent
-control flow, jit/scan-safe, usable inside the decoder's frame loop.
+Lookups are fully vectorized: at most ``order`` backoff levels, each one
+replicated-row gather — no data-dependent control flow. Inside a scan
+body (the decoder's frame loop) call ``prepare_lookup`` ONCE outside the
+loop and ``lookup_prepared`` per step; the one-shot ``lookup`` wrapper
+rebuilds its gather tables every call and must stay out of loops.
 """
 
 from __future__ import annotations

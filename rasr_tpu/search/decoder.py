@@ -285,6 +285,7 @@ class BeamConfig:
 def _decode_scan(
     tree: TreeTables,
     lm: NgramTables,
+    lm_prep,  # prepare_lookup(lm) tables, built once per decoder
     emissions: jnp.ndarray,  # [B, T, M]
     n_frames: jnp.ndarray,  # [B]
     cfg: BeamConfig,
@@ -361,9 +362,6 @@ def _decode_scan(
     # costs ~7 cycles/index on the TPU gather unit; the MXU streams the
     # same selection in ~no time (one-hot rows select exactly, and
     # HIGHEST precision keeps f32 values intact)
-    # LM gather tables built ONCE outside the scan (rebuilding the
-    # replicated probe-chain per frame is a throughput disaster)
-    lm_prep = prepare_lookup(lm)
     root_sel = jax.nn.one_hot(
         tree.root_cls, emissions.shape[2], dtype=jnp.float32, axis=0
     )  # [M, G]
@@ -754,6 +752,10 @@ class TreeDecoder:
         self.tree = tree
         self.tables = tree_to_device(tree)
         self.lm = lm_tables
+        # LM gather tables (incl. the replicated probe-chain) built ONCE
+        # per decoder — rebuilding per decode call wastes ~10ms+ each,
+        # rebuilding per FRAME collapses throughput (92 -> 3 audio-s/s)
+        self.lm_prep = jax.jit(prepare_lookup)(lm_tables)
         # word-end selection cannot exceed the number of candidates
         self.cfg = dataclasses.replace(
             cfg,
@@ -785,6 +787,7 @@ class TreeDecoder:
             best, records = _decode_scan(
                 self.tables,
                 self.lm,
+                self.lm_prep,
                 jnp.asarray(emissions),
                 jnp.asarray(n_frames, jnp.int32),
                 *args,
@@ -795,9 +798,9 @@ class TreeDecoder:
 
             rep, dp = P(), P("data")
             fn = shard_map(
-                lambda tb, lmt, e, nf: _decode_scan(tb, lmt, e, nf, *args),
+                lambda tb, lmt, lp, e, nf: _decode_scan(tb, lmt, lp, e, nf, *args),
                 mesh=mesh,
-                in_specs=(rep, rep, dp, dp),
+                in_specs=(rep, rep, rep, dp, dp),
                 out_specs=(
                     P(None, "data", None),
                     (
@@ -816,7 +819,7 @@ class TreeDecoder:
                 jnp.asarray(n_frames, jnp.int32), NamedSharding(mesh, dp)
             )
             with mesh:
-                best, records = fn(self.tables, self.lm, emis_s, nf_s)
+                best, records = fn(self.tables, self.lm, self.lm_prep, emis_s, nf_s)
         packed = np.asarray(best)  # ONE host transfer: walk + score row
         walk = packed[:-1]  # [MAXW, B, 3] (lemma, time, rec_id)
         best_score = packed[-1, :, 0].view(np.float32)
