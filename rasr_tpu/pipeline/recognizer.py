@@ -34,10 +34,14 @@ class OfflineRecognizer:
         decoder: TreeDecoder,
         lattice_archive: Optional[str] = None,
         frame_shift_s: float = 0.01,
+        mesh=None,
     ):
         self.frontend = frontend
         self.scorer = scorer
         self.decoder = decoder
+        #: optional device mesh: utterance batches decode DP-sharded
+        #: over the mesh's ``data`` axis (decode_scores(mesh=...))
+        self.mesh = mesh
         self.lattice_archive = lattice_archive
         self.frame_shift_s = frame_shift_s
         self.log = LogManager.get().channel("recognizer", "log")
@@ -56,7 +60,7 @@ class OfflineRecognizer:
                 feats, n_frames = self.frontend(batch.samples, batch.lengths)
                 emis = self.scorer(feats)  # device array straight into decode
                 batch_results = self.decoder.decode_scores(
-                    emis, np.asarray(n_frames), batch.names
+                    emis, np.asarray(n_frames), batch.names, mesh=self.mesh
                 )
                 elapsed = time.perf_counter() - t0
                 audio_s = float(batch.lengths.sum()) / visitor.sample_rate
