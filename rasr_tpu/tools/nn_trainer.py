@@ -63,6 +63,11 @@ class NnTrainerTool(Application):
     l2 = ParameterFloat("l2", default=0.0)
     optimizer = ParameterChoice("optimizer", ["sgd", "momentum", "adam"], default="momentum")
     seed = ParameterInt("seed", default=0)
+    #: directory for full-state (params+optimizer+cursor) checkpoints;
+    #: empty = artifact-only resume like the reference (SURVEY §5)
+    checkpoint_dir = ParameterString("checkpoint-dir", default="")
+    checkpoint_every = ParameterInt("checkpoint-every", default=0)  # steps
+    resume = ParameterInt("resume", default=1)  # restore latest if present
 
     def run(self, args: List[str]) -> int:
         feats, labels, weights = _load_frames(self.feature_cache, self.alignment_cache)
@@ -88,7 +93,15 @@ class NnTrainerTool(Application):
             priors.save(self.priors_file)
             self.log("priors estimated", classes=self.num_classes)
             return 0
-        params, stats = trainer.train(ds, log=self.log)
+        ckpt = None
+        if self.checkpoint_dir:
+            from ..train.checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(self.checkpoint_dir)
+        params, stats = trainer.train(
+            ds, log=self.log, ckpt=ckpt,
+            ckpt_every=self.checkpoint_every, resume=bool(self.resume),
+        )
         trainer.save_params(params, self.params_file)
         priors = trainer.estimate_priors(ds)
         priors.save(self.priors_file)

@@ -117,25 +117,64 @@ class NnTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc
 
-    def train(self, dataset: FrameDataset, params=None, log=None):
+    def train(
+        self,
+        dataset: FrameDataset,
+        params=None,
+        log=None,
+        ckpt=None,  # train.checkpoint.CheckpointManager
+        ckpt_every: int = 0,  # full-state checkpoint every N steps (0 = per epoch)
+        resume: bool = False,  # restore the latest checkpoint and continue
+    ):
+        """Run the SGD schedule; optionally checkpoint/resume MID-EPOCH.
+
+        The reference resumes only at stage granularity (weight file per
+        epoch; SURVEY §5 checkpoint/resume). Here the full training state
+        (params + optimizer + epoch + minibatch cursor) checkpoints every
+        ``ckpt_every`` steps; because minibatch assembly is a seeded
+        permutation (like the reference's seeded shuffling), resuming at
+        (epoch, batch) replays the exact remaining schedule — an
+        interrupted run converges to bitwise the same parameters.
+        """
         if params is None:
             params = self.init_params(dataset.feats.shape[1])
         opt_state = self.opt.init(params)
+        start_epoch, start_batch, gstep = 0, 0, 0
+        if resume and ckpt is not None and ckpt.latest_step() is not None:
+            (params, opt_state), meta = ckpt.restore((params, opt_state))
+            start_epoch = int(meta.get("epoch", 0))
+            start_batch = int(meta.get("batch", 0))
+            gstep = int(meta["step"])
+            if log is not None:
+                log("nn resume", epoch=start_epoch, batch=start_batch, step=gstep)
         stats = []
-        for epoch in range(self.cfg.epochs):
+        for epoch in range(start_epoch, self.cfg.epochs):
             losses, accs = [], []
-            for x, y, w in dataset.minibatches(self.cfg.batch_size, self.cfg.seed + epoch):
+            skip = start_batch if epoch == start_epoch else 0
+            for bi, (x, y, w) in enumerate(
+                dataset.minibatches(self.cfg.batch_size, self.cfg.seed + epoch)
+            ):
+                if bi < skip:
+                    continue
                 params, opt_state, loss, acc = self._step(
                     params, opt_state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
                 )
                 losses.append(float(loss))
                 accs.append(float(acc))
+                gstep += 1
+                if ckpt is not None and ckpt_every and gstep % ckpt_every == 0:
+                    ckpt.save(
+                        gstep, (params, opt_state),
+                        {"epoch": epoch, "batch": bi + 1},
+                    )
             rec = {
                 "epoch": epoch,
                 "loss": float(np.mean(losses)) if losses else 0.0,
                 "frame_accuracy": float(np.mean(accs)) if accs else 0.0,
             }
             stats.append(rec)
+            if ckpt is not None:
+                ckpt.save(gstep, (params, opt_state), {"epoch": epoch + 1, "batch": 0})
             if log is not None:
                 log("nn epoch", **rec)
         return params, stats

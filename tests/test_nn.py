@@ -48,6 +48,35 @@ def test_training_learns(rng):
     assert stats[-1]["loss"] < stats[0]["loss"]
 
 
+def test_mid_epoch_checkpoint_resume_exact(tmp_path, rng):
+    """An interrupted-and-resumed run reproduces the uninterrupted
+    parameters bitwise (seeded permutation + full opt-state restore)."""
+    from rasr_tpu.train.checkpoint import CheckpointManager
+
+    feats, labels, _ = _toy_data(rng, n=400)
+    ds = FrameDataset(feats, labels)
+    model = FeedForwardNet(num_classes=4, hidden=(16,))
+    cfg = TrainConfig(batch_size=64, epochs=3, learning_rate=0.05, momentum=0.9)
+
+    straight, _ = NnTrainer(model, 4, cfg).train(ds)
+
+    # checkpoint every 2 steps; 400//64 = 6 steps/epoch, 18 total
+    ck1 = CheckpointManager(str(tmp_path / "ck"), max_to_keep=100)
+    NnTrainer(model, 4, cfg).train(ds, ckpt=ck1, ckpt_every=2)
+    # pretend the job died after step 7 (mid-epoch 1): drop later ckpts
+    for s in ck1.all_steps():
+        if s > 7:
+            for suffix in (".msgpack", ".json"):
+                (tmp_path / "ck" / f"ckpt_{s:08d}{suffix}").unlink()
+    assert ck1.latest_step() == 6  # every-2 grid: 6 is the last <= 7
+
+    resumed, _ = NnTrainer(model, 4, cfg).train(ds, ckpt=ck1, resume=True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        straight, resumed,
+    )
+
+
 def test_dataset_padding_and_counts(rng):
     feats = rng.normal(size=(2, 10, 4)).astype(np.float32)
     labels = np.full((2, 10), -1, np.int32)
