@@ -281,7 +281,10 @@ class BeamConfig:
     lookahead_scale: float = 1.0
 
 
-@partial(jax.jit, static_argnames=("cfg", "wmax", "hroot", "kbranch"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "wmax", "hroot", "kbranch", "beam_axis", "beam_par"),
+)
 def _decode_scan(
     tree: TreeTables,
     lm: NgramTables,
@@ -292,9 +295,23 @@ def _decode_scan(
     wmax: int,
     hroot: int,
     kbranch: int,
+    beam_axis: Optional[str] = None,
+    beam_par: int = 1,
 ):
+    """One batched decode scan; with ``beam_axis`` the K hypothesis slots
+    PARTITION over that mesh axis (TP for search — SURVEY §5: "shard
+    hypotheses across chips, local top-k then collective pruning"): the
+    beam carry stays replicated, each device expands only its K/P slice
+    (splitting the dominant per-frame cost — expansion + emission gather
+    indices — P ways), recombines/top-Ks locally, and one all_gather +
+    replicated merge per frame restores the exact global beam. With
+    pruning limits off this equals the single-device scan exactly."""
     B, T, M = emissions.shape
     K = cfg.max_hyps
+    Pn = beam_par if beam_axis is not None else 1
+    K_loc = K // Pn
+    assert K_loc * Pn == K, "max_hyps must divide the beam axis"
+    my = jax.lax.axis_index(beam_axis) if Pn > 1 else 0
     R = cfg.word_end_limit
     SENT = tree.sentinel
     Db = tree.branch_degree
@@ -307,9 +324,12 @@ def _decode_scan(
     # state included so pruned slots pack too
     L = lm.num_states
     pack_keys = (SENT + 1) * L < 2**31
-    cand_width = 3 * K + kbranch * Db + G + max(hroot - 1, 0) * gcap
-    use_exp = 0 < cfg.expansion_limit < cand_width
+    cand_width = 3 * K_loc + kbranch * Db + G + max(hroot - 1, 0) * gcap
     E = cfg.expansion_limit
+    if E and Pn > 1:
+        E = max(E // Pn, 1)  # per-slice share of the global expansion cap
+    use_exp = 0 < E < cand_width
+    topn = min(K, cand_width)  # local top-K may be limited by slice width
 
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
@@ -393,28 +413,39 @@ def _decode_scan(
         emis_t, t = inputs
         active = (t < n_frames)[:, None]
 
+        # partitioned beam: this device expands only its K/P slice; the
+        # full K beam is restored by the all_gather merge below
+        if Pn > 1:
+            off = my * K_loc
+            state_e = jax.lax.dynamic_slice_in_dim(state, off, K_loc, 1)
+            lms_e = jax.lax.dynamic_slice_in_dim(lms, off, K_loc, 1)
+            score_e = jax.lax.dynamic_slice_in_dim(score, off, K_loc, 1)
+            bp_e = jax.lax.dynamic_slice_in_dim(bp, off, K_loc, 1)
+        else:
+            state_e, lms_e, score_e, bp_e = state, lms, score, bp
+
         # ------------------------------- per-hyp state columns (1 gather)
-        pk = state_pack[state]  # [B,K,9]
+        pk = state_pack[state_e]  # [B,K_loc,9]
         own_cls = bc_i(pk[..., 8])
-        p_loop = score + pk[..., 0]
+        p_loop = score_e + pk[..., 0]
 
         # dense slot 1 / 2 (chain transitions)
         d1 = bc_i(pk[..., 1])
         d1_cls = bc_i(pk[..., 3])
-        p_d1 = score + pk[..., 2]
+        p_d1 = score_e + pk[..., 2]
         d2 = bc_i(pk[..., 4])
         d2_cls = bc_i(pk[..., 6])
-        p_d2 = score + pk[..., 5]
+        p_d2 = score_e + pk[..., 5]
 
         # packed beam rows: every downstream selection gathers all four
         # beam columns with ONE row gather
         beam_rows = jnp.stack(
-            [bc_f(state), bc_f(lms), score, bc_f(bp)], axis=-1
-        )  # [B,K,4]
+            [bc_f(state_e), bc_f(lms_e), score_e, bc_f(bp_e)], axis=-1
+        )  # [B,K_loc,4]
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
         has_branch = bc_i(pk[..., 7]) > 0
-        br_sel_score = jnp.where(has_branch, score, BIG)
+        br_sel_score = jnp.where(has_branch, score_e, BIG)
         negb, bidx = jax.lax.top_k(-br_sel_score, kbranch)
         b_score = -negb
         b_rows = rowsel(beam_rows, bidx)  # [B,Kb,4]
@@ -435,7 +466,7 @@ def _decode_scan(
         # root re-entry: top-H root hyps. The best history expands every
         # root arc; the others only the Gcap most promising (arrays are
         # in static promise order).
-        root_score = jnp.where(state == 0, score, BIG)
+        root_score = jnp.where(state_e == 0, score_e, BIG)
         negH, hidx = jax.lax.top_k(-root_score, hroot)
         h_score = -negH  # ascending: h=0 is the best root hypothesis
         h_rows = rowsel(beam_rows, hidx)  # [B,H,4]
@@ -467,15 +498,15 @@ def _decode_scan(
 
         # ------------------------------------------- assemble candidates
         cand_state = jnp.concatenate(
-            [state, d1, d2, b_dst.reshape(B, kbranch * Db), *root_states],
+            [state_e, d1, d2, b_dst.reshape(B, kbranch * Db), *root_states],
             axis=1,
         )
         cand_lm = jnp.concatenate(
-            [lms, lms, lms, jnp.repeat(b_lm, Db, axis=1), *root_lms],
+            [lms_e, lms_e, lms_e, jnp.repeat(b_lm, Db, axis=1), *root_lms],
             axis=1,
         )
         cand_bp = jnp.concatenate(
-            [bp, bp, bp, jnp.repeat(b_bp, Db, axis=1), *root_bps],
+            [bp_e, bp_e, bp_e, jnp.repeat(b_bp, Db, axis=1), *root_bps],
             axis=1,
         )
 
@@ -534,6 +565,8 @@ def _decode_scan(
 
         # ------------------------------------------------- beam prune
         best = jnp.min(cand_score, axis=1, keepdims=True)
+        if Pn > 1:
+            best = jax.lax.pmin(best, beam_axis)  # global beam offset
         cand_score = jnp.where(cand_score > best + cfg.beam, BIG, cand_score)
 
         # ------------------------------------- recombination (sort+dedup)
@@ -563,9 +596,47 @@ def _decode_scan(
         s_score = jnp.where(first, s_score, BIG)
 
         # ------------------------------------------------- histogram top-K
-        neg, idx = jax.lax.top_k(-s_score, K)
+        neg, idx = jax.lax.top_k(-s_score, topn)
         n_rows = rowsel(s_rows, idx)  # one row gather for key/bp columns
         n_score = -neg
+
+        if Pn > 1:
+            # ---- collective beam merge: gather every device's deduped
+            # local top-K, re-sort + dedup (a hypothesis reachable on two
+            # slices recombines here), keep the global top-K — replicated,
+            # so word-end/LM processing below runs identically everywhere
+            pay = jnp.concatenate([bc_f(n_rows), n_score[..., None]], axis=-1)
+            gath = jax.lax.all_gather(pay, beam_axis, axis=1, tiled=True)
+            g_score = gath[..., -1]
+            if pack_keys:
+                s_key, s_score, s_bp = jax.lax.sort(
+                    (bc_i(gath[..., 0]), g_score, bc_i(gath[..., 1])),
+                    dimension=1, num_keys=2,
+                )
+                first = jnp.concatenate(
+                    [jnp.ones((B, 1), bool), s_key[:, 1:] != s_key[:, :-1]],
+                    axis=1,
+                )
+                s_rows = jnp.stack([s_key, s_bp], axis=-1)
+            else:
+                s_state, s_lm, s_score, s_bp = jax.lax.sort(
+                    (bc_i(gath[..., 0]), bc_i(gath[..., 1]), g_score,
+                     bc_i(gath[..., 2])),
+                    dimension=1, num_keys=3,
+                )
+                first = jnp.concatenate(
+                    [
+                        jnp.ones((B, 1), bool),
+                        (s_state[:, 1:] != s_state[:, :-1])
+                        | (s_lm[:, 1:] != s_lm[:, :-1]),
+                    ],
+                    axis=1,
+                )
+                s_rows = jnp.stack([s_state, s_lm, s_bp], axis=-1)
+            s_score = jnp.where(first, s_score, BIG)
+            neg, idx = jax.lax.top_k(-s_score, K)
+            n_rows = rowsel(s_rows, idx)
+            n_score = -neg
         if pack_keys:
             n_key = n_rows[..., 0]
             n_state = n_key // jnp.int32(L)
@@ -768,22 +839,32 @@ class TreeDecoder:
         n_frames: np.ndarray,
         names: Optional[Sequence[str]] = None,
         mesh=None,
+        beam_axis: Optional[str] = None,
     ) -> List[DecodeResult]:
         """Batched decode. With ``mesh``, the utterance batch shards
         over the mesh's ``data`` axis and each device runs the scan on
         its shard via shard_map — embarrassingly-parallel DP decode with
         zero collectives (the in-process form of the reference's
-        independent recognition jobs; tree/LM tables are replicated)."""
+        independent recognition jobs; tree/LM tables are replicated).
+        With ``beam_axis`` (e.g. ``"model"``), the K hypothesis slots
+        additionally PARTITION over that axis — each device expands its
+        K/P slice and one all_gather per frame merges the beams (TP for
+        search; composes with the data axis for a 2-D decode mesh)."""
         B = emissions.shape[0]
         names = names or [f"utt{i}" for i in range(B)]
+        beam_par = int(mesh.shape[beam_axis]) if beam_axis is not None else 1
+        K_loc = max(self.cfg.max_hyps // beam_par, 1)
         kbranch = self.cfg.branch_hyps or self.cfg.max_hyps
         args = (
             self.cfg,
             self.tree.max_word_ends,
-            min(self.cfg.root_hyps, self.cfg.max_hyps),
-            min(kbranch, self.cfg.max_hyps),
+            min(self.cfg.root_hyps, K_loc),
+            min(kbranch, K_loc),
+            beam_axis,
+            beam_par,
         )
         if mesh is None:
+            assert beam_axis is None, "beam_axis requires a mesh"
             best, records = _decode_scan(
                 self.tables,
                 self.lm,

@@ -243,6 +243,28 @@ def test_expansion_limit_matches_exact_when_generous(setup, rng):
         np.testing.assert_allclose(approx.score, exact.score, rtol=1e-6)
 
 
+def test_partitioned_beam_matches_single_device(setup, rng):
+    """Beam partitioned over the 'model' axis (per-frame all_gather
+    merge) == single-device decode, exact settings."""
+    from rasr_tpu.parallel.mesh import make_mesh
+
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    B, T = 2, 12
+    emis = rng.uniform(0.0, 8.0, size=(B, T, M)).astype(np.float32)
+    n = np.array([T, T - 3], np.int32)
+    cfg = BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.7)
+    dec = TreeDecoder(tree, tables, cfg)
+    ref = dec.decode_scores(emis, n)
+
+    mesh = make_mesh(data=2, model=4)
+    got = dec.decode_scores(emis, n, mesh=mesh, beam_axis="model")
+    for r, g in zip(ref, got):
+        assert r.words == g.words
+        assert r.word_ends == g.word_ends
+        np.testing.assert_allclose(r.score, g.score, rtol=1e-5)
+
+
 def test_decoder_with_4gram_lm(setup, rng):
     """Config #4 shape: decode against a 4-gram backing-off LM — the
     compiled automaton handles higher orders with the same gather
