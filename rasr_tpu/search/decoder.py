@@ -281,32 +281,31 @@ class BeamConfig:
     lookahead_scale: float = 1.0
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "wmax", "hroot", "kbranch", "beam_axis", "beam_par"),
-)
-def _decode_scan(
+def _make_step(
     tree: TreeTables,
     lm: NgramTables,
-    lm_prep,  # prepare_lookup(lm) tables, built once per decoder
-    emissions: jnp.ndarray,  # [B, T, M]
+    lm_prep,
     n_frames: jnp.ndarray,  # [B]
     cfg: BeamConfig,
+    B: int,
+    M: int,
     wmax: int,
     hroot: int,
     kbranch: int,
     beam_axis: Optional[str] = None,
     beam_par: int = 1,
 ):
-    """One batched decode scan; with ``beam_axis`` the K hypothesis slots
-    PARTITION over that mesh axis (TP for search — SURVEY §5: "shard
-    hypotheses across chips, local top-k then collective pruning"): the
-    beam carry stays replicated, each device expands only its K/P slice
-    (splitting the dominant per-frame cost — expansion + emission gather
-    indices — P ways), recombines/top-Ks locally, and one all_gather +
-    replicated merge per frame restores the exact global beam. With
-    pruning limits off this equals the single-device scan exactly."""
-    B, T, M = emissions.shape
+    """Build the per-frame scan step + initial carry (shared by the
+    offline whole-utterance scan and the streaming block feed).
+
+    With ``beam_axis`` the K hypothesis slots PARTITION over that mesh
+    axis (TP for search — SURVEY §5: "shard hypotheses across chips,
+    local top-k then collective pruning"): the beam carry stays
+    replicated, each device expands only its K/P slice (splitting the
+    dominant per-frame cost — expansion + emission gather indices — P
+    ways), recombines/top-Ks locally, and one all_gather + replicated
+    merge per frame restores the exact global beam. With pruning limits
+    off this equals the single-device scan exactly."""
     K = cfg.max_hyps
     Pn = beam_par if beam_axis is not None else 1
     K_loc = K // Pn
@@ -383,7 +382,7 @@ def _decode_scan(
     # same selection in ~no time (one-hot rows select exactly, and
     # HIGHEST precision keeps f32 values intact)
     root_sel = jax.nn.one_hot(
-        tree.root_cls, emissions.shape[2], dtype=jnp.float32, axis=0
+        tree.root_cls, M, dtype=jnp.float32, axis=0
     )  # [M, G]
 
     def fsel(x, idx):
@@ -727,10 +726,16 @@ def _decode_scan(
         )
         return (state, lms, score, bp, fstate, flm, fscore, fbp), recs
 
-    ts = jnp.arange(T, dtype=jnp.int32)
     carry0 = (state0, lm0, score0, bp0, state0, lm0, score0, bp0)
-    carry, recs = jax.lax.scan(step, carry0, (jnp.swapaxes(emissions, 0, 1), ts))
-    _, _, _, _, fstate, flm, fscore, fbp = carry
+    return step, carry0
+
+
+def _best_and_records(lm, lm_prep, recs, finals, cfg: BeamConfig, T: int):
+    """Final best-hypothesis selection + device traceback walk (the tail
+    shared by the offline scan and the streaming finalize)."""
+    fstate, flm, fscore, fbp = finals
+    B = fstate.shape[0]
+    R = cfg.word_end_limit
 
     # sentence-end LM scores for final root hyps
     end_cost, _ = lookup_prepared(
@@ -792,6 +797,86 @@ def _decode_scan(
         [jnp.stack([w_lemma, w_time, w_rec], axis=-1), score_row], axis=0
     )  # [MAXW+1, B, 3]
     return best, (rec_int, rec_f, fin_int, fin_f)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "wmax", "hroot", "kbranch", "beam_axis", "beam_par"),
+)
+def _decode_scan(
+    tree: TreeTables,
+    lm: NgramTables,
+    lm_prep,  # prepare_lookup(lm) tables, built once per decoder
+    emissions: jnp.ndarray,  # [B, T, M]
+    n_frames: jnp.ndarray,  # [B]
+    cfg: BeamConfig,
+    wmax: int,
+    hroot: int,
+    kbranch: int,
+    beam_axis: Optional[str] = None,
+    beam_par: int = 1,
+):
+    """Whole-utterance batched decode: scan + final selection/traceback."""
+    B, T, M = emissions.shape
+    step, carry0 = _make_step(
+        tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch,
+        beam_axis, beam_par,
+    )
+    ts = jnp.arange(T, dtype=jnp.int32)
+    carry, recs = jax.lax.scan(step, carry0, (jnp.swapaxes(emissions, 0, 1), ts))
+    _, _, _, _, fstate, flm, fscore, fbp = carry
+    return _best_and_records(
+        lm, lm_prep, recs, (fstate, flm, fscore, fbp), cfg, T
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "wmax", "hroot", "kbranch"))
+def _decode_block(
+    tree: TreeTables,
+    lm: NgramTables,
+    lm_prep,
+    emissions: jnp.ndarray,  # [B, Tb, M] one block of frames
+    t0: jnp.ndarray,  # scalar: global index of the block's first frame
+    n_frames: jnp.ndarray,  # [B] total frames (may exceed what's fed)
+    carry,
+    cfg: BeamConfig,
+    wmax: int,
+    hroot: int,
+    kbranch: int,
+):
+    """One streaming feed: advance the beam over a block of frames.
+    ``t0`` is traced, so every same-shaped block reuses one executable."""
+    B, Tb, M = emissions.shape
+    step, _ = _make_step(
+        tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch
+    )
+    ts = t0 + jnp.arange(Tb, dtype=jnp.int32)
+    return jax.lax.scan(step, carry, (jnp.swapaxes(emissions, 0, 1), ts))
+
+
+@partial(jax.jit, static_argnames=("cfg", "maxw"))
+def _finalize_stream(
+    lm: NgramTables,
+    lm_prep,
+    recs,  # concatenated [T_fed, B, R] record arrays
+    carry,
+    captured: jnp.ndarray,  # [B] bool: n_frames was reached during feeds
+    cfg: BeamConfig,
+    maxw: int,
+):
+    """Streaming finalize: utterances whose declared length was reached
+    use the frozen finals captured in the scan; still-live utterances
+    are finalized at the current frontier (the reference's
+    getCurrentBestSentence semantics for partial hypotheses)."""
+    state, lms, score, bp, fstate, flm, fscore, fbp = carry
+    c = captured[:, None]
+    finals = (
+        jnp.where(c, fstate, state),
+        jnp.where(c, flm, lms),
+        jnp.where(c, fscore, score),
+        jnp.where(c, fbp, bp),
+    )
+    return _best_and_records(lm, lm_prep, recs, finals, cfg, maxw)
 
 
 @dataclasses.dataclass
@@ -901,15 +986,18 @@ class TreeDecoder:
             )
             with mesh:
                 best, records = fn(self.tables, self.lm, self.lm_prep, emis_s, nf_s)
-        packed = np.asarray(best)  # ONE host transfer: walk + score row
-        walk = packed[:-1]  # [MAXW, B, 3] (lemma, time, rec_id)
-        best_score = packed[-1, :, 0].view(np.float32)
         # records stay on device; decoder_lattice pulls them lazily
         self._last_device_records = records
         self._last_n_frames_dev = n_frames
+        return self._results_from(best, names)
 
+    def _results_from(self, best, names: Sequence[str]) -> List[DecodeResult]:
+        """Assemble DecodeResults from the packed device walk array."""
+        packed = np.asarray(best)  # ONE host transfer: walk + score row
+        walk = packed[:-1]  # [MAXW, B, 3] (lemma, time, rec_id)
+        best_score = packed[-1, :, 0].view(np.float32)
         results = []
-        for b in range(B):
+        for b in range(walk.shape[1]):
             lemmas, words, ends, rec_ids = [], [], [], []
             for i in range(walk.shape[0] - 1, -1, -1):  # walk is end-first
                 li, t, rid = (int(x) for x in walk[i, b])

@@ -1,0 +1,140 @@
+"""Streaming (online) decoding: the reference's frame-feed search API.
+
+The reference's ``Search::SearchAlgorithm`` seam is online — per segment
+``restart()``, then ``feed(feature)`` frame by frame, with
+``getCurrentBestSentence()`` available at any time (ref:
+src/Search/Search.*; Speech::Recognizer drives it). The TPU-native form
+feeds BLOCKS of frames (a block is one jitted ``lax.scan`` over the
+persistent beam carry): per-frame host round-trips would pay the
+device-tunnel latency 100x per audio second, while a block amortizes it
+and keeps the hot loop on-chip. Identical final results to the offline
+whole-utterance scan (same step function, same traceback records), so
+exactness properties carry over; ``current_best()`` finalizes a COPY of
+the live beam at the frontier — the partial-hypothesis semantics of the
+reference's current-best traceback.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decoder import (
+    BeamConfig,
+    DecodeResult,
+    TreeDecoder,
+    _decode_block,
+    _finalize_stream,
+)
+
+_NO_END = np.int32(2**30)  # "length not declared": frames stay active
+
+
+class StreamingDecoder:
+    """Block-feed online decoder over a TreeDecoder's compiled tables.
+
+    Usage::
+
+        sd = StreamingDecoder(decoder)
+        sd.restart(batch_size=B, n_frames=totals)   # totals optional
+        for block in emission_blocks:               # [B, Tb, M]
+            sd.feed(block)
+        results = sd.finalize()
+
+    Feeding past a declared utterance end is safe (those rows freeze,
+    exactly like padding frames in the offline scan).
+    """
+
+    def __init__(self, decoder: TreeDecoder):
+        self.dec = decoder
+        self._carry = None
+        self._recs: list = []
+        self._t = 0
+        self._n_frames: Optional[np.ndarray] = None
+        self._B = 0
+
+    # ------------------------------------------------------------ lifecycle
+    def restart(self, batch_size: int, n_frames: Optional[np.ndarray] = None):
+        """Begin a new (batch of) segment(s) (ref: SearchAlgorithm::restart)."""
+        cfg = self.dec.cfg
+        B, K = batch_size, cfg.max_hyps
+        lm = self.dec.lm
+        state0 = jnp.zeros((B, K), jnp.int32)
+        lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
+        score0 = jnp.full((B, K), 1e30, jnp.float32).at[:, 0].set(0.0)
+        bp0 = jnp.full((B, K), -1, jnp.int32)
+        self._carry = (state0, lm0, score0, bp0, state0, lm0, score0, bp0)
+        self._recs = []
+        self._t = 0
+        self._B = B
+        self._n_frames = (
+            np.asarray(n_frames, np.int32)
+            if n_frames is not None
+            else np.full(B, _NO_END, np.int32)
+        )
+        return self
+
+    def feed(self, emissions: np.ndarray) -> "StreamingDecoder":
+        """Advance the beam over a block of emission frames [B, Tb, M]."""
+        assert self._carry is not None, "restart() first"
+        cfg = self.dec.cfg
+        kbranch = cfg.branch_hyps or cfg.max_hyps
+        self._carry, recs = _decode_block(
+            self.dec.tables,
+            self.dec.lm,
+            self.dec.lm_prep,
+            jnp.asarray(emissions),
+            jnp.int32(self._t),
+            jnp.asarray(self._n_frames),
+            self._carry,
+            cfg,
+            self.dec.tree.max_word_ends,
+            min(cfg.root_hyps, cfg.max_hyps),
+            min(kbranch, cfg.max_hyps),
+        )
+        self._recs.append(recs)
+        self._t += emissions.shape[1]
+        return self
+
+    @property
+    def frames_fed(self) -> int:
+        return self._t
+
+    # ------------------------------------------------------------- results
+    def _finalize(self, names: Optional[Sequence[str]]) -> List[DecodeResult]:
+        recs = tuple(
+            jnp.concatenate(parts, axis=0) for parts in zip(*self._recs)
+        )
+        captured = jnp.asarray(self._n_frames <= self._t)
+        best, records = _finalize_stream(
+            self.dec.lm,
+            self.dec.lm_prep,
+            recs,
+            self._carry,
+            captured,
+            self.dec.cfg,
+            self._t,
+        )
+        self.dec._last_device_records = records
+        self.dec._last_n_frames_dev = np.minimum(self._n_frames, self._t)
+        names = names or [f"utt{i}" for i in range(self._B)]
+        return self.dec._results_from(best, names)
+
+    def current_best(
+        self, names: Optional[Sequence[str]] = None
+    ) -> List[DecodeResult]:
+        """Best sentences so far, without disturbing the live beam
+        (ref: getCurrentBestSentence mid-segment)."""
+        assert self._recs, "no frames fed"
+        return self._finalize(names)
+
+    def finalize(
+        self, names: Optional[Sequence[str]] = None
+    ) -> List[DecodeResult]:
+        """Final best sentences; equals the offline decode when the fed
+        frames cover each utterance's declared n_frames."""
+        assert self._recs, "no frames fed"
+        return self._finalize(names)

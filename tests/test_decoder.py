@@ -265,6 +265,54 @@ def test_partitioned_beam_matches_single_device(setup, rng):
         np.testing.assert_allclose(r.score, g.score, rtol=1e-5)
 
 
+def test_streaming_feed_matches_offline(setup, rng):
+    """Block-feed online decode == offline whole-utterance decode."""
+    from rasr_tpu.search.streaming import StreamingDecoder
+
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    B, T = 2, 14
+    emis = rng.uniform(0.0, 8.0, size=(B, T, M)).astype(np.float32)
+    n = np.array([T, T - 4], np.int32)
+    dec = TreeDecoder(
+        tree, tables, BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.7)
+    )
+    ref = dec.decode_scores(emis, n)
+
+    sd = StreamingDecoder(dec).restart(B, n_frames=n)
+    for lo, hi in ((0, 5), (5, 9), (9, 14)):
+        sd.feed(emis[:, lo:hi])
+    got = sd.finalize()
+    for r, g in zip(ref, got):
+        assert r.words == g.words
+        assert r.word_ends == g.word_ends
+        np.testing.assert_allclose(r.score, g.score, rtol=1e-6)
+
+
+def test_streaming_current_best_progresses(setup, rng):
+    """current_best() mid-stream returns partial hypotheses and does not
+    disturb the final result."""
+    from rasr_tpu.search.streaming import StreamingDecoder
+
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    T = 12
+    emis = rng.uniform(0.0, 8.0, size=(1, T, M)).astype(np.float32)
+    dec = TreeDecoder(
+        tree, tables, BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.7)
+    )
+    sd = StreamingDecoder(dec).restart(1)  # length not declared up front
+    sd.feed(emis[:, :6])
+    mid = sd.current_best()
+    assert np.isfinite(mid[0].score)
+    sd.feed(emis[:, 6:])
+    fin = sd.finalize()
+    # undeclared length: finalized at the frontier == offline with n=T
+    ref = dec.decode_scores(emis, np.array([T], np.int32))
+    assert fin[0].words == ref[0].words
+    np.testing.assert_allclose(fin[0].score, ref[0].score, rtol=1e-6)
+
+
 def test_decoder_with_4gram_lm(setup, rng):
     """Config #4 shape: decode against a 4-gram backing-off LM — the
     compiled automaton handles higher orders with the same gather
