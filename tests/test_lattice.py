@@ -104,6 +104,42 @@ def test_confusion_network_and_decode():
     assert cn_decode(slots) == ["A", "C"]
 
 
+def test_lattice_fsa_bridge_roundtrip():
+    """lattice -> fsa best path == flf best path; union via fsa ops."""
+    from rasr_tpu.fsa.algorithms import best as fsa_best, union
+    from rasr_tpu.lattice.flf import best_path
+    from rasr_tpu.lattice.lattice import fsa_to_lattice, lattice_to_fsa
+
+    lat = _diamond()
+    fsa = lattice_to_fsa(lat)
+    cost, arcs = fsa_best(fsa)
+    score, path = best_path(lat)
+    words = [lat.lemma_orths[a.lemma] for a in path]
+    assert math.isclose(cost, score, rel_tol=1e-9)
+    labels = [fsa.input_symbols[a.ilabel] for a in arcs if a.ilabel != 0]
+    assert labels == words
+
+    # round-trip back to a lattice: best path survives
+    lat2 = fsa_to_lattice(fsa)
+    score2, path2 = best_path(lat2)
+    words2 = [lat2.lemma_orths[a.lemma] for a in path2 if a.lemma >= 0]
+    assert words2 == words and math.isclose(score2, score, rel_tol=1e-9)
+
+    # union with a shifted copy still finds the cheaper side
+    import dataclasses as dc
+
+    worse = dc.replace(
+        lat,
+        arcs=[
+            LatticeArc(a.from_node, a.to_node, a.lemma, a.am_score + 5.0, a.lm_score)
+            for a in lat.arcs
+        ],
+    )
+    u = union(lattice_to_fsa(lat), lattice_to_fsa(worse))
+    cost_u, _ = fsa_best(u)
+    assert math.isclose(cost_u, score, rel_tol=1e-9)
+
+
 def test_align_tokens_and_wer():
     stats, ops = align_tokens("the cat sat".split(), "the bat sat down".split())
     assert stats.substitutions == 1
