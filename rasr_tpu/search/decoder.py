@@ -344,6 +344,15 @@ def _make_step(
     def bc_i(a):  # f32 bits -> int32
         return jax.lax.bitcast_convert_type(a, jnp.int32)
 
+    # own class (loop emission) with the has-branch flag folded into its
+    # sign (~cls when the state has overflow arcs)
+    ecls_flag = jnp.where(
+        tree.branch_deg > 0, -tree.emission_class - 1, tree.emission_class
+    )
+    # one packed 8-column row per state (a split into two 3-col tables
+    # with bit-packed dst/cls measured SLOWER on v5e: 114 vs 129
+    # audio-s/s — two dependent gathers beat one wide row only if both
+    # land in VMEM, which the allocator did not do here)
     state_pack = jnp.stack(
         [
             tree.loop_cost,  # 0
@@ -353,11 +362,13 @@ def _make_step(
             bc_f(tree.dense2_dst),  # 4
             tree.dense2_cost + (la_coeff * tree.dense2_dla if use_la else 0.0),  # 5
             bc_f(tree.dense2_cls),  # 6
-            bc_f(tree.branch_deg),  # 7
-            bc_f(tree.emission_class),  # 8 (own class: loop emission)
+            bc_f(ecls_flag),  # 7 (sign bit = has branch arcs)
         ],
         axis=1,
-    )  # [S+1, 9] (branch_ptr is gathered only for the Kb selected hyps)
+    )  # [S+1, 8]
+    branch_head = jnp.stack(
+        [tree.branch_ptr[:-1], tree.branch_deg], axis=1
+    )  # [S+1, 2]: one row gather replaces two element gathers
     branch_pack = jnp.stack(
         [
             bc_f(tree.branch_dst),
@@ -386,16 +397,19 @@ def _make_step(
     )  # [M, G]
 
     def fsel(x, idx):
-        """Batched element selection as a FLAT 1-D gather (the
-        take_along_axis lowering adds a slow batched-gather dimension).
-        Gather cost on TPU is ~7 cycles per INDEX (row width is nearly
-        free — see rowsel), so dynamic per-element selections like the
-        emission lookups stay the decoder's cost floor."""
+        """Batched element selection in ROW-GATHER form: TPU lowers 1-D
+        element gathers to a ~12 ns/index serial path, while 2-D row
+        gathers run ~1.8 ns/row (HLO-profiled on v5e: the emission
+        selection dropped 467us -> ~70us per frame at B=16, E=4096 when
+        rewritten this way). Widening the table to 2 columns and taking
+        column 0 buys the fast path; the duplicated column costs one
+        fused 256KB broadcast per frame."""
         Bx, N = x.shape
+        x2 = jnp.stack([x, x], axis=-1)  # [B, N, 2]
         off = jnp.arange(Bx, dtype=jnp.int32).reshape(
             (Bx,) + (1,) * (idx.ndim - 1)
         ) * N
-        return x.reshape(-1)[idx + off]
+        return x2.reshape(Bx * N, 2)[idx + off][..., 0]
 
     def rowsel(rows, idx):
         """Batched ROW selection: one gather fetches all C columns per
@@ -424,17 +438,16 @@ def _make_step(
             state_e, lms_e, score_e, bp_e = state, lms, score, bp
 
         # ------------------------------- per-hyp state columns (1 gather)
-        pk = state_pack[state_e]  # [B,K_loc,9]
-        own_cls = bc_i(pk[..., 8])
+        pk = state_pack[state_e]  # [B,K_loc,8]
+        cls_raw = bc_i(pk[..., 7])
         p_loop = score_e + pk[..., 0]
-
-        # dense slot 1 / 2 (chain transitions)
         d1 = bc_i(pk[..., 1])
         d1_cls = bc_i(pk[..., 3])
         p_d1 = score_e + pk[..., 2]
         d2 = bc_i(pk[..., 4])
         d2_cls = bc_i(pk[..., 6])
         p_d2 = score_e + pk[..., 5]
+        own_cls = jnp.where(cls_raw < 0, -cls_raw - 1, cls_raw)
 
         # packed beam rows: every downstream selection gathers all four
         # beam columns with ONE row gather
@@ -443,7 +456,7 @@ def _make_step(
         )  # [B,K_loc,4]
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
-        has_branch = bc_i(pk[..., 7]) > 0
+        has_branch = cls_raw < 0
         br_sel_score = jnp.where(has_branch, score_e, BIG)
         negb, bidx = jax.lax.top_k(-br_sel_score, kbranch)
         b_score = -negb
@@ -451,9 +464,10 @@ def _make_step(
         b_state = bc_i(b_rows[..., 0])
         b_lm = bc_i(b_rows[..., 1])
         b_bp = bc_i(b_rows[..., 3])
-        deg = tree.branch_deg[b_state]  # [B,Kb]
+        bh = branch_head[b_state]  # [B,Kb,2] (ptr, deg) in one gather
+        deg = bh[..., 1]
         dslots = jnp.arange(Db, dtype=jnp.int32)
-        bi = tree.branch_ptr[b_state][..., None] + dslots
+        bi = bh[..., 0:1] + dslots
         ok = dslots < deg[..., None]
         bi = jnp.where(ok, bi, 0)
         bpk = branch_pack[bi]  # [B,Kb,Db,3] (1 gather for dst/cost/cls)
