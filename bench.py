@@ -125,10 +125,11 @@ def build_setup(
             root_hyps=int(os.environ.get("BENCH_ROOT_HYPS", "16")),
             branch_hyps=int(os.environ.get("BENCH_BRANCH_HYPS", "256")),
             root_arc_limit=int(os.environ.get("BENCH_ROOT_CAP", "256")),
-            # pre-emission expansion pruning: top-4096 of ~10k candidates
-            # measured lossless on this load (identical best scores vs
-            # exact expansion) while cutting emission-gather indices
-            expansion_limit=int(os.environ.get("BENCH_EXPANSION", "4096")),
+            # exact expansion by default: with the row-form emission
+            # gather (search/decoder.py fsel) the pre-emission top-E
+            # stage no longer pays for itself (125.6 vs 126.0 audio-s/s
+            # measured) — so keep the search exact
+            expansion_limit=int(os.environ.get("BENCH_EXPANSION", "0")),
             lm_scale=10.0,
         ),
     )

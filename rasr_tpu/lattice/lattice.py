@@ -262,11 +262,24 @@ def fsa_to_lattice(fsa, lemma_orths: Optional[List[str]] = None) -> Lattice:
     reference's single-dimension lattices after semiring projection.
     Node times are unknown post-transformation (-1).
     """
+    # Lattice's contract fixes the initial node at 0; remap by swapping
+    # state ids when the automaton starts elsewhere
+    init = max(fsa.initial, 0)
+
+    def remap(s: int) -> int:
+        if s == init:
+            return 0
+        if s == 0:
+            return init
+        return s
+
     arcs = []
     for s, out in enumerate(fsa.arcs):
         for a in out:
             arcs.append(
-                LatticeArc(s, a.target, a.ilabel - 1, float(a.weight), 0.0)
+                LatticeArc(
+                    remap(s), remap(a.target), a.ilabel - 1, float(a.weight), 0.0
+                )
             )
     if lemma_orths is None:
         max_label = max((a.ilabel for out in fsa.arcs for a in out), default=0)
@@ -278,6 +291,6 @@ def fsa_to_lattice(fsa, lemma_orths: Optional[List[str]] = None) -> Lattice:
         num_nodes=n,
         arcs=arcs,
         node_time=np.full(n, -1, np.int32),
-        final_scores={s: float(w) for s, w in fsa.finals.items()},
+        final_scores={remap(s): float(w) for s, w in fsa.finals.items()},
         lemma_orths=lemma_orths,
     )

@@ -330,10 +330,7 @@ def _make_step(
     use_exp = 0 < E < cand_width
     topn = min(K, cand_width)  # local top-K may be limited by slice width
 
-    state0 = jnp.full((B, K), 0, jnp.int32)
-    lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
-    score0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
-    bp0 = jnp.full((B, K), -1, jnp.int32)
+    carry0 = init_carry(B, cfg, lm)
 
     # ---- packed gather tables (trace-time; loop-invariant, hoisted) ----
     # every scan-body gather is an op dispatch on a small core: packing
@@ -740,8 +737,18 @@ def _make_step(
         )
         return (state, lms, score, bp, fstate, flm, fscore, fbp), recs
 
-    carry0 = (state0, lm0, score0, bp0, state0, lm0, score0, bp0)
     return step, carry0
+
+
+def init_carry(B: int, cfg: BeamConfig, lm: NgramTables):
+    """Initial beam carry: one live hypothesis at the tree root in the
+    LM start state (shared by offline scan and streaming restart)."""
+    K = cfg.max_hyps
+    state0 = jnp.full((B, K), 0, jnp.int32)
+    lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
+    score0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
+    bp0 = jnp.full((B, K), -1, jnp.int32)
+    return (state0, lm0, score0, bp0, state0, lm0, score0, bp0)
 
 
 def _best_and_records(lm, lm_prep, recs, finals, cfg: BeamConfig, T: int):
@@ -868,15 +875,14 @@ def _decode_block(
     return jax.lax.scan(step, carry, (jnp.swapaxes(emissions, 0, 1), ts))
 
 
-@partial(jax.jit, static_argnames=("cfg", "maxw"))
+@partial(jax.jit, static_argnames=("cfg",))
 def _finalize_stream(
     lm: NgramTables,
     lm_prep,
-    recs,  # concatenated [T_fed, B, R] record arrays
+    recs,  # concatenated (bucket-padded) [T_cap, B, R] record arrays
     carry,
     captured: jnp.ndarray,  # [B] bool: n_frames was reached during feeds
     cfg: BeamConfig,
-    maxw: int,
 ):
     """Streaming finalize: utterances whose declared length was reached
     use the frozen finals captured in the scan; still-live utterances
@@ -890,7 +896,7 @@ def _finalize_stream(
         jnp.where(c, fscore, score),
         jnp.where(c, fbp, bp),
     )
-    return _best_and_records(lm, lm_prep, recs, finals, cfg, maxw)
+    return _best_and_records(lm, lm_prep, recs, finals, cfg, recs[0].shape[0])
 
 
 @dataclasses.dataclass
@@ -948,7 +954,17 @@ class TreeDecoder:
         With ``beam_axis`` (e.g. ``"model"``), the K hypothesis slots
         additionally PARTITION over that axis — each device expands its
         K/P slice and one all_gather per frame merges the beams (TP for
-        search; composes with the data axis for a 2-D decode mesh)."""
+        search; composes with the data axis for a 2-D decode mesh).
+
+        Pruning-limit semantics under partitioning: finite limits
+        (root_hyps, branch_hyps, expansion_limit) apply PER SLICE
+        (min(limit, K/P), expansion_limit/P), so a partitioned decode
+        can expand a (super)set of the single-device candidates —
+        results are bit-identical to single-device exactly when the
+        limits are effectively off (each slice's caps cover every
+        candidate it holds, as in the exactness tests); under tight
+        limits it is a different, equally principled pruning of the
+        same search space."""
         B = emissions.shape[0]
         names = names or [f"utt{i}" for i in range(B)]
         beam_par = int(mesh.shape[beam_axis]) if beam_axis is not None else 1

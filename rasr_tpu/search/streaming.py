@@ -28,9 +28,15 @@ from .decoder import (
     TreeDecoder,
     _decode_block,
     _finalize_stream,
+    init_carry,
 )
 
 _NO_END = np.int32(2**30)  # "length not declared": frames stay active
+#: record buffers pad to multiples of this many frames before finalize,
+#: so current_best()/finalize() compile once per BUCKET, not per frontier
+#: (remote TPU compiles run 30-100s; a per-block recompile would stall
+#: every getCurrentBestSentence-style query)
+_REC_BUCKET = 256
 
 
 class StreamingDecoder:
@@ -59,14 +65,8 @@ class StreamingDecoder:
     # ------------------------------------------------------------ lifecycle
     def restart(self, batch_size: int, n_frames: Optional[np.ndarray] = None):
         """Begin a new (batch of) segment(s) (ref: SearchAlgorithm::restart)."""
-        cfg = self.dec.cfg
-        B, K = batch_size, cfg.max_hyps
-        lm = self.dec.lm
-        state0 = jnp.zeros((B, K), jnp.int32)
-        lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
-        score0 = jnp.full((B, K), 1e30, jnp.float32).at[:, 0].set(0.0)
-        bp0 = jnp.full((B, K), -1, jnp.int32)
-        self._carry = (state0, lm0, score0, bp0, state0, lm0, score0, bp0)
+        B = batch_size
+        self._carry = init_carry(B, self.dec.cfg, self.dec.lm)
         self._recs = []
         self._t = 0
         self._B = B
@@ -108,6 +108,18 @@ class StreamingDecoder:
         recs = tuple(
             jnp.concatenate(parts, axis=0) for parts in zip(*self._recs)
         )
+        # pad the record buffers to the bucket grid: padded rows are
+        # invalid records (never referenced — bp chains only point at
+        # real frames), and the fixed shapes reuse one executable
+        pad = (-self._t) % _REC_BUCKET
+        if pad:
+            fill = (-1, 1e30, -1, 0.0, -1, -1)
+            recs = tuple(
+                jnp.concatenate(
+                    [r, jnp.full((pad,) + r.shape[1:], f, r.dtype)], axis=0
+                )
+                for r, f in zip(recs, fill)
+            )
         captured = jnp.asarray(self._n_frames <= self._t)
         best, records = _finalize_stream(
             self.dec.lm,
@@ -116,7 +128,6 @@ class StreamingDecoder:
             self._carry,
             captured,
             self.dec.cfg,
-            self._t,
         )
         self.dec._last_device_records = records
         self.dec._last_n_frames_dev = np.minimum(self._n_frames, self._t)

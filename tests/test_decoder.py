@@ -253,7 +253,12 @@ def test_partitioned_beam_matches_single_device(setup, rng):
     B, T = 2, 12
     emis = rng.uniform(0.0, 8.0, size=(B, T, M)).astype(np.float32)
     n = np.array([T, T - 3], np.int32)
-    cfg = BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.7)
+    # limits set to full coverage (root/branch caps >= K): the exactness
+    # precondition for partitioned == single-device (see decode_scores)
+    cfg = BeamConfig(
+        max_hyps=64, word_end_limit=16, root_hyps=64, branch_hyps=64,
+        lm_scale=0.7,
+    )
     dec = TreeDecoder(tree, tables, cfg)
     ref = dec.decode_scores(emis, n)
 
