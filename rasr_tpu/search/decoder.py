@@ -579,83 +579,74 @@ def _make_step(
             best = jax.lax.pmin(best, beam_axis)  # global beam offset
         cand_score = jnp.where(cand_score > best + cfg.beam, BIG, cand_score)
 
-        # ------------------------------------- recombination (sort+dedup)
-        if pack_keys:
-            # (state, lm) packed into one int32: 2 sort keys, 3 operands
-            cand_key = cand_state * jnp.int32(L) + cand_lm
-            s_key, s_score, s_bp = jax.lax.sort(
-                (cand_key, cand_score, cand_bp), dimension=1, num_keys=2
-            )
-            first = jnp.concatenate(
-                [jnp.ones((B, 1), bool), s_key[:, 1:] != s_key[:, :-1]], axis=1
-            )
-            s_rows = jnp.stack([s_key, s_bp], axis=-1)  # [B,Cw,2]
-        else:
-            s_state, s_lm, s_score, s_bp = jax.lax.sort(
-                (cand_state, cand_lm, cand_score, cand_bp), dimension=1, num_keys=3
-            )
-            first = jnp.concatenate(
-                [
-                    jnp.ones((B, 1), bool),
-                    (s_state[:, 1:] != s_state[:, :-1])
-                    | (s_lm[:, 1:] != s_lm[:, :-1]),
-                ],
-                axis=1,
-            )
-            s_rows = jnp.stack([s_state, s_lm, s_bp], axis=-1)  # [B,Cw,3]
-        s_score = jnp.where(first, s_score, BIG)
+        # --------------------- recombination (sort+dedup) + histogram top-K
+        # Two UNSTABLE variadic sorts carry the payload through directly:
+        # stability adds an iota operand + tie compares we never need
+        # (ties beyond (key, score) pick an arbitrary equal-score path),
+        # and sorting values instead of top_k-then-gather skips the
+        # index stack, its layout copy, and the row gather (HLO-profiled:
+        # ~150us/frame at B=16, width 10241).
+        def recombine_topk(key_parts, score, bp, k):
+            """Dedup by key (keep per-key min score) then top-k by score.
 
-        # ------------------------------------------------- histogram top-K
-        neg, idx = jax.lax.top_k(-s_score, topn)
-        n_rows = rowsel(s_rows, idx)  # one row gather for key/bp columns
-        n_score = -neg
+            key_parts: (packed_key,) or (state, lm). Returns key parts,
+            score, bp — each [B, k]."""
+            s = jax.lax.sort(
+                (*key_parts, score, bp), dimension=1,
+                num_keys=len(key_parts) + 1, is_stable=False,
+            )
+            if len(key_parts) == 1:
+                diff = s[0][:, 1:] != s[0][:, :-1]
+            else:
+                diff = (s[0][:, 1:] != s[0][:, :-1]) | (s[1][:, 1:] != s[1][:, :-1])
+            first = jnp.concatenate([jnp.ones((B, 1), bool), diff], axis=1)
+            dscore = jnp.where(first, s[-2], BIG)
+            out = jax.lax.sort(
+                (dscore, *s[: len(key_parts)], s[-1]), dimension=1,
+                num_keys=1, is_stable=False,
+            )
+            return out[1:-1], out[0][:, :k], out[-1][:, :k]
+
+        if pack_keys:
+            # (state, lm) packed into one int32 key
+            cand_key = cand_state * jnp.int32(L) + cand_lm
+            keys, n_score, n_bp = recombine_topk(
+                (cand_key,), cand_score, cand_bp, topn
+            )
+            n_key = keys[0][:, :topn]
+        else:
+            keys, n_score, n_bp = recombine_topk(
+                (cand_state, cand_lm), cand_score, cand_bp, topn
+            )
+            n_state, n_lm = keys[0][:, :topn], keys[1][:, :topn]
 
         if Pn > 1:
             # ---- collective beam merge: gather every device's deduped
             # local top-K, re-sort + dedup (a hypothesis reachable on two
             # slices recombines here), keep the global top-K — replicated,
             # so word-end/LM processing below runs identically everywhere
-            pay = jnp.concatenate([bc_f(n_rows), n_score[..., None]], axis=-1)
-            gath = jax.lax.all_gather(pay, beam_axis, axis=1, tiled=True)
-            g_score = gath[..., -1]
             if pack_keys:
-                s_key, s_score, s_bp = jax.lax.sort(
-                    (bc_i(gath[..., 0]), g_score, bc_i(gath[..., 1])),
-                    dimension=1, num_keys=2,
-                )
-                first = jnp.concatenate(
-                    [jnp.ones((B, 1), bool), s_key[:, 1:] != s_key[:, :-1]],
-                    axis=1,
-                )
-                s_rows = jnp.stack([s_key, s_bp], axis=-1)
+                pay = jnp.stack([bc_f(n_key), n_score, bc_f(n_bp)], axis=-1)
             else:
-                s_state, s_lm, s_score, s_bp = jax.lax.sort(
-                    (bc_i(gath[..., 0]), bc_i(gath[..., 1]), g_score,
-                     bc_i(gath[..., 2])),
-                    dimension=1, num_keys=3,
+                pay = jnp.stack(
+                    [bc_f(n_state), bc_f(n_lm), n_score, bc_f(n_bp)], axis=-1
                 )
-                first = jnp.concatenate(
-                    [
-                        jnp.ones((B, 1), bool),
-                        (s_state[:, 1:] != s_state[:, :-1])
-                        | (s_lm[:, 1:] != s_lm[:, :-1]),
-                    ],
-                    axis=1,
+            gath = jax.lax.all_gather(pay, beam_axis, axis=1, tiled=True)
+            g_score = gath[..., -2]
+            g_bp = bc_i(gath[..., -1])
+            if pack_keys:
+                keys, n_score, n_bp = recombine_topk(
+                    (bc_i(gath[..., 0]),), g_score, g_bp, K
                 )
-                s_rows = jnp.stack([s_state, s_lm, s_bp], axis=-1)
-            s_score = jnp.where(first, s_score, BIG)
-            neg, idx = jax.lax.top_k(-s_score, K)
-            n_rows = rowsel(s_rows, idx)
-            n_score = -neg
+                n_key = keys[0][:, :K]
+            else:
+                keys, n_score, n_bp = recombine_topk(
+                    (bc_i(gath[..., 0]), bc_i(gath[..., 1])), g_score, g_bp, K
+                )
+                n_state, n_lm = keys[0][:, :K], keys[1][:, :K]
         if pack_keys:
-            n_key = n_rows[..., 0]
             n_state = n_key // jnp.int32(L)
             n_lm = n_key - n_state * jnp.int32(L)
-            n_bp = n_rows[..., 1]
-        else:
-            n_state = n_rows[..., 0]
-            n_lm = n_rows[..., 1]
-            n_bp = n_rows[..., 2]
         n_state = jnp.where(n_score >= BIG / 2, SENT, n_state)
 
         # ------------------------------------------------- word ends
