@@ -78,6 +78,37 @@ class ConvFrontendNet(nn.Module):
         return nn.Dense(self.num_classes, name="output")(h)
 
 
+class BlstmEncoderNet(nn.Module):
+    """Bidirectional-LSTM acoustic encoder over whole utterances
+    [B, T, D] -> [B, T, num_classes] logits (the recurrent hybrid
+    acoustic model the reference reaches only through its TF bridge,
+    ref: src/Tensorflow/ TF-based feature scorers / encoder models).
+
+    TPU-natively each direction is one ``nn.RNN`` (lax.scan over an
+    OptimizedLSTMCell — gates batched into single gemms on the MXU);
+    the backward direction runs on the time-reversed sequence and
+    re-reverses, and directions concatenate per layer like the
+    standard BLSTM stack.
+    """
+
+    num_classes: int
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, x, lengths=None, train: bool = False):
+        h = x
+        for i, width in enumerate(self.hidden):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(width), name=f"fwd{i}")(
+                h, seq_lengths=lengths
+            )
+            bwd = nn.RNN(
+                nn.OptimizedLSTMCell(width), reverse=True, keep_order=True,
+                name=f"bwd{i}",
+            )(h, seq_lengths=lengths)
+            h = jnp.concatenate([fwd, bwd], axis=-1)
+        return nn.Dense(self.num_classes, name="output")(h)
+
+
 @dataclasses.dataclass
 class StatePriors:
     """Class priors for hybrid scoring (ref: src/Nn/Prior.* — estimated

@@ -43,6 +43,30 @@ def _load_frames(feature_cache: str, alignment_cache: str):
     )
 
 
+def _load_sequences(feature_cache: str, alignment_cache: str):
+    """Per-utterance padded tensors [N, Tmax, D] / [N, Tmax] (-1 pad)
+    for recurrent training."""
+    pairs = []
+    with FileArchive(feature_cache, "r") as fc, FileArchive(alignment_cache, "r") as ac:
+        for name in ac.keys():
+            if name not in fc:
+                continue
+            feats = unpack_ndarray(fc.read(name))
+            al = Alignment.unpack(name, ac.read(name))
+            n = min(feats.shape[0], al.num_frames)
+            pairs.append((feats[:n], al.emission_ids[:n]))
+    if not pairs:
+        raise ValueError("no overlapping segments between caches")
+    Tmax = max(f.shape[0] for f, _ in pairs)
+    D = pairs[0][0].shape[1]
+    feats = np.zeros((len(pairs), Tmax, D), np.float32)
+    labels = np.full((len(pairs), Tmax), -1, np.int32)
+    for i, (f, l) in enumerate(pairs):
+        feats[i, : f.shape[0]] = f
+        labels[i, : l.shape[0]] = l
+    return feats, labels
+
+
 class NnTrainerTool(Application):
     name = "nn-trainer"
     description = "hybrid NN acoustic model training"
@@ -50,6 +74,10 @@ class NnTrainerTool(Application):
     action = ParameterChoice(
         "action", ["supervised-training", "estimate-priors"], default="supervised-training"
     )
+    #: ffnn = framewise (ref: Nn::FeedForwardTrainer); blstm = recurrent
+    #: encoder trained on whole utterances (ref reaches these only via
+    #: the TF bridge)
+    model_type = ParameterChoice("model-type", ["ffnn", "blstm"], default="ffnn")
     feature_cache = ParameterString("feature-cache")
     alignment_cache = ParameterString("alignment-cache")
     num_classes = ParameterInt("num-classes")
@@ -98,10 +126,33 @@ class NnTrainerTool(Application):
             from ..train.checkpoint import CheckpointManager
 
             ckpt = CheckpointManager(self.checkpoint_dir)
-        params, stats = trainer.train(
-            ds, log=self.log, ckpt=ckpt,
-            ckpt_every=self.checkpoint_every, resume=bool(self.resume),
-        )
+        if self.model_type == "blstm":
+            from ..models.nn import BlstmEncoderNet
+            from ..train.nn_trainer import SequenceTrainer
+
+            seq_feats, seq_labels = _load_sequences(
+                self.feature_cache, self.alignment_cache
+            )
+            model = BlstmEncoderNet(
+                num_classes=self.num_classes, hidden=tuple(self.hidden)
+            )
+            strainer = SequenceTrainer(
+                model, self.num_classes,
+                TrainConfig(
+                    learning_rate=self.learning_rate, l2=self.l2,
+                    optimizer=self.optimizer, epochs=self.epochs,
+                    seed=self.seed,
+                ),
+            )
+            params, stats = strainer.train_sequences(
+                seq_feats, seq_labels, log=self.log,
+                batch_size=min(self.batch_size, seq_feats.shape[0]),
+            )
+        else:
+            params, stats = trainer.train(
+                ds, log=self.log, ckpt=ckpt,
+                ckpt_every=self.checkpoint_every, resume=bool(self.resume),
+            )
         trainer.save_params(params, self.params_file)
         priors = trainer.estimate_priors(ds)
         priors.save(self.priors_file)

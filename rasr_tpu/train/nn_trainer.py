@@ -193,3 +193,59 @@ class NnTrainer:
     def load_params(template, path: str):
         with open(path, "rb") as fh:
             return serialization.from_bytes(template, fh.read())
+
+
+class SequenceTrainer(NnTrainer):
+    """Utterance-level trainer for recurrent encoders (BLSTM hybrid):
+    minibatches are whole padded utterances [b, T, D] with framewise
+    labels [b, T] (-1 on padding), CE masked over valid frames. The
+    reference trains such models only through its TF/RETURNN bridge;
+    here it is the same optax transaction as the frame trainer."""
+
+    def init_params(self, input_dim: int, seed: Optional[int] = None):
+        rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        dummy = jnp.zeros((2, 4, input_dim), jnp.float32)
+        return self.model.init(rng, dummy)["params"]
+
+    def _loss(self, params, x, y, w):
+        logits = self.model.apply({"params": params}, x)  # [b, T, C]
+        valid = (y >= 0) & (w > 0)
+        yc = jnp.maximum(y, 0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, yc)
+        acc = (jnp.argmax(logits, -1) == yc).astype(jnp.float32)
+        m = valid.astype(jnp.float32) * w
+        msum = jnp.maximum(m.sum(), 1e-6)
+        return (ce * m).sum() / msum, (acc * m).sum() / msum
+
+    def train_sequences(
+        self, feats: np.ndarray, labels: np.ndarray, params=None, log=None,
+        batch_size: int = 8,
+    ):
+        """feats [N, T, D], labels [N, T] (-1 = padding/unlabeled)."""
+        feats = np.asarray(feats, np.float32)
+        labels = np.asarray(labels, np.int32)
+        if params is None:
+            params = self.init_params(feats.shape[-1])
+        opt_state = self.opt.init(params)
+        N = feats.shape[0]
+        stats = []
+        for epoch in range(self.cfg.epochs):
+            perm = np.random.default_rng(self.cfg.seed + epoch).permutation(N)
+            losses, accs = [], []
+            for i in range(0, N - batch_size + 1, batch_size):
+                sel = perm[i : i + batch_size]
+                x = jnp.asarray(feats[sel])
+                y = jnp.asarray(labels[sel])
+                w = jnp.ones(y.shape, jnp.float32)
+                params, opt_state, loss, acc = self._step(params, opt_state, x, y, w)
+                losses.append(float(loss))
+                accs.append(float(acc))
+            rec = {
+                "epoch": epoch,
+                "loss": float(np.mean(losses)) if losses else 0.0,
+                "frame_accuracy": float(np.mean(accs)) if accs else 0.0,
+            }
+            stats.append(rec)
+            if log is not None:
+                log("nn sequence epoch", **rec)
+        return params, stats

@@ -48,6 +48,43 @@ def test_training_learns(rng):
     assert stats[-1]["loss"] < stats[0]["loss"]
 
 
+def test_blstm_sequence_training_learns(rng):
+    """BLSTM hybrid encoder + sequence trainer: context-dependent toy
+    task (label = class of PREVIOUS frame) that a frame-FFNN cannot
+    solve but a recurrent encoder must."""
+    from rasr_tpu.models.nn import BlstmEncoderNet
+    from rasr_tpu.train.nn_trainer import SequenceTrainer
+
+    N, T, D, M = 48, 20, 6, 3
+    means = rng.normal(size=(M, D)).astype(np.float32) * 3
+    cls = rng.integers(0, M, size=(N, T)).astype(np.int32)
+    feats = means[cls] + rng.normal(size=(N, T, D)).astype(np.float32) * 0.2
+    labels = np.full((N, T), -1, np.int32)
+    labels[:, 1:] = cls[:, :-1]  # needs memory of the previous frame
+
+    model = BlstmEncoderNet(num_classes=M, hidden=(16,))
+    tr = SequenceTrainer(
+        model, M, TrainConfig(epochs=30, learning_rate=0.01, optimizer="adam")
+    )
+    params, stats = tr.train_sequences(feats, labels, batch_size=16)
+    assert stats[-1]["frame_accuracy"] > 0.9
+
+
+def test_blstm_scorer_integration(rng):
+    """BLSTM plugs into the hybrid FeatureScorer seam unchanged."""
+    from rasr_tpu.models.nn import BlstmEncoderNet
+
+    M = 4
+    model = BlstmEncoderNet(num_classes=M, hidden=(8,))
+    x = jnp.zeros((2, 7, 5))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    priors = StatePriors(np.log(np.full(M, 1.0 / M)))
+    scorer = NnHybridScorer(model, params, priors, scale=1.0)
+    out = scorer.score(np.random.default_rng(0).normal(size=(2, 7, 5)).astype(np.float32))
+    assert out.shape == (2, 7, M)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_mid_epoch_checkpoint_resume_exact(tmp_path, rng):
     """An interrupted-and-resumed run reproduces the uninterrupted
     parameters bitwise (seeded permutation + full opt-state restore)."""
