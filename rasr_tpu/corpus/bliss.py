@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import os
 import xml.etree.ElementTree as ET
+
+from ..utils.xmlio import parse_xml
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional
 
@@ -75,7 +77,7 @@ class CorpusDescription:
     # ----------------------------------------------------------------- parse
     @classmethod
     def load(cls, path: str, audio_dir: str = "") -> "CorpusDescription":
-        tree = ET.parse(path)
+        tree = parse_xml(path)
         root = tree.getroot()
         if root.tag != "corpus":
             raise ValueError(f"{path}: root element must be <corpus>")
@@ -98,7 +100,7 @@ class CorpusDescription:
                 inc = child.get("file", "")
                 if not os.path.isabs(inc):
                     inc = os.path.join(base_dir, inc)
-                sub_tree = ET.parse(inc).getroot()
+                sub_tree = parse_xml(inc).getroot()
                 self._parse_section(sub_tree, prefix, os.path.dirname(inc), audio_dir)
             elif child.tag == "subcorpus":
                 self._parse_section(

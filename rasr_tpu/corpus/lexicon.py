@@ -28,6 +28,8 @@ context-independent (used by the allophone builder for e.g. silence).
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
+
+from ..utils.xmlio import parse_xml
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -143,7 +145,7 @@ class Lexicon:
     # ----------------------------------------------------------------- parse
     @classmethod
     def load(cls, path: str) -> "Lexicon":
-        root = ET.parse(path).getroot()
+        root = parse_xml(path).getroot()
         if root.tag != "lexicon":
             raise ValueError(f"{path}: root element must be <lexicon>")
         lex = cls()

@@ -141,3 +141,20 @@ def test_extract_segment():
     seg = extract_segment(audio, 0.25, 0.5)
     assert seg.shape == (4000,)
     assert seg[0] == 4000.0
+
+
+def test_gzipped_corpus_and_lexicon(tmp_path):
+    """Reference parity: corpora/lexica routinely ship as .xml.gz."""
+    import gzip
+
+    cp = tmp_path / "toy.corpus.gz"
+    with gzip.open(cp, "wt") as fh:
+        fh.write(CORPUS_XML)
+    corpus = CorpusDescription.load(str(cp))
+    assert len(list(corpus.segments())) == 3
+
+    lp = tmp_path / "lex.xml.gz"
+    with gzip.open(lp, "wt") as fh:
+        fh.write(LEXICON_XML)
+    lex = Lexicon.load(str(lp))
+    assert len(lex.phonemes) == 5
