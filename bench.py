@@ -142,8 +142,9 @@ def main():
 
     t_setup = time.time()
     fe, scorer, dec, tree = build_setup()
-    # B=16 measured best on v5e: 100.5 audio-s/s vs 93 (B=8) / 99.4 (B=32)
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    # B=64 measured best on v5e with the current scan (171 audio-s/s vs
+    # 146 @16, 156 @32; the knee moved up as per-frame op costs fell)
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
     audio_seconds_each = float(os.environ.get("BENCH_AUDIO_S", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
