@@ -123,13 +123,25 @@ def build_setup(
             beam=1e9,
             word_end_limit=int(os.environ.get("BENCH_WORD_END", "64")),
             root_hyps=int(os.environ.get("BENCH_ROOT_HYPS", "16")),
-            branch_hyps=int(os.environ.get("BENCH_BRANCH_HYPS", "256")),
-            root_arc_limit=int(os.environ.get("BENCH_ROOT_CAP", "256")),
+            # XLA's TPU sort pads the sorted dim to the next power of 2,
+            # so candidate-section budgets are chosen to land every sort
+            # at or under a pad boundary (HLO-profiled: a 4864-wide sort
+            # costs the same as an 8192-wide one). Here: main sorts
+            # 3*1024 + 146*7 = 4094 <= 4096; root-select sort
+            # 1537 + 15*160 = 3937 <= 4096. 220 -> 316 audio-s/s.
+            branch_hyps=int(os.environ.get("BENCH_BRANCH_HYPS", "146")),
+            root_arc_limit=int(os.environ.get("BENCH_ROOT_CAP", "160")),
             # exact expansion by default: with the row-form emission
             # gather (search/decoder.py fsel) the pre-emission top-E
             # stage no longer pays for itself (125.6 vs 126.0 audio-s/s
             # measured) — so keep the search exact
             expansion_limit=int(os.environ.get("BENCH_EXPANSION", "0")),
+            # word-start survivors per frame: pre-emission top-R3 over
+            # the root fan-out, keeping the full fan-out OUT of the main
+            # recombination sorts (half their width at these settings)
+            root_select=int(os.environ.get("BENCH_ROOT_SELECT", "512")),
+            # survivors-only emission gather (pre-emission top-K)
+            deferred_emission=bool(int(os.environ.get("BENCH_DEFER", "1"))),
             lm_scale=10.0,
         ),
     )

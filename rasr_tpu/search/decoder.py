@@ -42,7 +42,17 @@ columns":
   ``take_along_axis`` is never used on the hot path (its batched-gather
   lowering measures ~5x slower than flat gathers);
 * optional ``expansion_limit`` ranks candidates BEFORE the emission
-  gather so only E survivors pay emission-gather indices at all.
+  gather so only E survivors pay emission-gather indices at all;
+* ``root_select``: the root fan-out (word starts — half the candidate
+  width at production settings) is pre-selected by a narrow
+  (value, index) sort OUTSIDE the main recombination sorts;
+* ``deferred_emission``: emission is a function of the destination
+  state (= recombination key), so it is added once for the K+R3
+  survivors after top-K instead of per expansion candidate;
+* **sort widths budget to powers of 2**: XLA's TPU sort pads the sorted
+  dimension to the next power of 2 (HLO-profiled: a 4864-wide sort
+  costs the same as 8192), so pruning caps are chosen to land every
+  per-frame sort at or under a pad boundary (see bench.py).
 """
 
 from __future__ import annotations
@@ -274,6 +284,31 @@ class BeamConfig:
     #: the best history always expands all of them. 0 = no cap (exact).
     #: (ref: the anticipated/lookahead pruning at word starts)
     root_arc_limit: int = 0
+    #: R3: word-start survivors per frame. When > 0 the root fan-out
+    #: (G + (root_hyps-1)*root_arc_limit candidates — HALF the
+    #: recombination sort width at production settings) leaves the main
+    #: recombination sorts entirely: candidates are ranked PRE-emission
+    #: (score + TDP + lookahead), the top R3 get the emission gather and
+    #: join the beam at the merge stage like word-end re-entries. This
+    #: shrinks the dominant per-frame sorts superlinearly (bitonic
+    #: W log^2 W). Semantics: word starts are capped at R3/frame and
+    #: selected before the first frame's emission (the reference's
+    #: anticipated word-start pruning), and a root arrival is no longer
+    #: recombined against a same-state loop hypothesis in its first
+    #: frame (bounded beam waste, exact scores). 0 = off (root arcs ride
+    #: the main sorts; exact). Ignored under beam partitioning.
+    root_select: int = 0
+    #: add the current frame's emission score AFTER recombination +
+    #: histogram top-K instead of per candidate. A candidate's emission
+    #: depends only on its destination state (= its recombination key),
+    #: so the per-key winner is IDENTICAL either way and with pruning
+    #: off the search stays exact; under pruning, the acoustic beam and
+    #: histogram cuts rank by path score WITHOUT the current frame's
+    #: emission (one frame of acoustic delay in the pruning decision,
+    #: like the reference's anticipated pruning). Cuts the emission
+    #: gather from every expansion candidate (~6x beam width) to the
+    #: K+R3 survivors. Subsumes expansion_limit (ignored when set).
+    deferred_emission: bool = False
     lm_scale: float = 1.0
     #: weight of the unigram lookahead potential (x lm_scale); exact
     #: potential shaping — path scores are unchanged, pruning becomes
@@ -319,15 +354,21 @@ def _make_step(
     la_coeff = cfg.lm_scale * cfg.lookahead_scale
     la0 = tree.la[0]
     gcap = min(cfg.root_arc_limit or G, G)
+    # root-selection (cfg.root_select): pre-emission top-R3 over the
+    # root fan-out instead of carrying it through the main sorts
+    Wr = G + max(hroot - 1, 0) * gcap
+    use_rsel = cfg.root_select > 0 and Pn == 1
+    R3 = min(cfg.root_select, Wr) if use_rsel else 0
     # packed (state, lm) recombination key when it fits int32; sentinel
     # state included so pruned slots pack too
     L = lm.num_states
     pack_keys = (SENT + 1) * L < 2**31
-    cand_width = 3 * K_loc + kbranch * Db + G + max(hroot - 1, 0) * gcap
+    cand_width = 3 * K_loc + kbranch * Db + (0 if use_rsel else Wr)
+    use_defer = cfg.deferred_emission
     E = cfg.expansion_limit
     if E and Pn > 1:
         E = max(E // Pn, 1)  # per-slice share of the global expansion cap
-    use_exp = 0 < E < cand_width
+    use_exp = 0 < E < cand_width and not use_defer
     topn = min(K, cand_width)  # local top-K may be limited by slice width
 
     carry0 = init_carry(B, cfg, lm)
@@ -363,9 +404,27 @@ def _make_step(
         ],
         axis=1,
     )  # [S+1, 8]
-    branch_head = jnp.stack(
-        [tree.branch_ptr[:-1], tree.branch_deg], axis=1
-    )  # [S+1, 2]: one row gather replaces two element gathers
+    # branch CSR head (ptr, deg) folded into the state row when it fits
+    # one int32: the separate [S+1,2] table gathers from HBM at
+    # ~15ns/row (251us/frame profiled) while state_pack rides along
+    # VMEM-pinned — the 9th column is effectively free
+    deg_bits = max(int(Db).bit_length(), 1)
+    A_br = int(tree.branch_dst.shape[0])
+    fold_bh = (A_br + 1) < (1 << (31 - deg_bits))
+    if fold_bh:
+        state_pack = jnp.concatenate(
+            [
+                state_pack,
+                bc_f((tree.branch_ptr[:-1] << deg_bits) | tree.branch_deg)[
+                    :, None
+                ],
+            ],
+            axis=1,
+        )  # [S+1, 9]
+    else:
+        branch_head = jnp.stack(
+            [tree.branch_ptr[:-1], tree.branch_deg], axis=1
+        )  # [S+1, 2]: one row gather replaces two element gathers
     branch_pack = jnp.stack(
         [
             bc_f(tree.branch_dst),
@@ -381,17 +440,34 @@ def _make_step(
             bc_f(tree.we_lemma),
             bc_f(tree.we_next),
             jnp.broadcast_to(tree.la[:, None], tree.we_word.shape),
+            # own emission class (per state, broadcast over word slots):
+            # lets deferred_emission fetch the survivors' emission index
+            # on the word-end gather it already pays for
+            bc_f(
+                jnp.broadcast_to(
+                    tree.emission_class[:, None], tree.we_word.shape
+                )
+            ),
         ],
         axis=2,
-    )  # [S+1, W, 5]
+    )  # [S+1, W, 6]
 
-    # root emission selection as a static one-hot matmul: a [B,G] gather
-    # costs ~7 cycles/index on the TPU gather unit; the MXU streams the
-    # same selection in ~no time (one-hot rows select exactly, and
-    # HIGHEST precision keeps f32 values intact)
-    root_sel = jax.nn.one_hot(
-        tree.root_cls, M, dtype=jnp.float32, axis=0
-    )  # [M, G]
+    if use_rsel:
+        # root-selection path: (dst, cls) rows for the R3 survivors
+        # only. Kept int32 (NOT bitcast to f32): XLA lowers small-table
+        # gathers through arithmetic f32 paths on TPU that flush the
+        # denormal bit patterns of small ints to zero.
+        root_pack = jnp.stack(
+            [tree.root_dst, tree.root_cls], axis=1
+        )  # [G, 2] int32
+    else:
+        # root emission selection as a static one-hot matmul: a [B,G]
+        # gather costs ~7 cycles/index on the TPU gather unit; the MXU
+        # streams the same selection in ~no time (one-hot rows select
+        # exactly, and HIGHEST precision keeps f32 values intact)
+        root_sel = jax.nn.one_hot(
+            tree.root_cls, M, dtype=jnp.float32, axis=0
+        )  # [M, G]
 
     def fsel(x, idx):
         """Batched element selection in ROW-GATHER form: TPU lowers 1-D
@@ -447,24 +523,31 @@ def _make_step(
         own_cls = jnp.where(cls_raw < 0, -cls_raw - 1, cls_raw)
 
         # packed beam rows: every downstream selection gathers all four
-        # beam columns with ONE row gather
-        beam_rows = jnp.stack(
-            [bc_f(state_e), bc_f(lms_e), score_e, bc_f(bp_e)], axis=-1
-        )  # [B,K_loc,4]
+        # beam columns (+ folded branch head) with ONE row gather
+        beam_cols = [bc_f(state_e), bc_f(lms_e), score_e, bc_f(bp_e)]
+        if fold_bh:
+            beam_cols.append(pk[..., 8])
+        beam_rows = jnp.stack(beam_cols, axis=-1)  # [B,K_loc,4(+1)]
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
         has_branch = cls_raw < 0
         br_sel_score = jnp.where(has_branch, score_e, BIG)
         negb, bidx = jax.lax.top_k(-br_sel_score, kbranch)
         b_score = -negb
-        b_rows = rowsel(beam_rows, bidx)  # [B,Kb,4]
+        b_rows = rowsel(beam_rows, bidx)  # [B,Kb,4(+1)]
         b_state = bc_i(b_rows[..., 0])
         b_lm = bc_i(b_rows[..., 1])
         b_bp = bc_i(b_rows[..., 3])
-        bh = branch_head[b_state]  # [B,Kb,2] (ptr, deg) in one gather
-        deg = bh[..., 1]
+        if fold_bh:
+            bhp = bc_i(b_rows[..., 4])
+            bptr = bhp >> deg_bits
+            deg = bhp & ((1 << deg_bits) - 1)
+        else:
+            bh = branch_head[b_state]  # [B,Kb,2] (ptr, deg) in one gather
+            bptr = bh[..., 0]
+            deg = bh[..., 1]
         dslots = jnp.arange(Db, dtype=jnp.int32)
-        bi = bh[..., 0:1] + dslots
+        bi = bptr[..., None] + dslots
         ok = dslots < deg[..., None]
         bi = jnp.where(ok, bi, 0)
         bpk = branch_pack[bi]  # [B,Kb,Db,3] (1 gather for dst/cost/cls)
@@ -485,26 +568,73 @@ def _make_step(
         root_arc_cost = tree.root_cost
         if use_la:
             root_arc_cost = root_arc_cost + la_coeff * tree.root_dla
-        p_root_best = h_score[:, :1, None] + root_arc_cost[None, None, :]
-        root_states = [jnp.broadcast_to(tree.root_dst, (B, G))]
-        root_pres = [p_root_best.reshape(B, G)]
-        root_lms = [jnp.repeat(h_lm[:, :1], G, axis=1)]
-        root_bps = [jnp.repeat(h_bp[:, :1], G, axis=1)]
-        root_clss = [jnp.broadcast_to(tree.root_cls[None, :], (B, G))]
-        if hroot > 1:
-            p_root_rest = h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
-            root_states.append(
-                jnp.broadcast_to(tree.root_dst[:gcap], (B, hroot - 1, gcap))
-                .reshape(B, (hroot - 1) * gcap)
+        if use_rsel:
+            # pre-emission top-R3 over the whole root fan-out: ONE
+            # narrow (value, index) sort replaces Wr slots in BOTH main
+            # recombination sorts; only the R3 survivors pay the
+            # emission gather and they join the beam at the merge stage
+            # (like word-end re-entries). Keys are unique by
+            # construction: beam slots with state==0 have distinct lm
+            # (post-recombination), arcs have distinct dst.
+            parts = [h_score[:, :1] + root_arc_cost[None, :]]
+            if hroot > 1:
+                parts.append(
+                    (
+                        h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
+                    ).reshape(B, (hroot - 1) * gcap)
+                )
+            rpre = jnp.concatenate(parts, axis=1)  # [B, Wr]
+            iota = jnp.broadcast_to(
+                jnp.arange(Wr, dtype=jnp.int32)[None, :], (B, Wr)
             )
-            root_pres.append(p_root_rest.reshape(B, (hroot - 1) * gcap))
-            root_lms.append(jnp.repeat(h_lm[:, 1:], gcap, axis=1))
-            root_bps.append(jnp.repeat(h_bp[:, 1:], gcap, axis=1))
-            root_clss.append(
-                jnp.broadcast_to(
-                    tree.root_cls[None, None, :gcap], (B, hroot - 1, gcap)
-                ).reshape(B, (hroot - 1) * gcap)
+            rs_sorted = jax.lax.sort(
+                (rpre, iota), dimension=1, num_keys=1, is_stable=False
             )
+            rs_pre = rs_sorted[0][:, :R3]
+            rs_idx = rs_sorted[1][:, :R3]
+            rs_h = jnp.where(rs_idx < G, 0, 1 + (rs_idx - G) // gcap)
+            rs_g = jnp.where(rs_idx < G, rs_idx, (rs_idx - G) % gcap)
+            # int32 row gathers (no f32 bitcast — see root_pack note)
+            hr = rowsel(jnp.stack([h_lm, h_bp], axis=-1), rs_h)
+            rs_lm = hr[..., 0]
+            rs_bp = hr[..., 1]
+            rp = root_pack[rs_g]  # [B,R3,2] (dst, cls) row gather
+            rs_state = rp[..., 0]
+            rs_cls = rp[..., 1]
+            if use_defer:
+                # emission joins with the other survivors' at the
+                # word-end gather
+                rs_score = jnp.minimum(rs_pre, BIG)
+            else:
+                rs_score = jnp.where(
+                    rs_pre < BIG / 2, rs_pre + fsel(emis_t, rs_cls), BIG
+                )
+            root_states = []
+            root_pres = []
+            root_lms = []
+            root_bps = []
+            root_clss = []
+        else:
+            p_root_best = h_score[:, :1, None] + root_arc_cost[None, None, :]
+            root_states = [jnp.broadcast_to(tree.root_dst, (B, G))]
+            root_pres = [p_root_best.reshape(B, G)]
+            root_lms = [jnp.repeat(h_lm[:, :1], G, axis=1)]
+            root_bps = [jnp.repeat(h_bp[:, :1], G, axis=1)]
+            root_clss = [jnp.broadcast_to(tree.root_cls[None, :], (B, G))]
+            if hroot > 1:
+                p_root_rest = h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
+                root_states.append(
+                    jnp.broadcast_to(tree.root_dst[:gcap], (B, hroot - 1, gcap))
+                    .reshape(B, (hroot - 1) * gcap)
+                )
+                root_pres.append(p_root_rest.reshape(B, (hroot - 1) * gcap))
+                root_lms.append(jnp.repeat(h_lm[:, 1:], gcap, axis=1))
+                root_bps.append(jnp.repeat(h_bp[:, 1:], gcap, axis=1))
+                root_clss.append(
+                    jnp.broadcast_to(
+                        tree.root_cls[None, None, :gcap], (B, hroot - 1, gcap)
+                    ).reshape(B, (hroot - 1) * gcap)
+                )
 
         # ------------------------------------------- assemble candidates
         cand_state = jnp.concatenate(
@@ -520,7 +650,20 @@ def _make_step(
             axis=1,
         )
 
-        if use_exp:
+        if use_defer:
+            # deferred emission: candidates carry pre-emission path
+            # scores through recombination + top-K; the survivors'
+            # emission is added at the word-end stage (emission is a
+            # function of the destination state == the recombination
+            # key, so per-key winners are unchanged)
+            cand_score = jnp.minimum(
+                jnp.concatenate(
+                    [p_loop, p_d1, p_d2, p_br.reshape(B, kbranch * Db), *root_pres],
+                    axis=1,
+                ),
+                BIG,
+            )
+        elif use_exp:
             # ---- pre-emission expansion pruning: rank candidates before
             # the emission gather, keep top-E, then gather emission for
             # the survivors only (E indices instead of the full width)
@@ -549,22 +692,25 @@ def _make_step(
             )
         else:
             # exact expansion: emission added per section
-            emis_root = jnp.matmul(
-                emis_t, root_sel, precision=jax.lax.Precision.HIGHEST
-            )  # [B,G]
             c_loop = p_loop + fsel(emis_t, own_cls)
             c_d1 = p_d1 + fsel(emis_t, d1_cls)
             c_d2 = p_d2 + fsel(emis_t, d2_cls)
             c_br = p_br + fsel(emis_t, b_cls)
-            root_scores = [
-                (root_pres[0] + emis_root).reshape(B, G)
-            ]
-            if hroot > 1:
-                root_scores.append(
-                    (
-                        p_root_rest + emis_root[:, None, :gcap]
-                    ).reshape(B, (hroot - 1) * gcap)
-                )
+            if use_rsel:
+                root_scores = []
+            else:
+                emis_root = jnp.matmul(
+                    emis_t, root_sel, precision=jax.lax.Precision.HIGHEST
+                )  # [B,G]
+                root_scores = [
+                    (root_pres[0] + emis_root).reshape(B, G)
+                ]
+                if hroot > 1:
+                    root_scores.append(
+                        (
+                            p_root_rest + emis_root[:, None, :gcap]
+                        ).reshape(B, (hroot - 1) * gcap)
+                    )
             cand_score = jnp.minimum(
                 jnp.concatenate(
                     [c_loop, c_d1, c_d2, c_br.reshape(B, kbranch * Db), *root_scores],
@@ -575,9 +721,13 @@ def _make_step(
 
         # ------------------------------------------------- beam prune
         best = jnp.min(cand_score, axis=1, keepdims=True)
+        if use_rsel:
+            best = jnp.minimum(best, jnp.min(rs_score, axis=1, keepdims=True))
         if Pn > 1:
             best = jax.lax.pmin(best, beam_axis)  # global beam offset
         cand_score = jnp.where(cand_score > best + cfg.beam, BIG, cand_score)
+        if use_rsel:
+            rs_score = jnp.where(rs_score > best + cfg.beam, BIG, rs_score)
 
         # --------------------- recombination (sort+dedup) + histogram top-K
         # Two UNSTABLE variadic sorts carry the payload through directly:
@@ -649,25 +799,45 @@ def _make_step(
             n_lm = n_key - n_state * jnp.int32(L)
         n_state = jnp.where(n_score >= BIG / 2, SENT, n_state)
 
+        # word-end scan runs over the beam PLUS this frame's root-select
+        # arrivals (so first-phone word ends fire the frame the word is
+        # entered, exactly as when root arcs ride the main sort)
+        if use_rsel:
+            rs_state = jnp.where(rs_score >= BIG / 2, SENT, rs_state)
+            w_state = jnp.concatenate([n_state, rs_state], axis=1)
+            w_lm = jnp.concatenate([n_lm, rs_lm], axis=1)
+            w_score = jnp.concatenate([n_score, rs_score], axis=1)
+            w_bp = jnp.concatenate([n_bp, rs_bp], axis=1)
+        else:
+            w_state, w_lm, w_score, w_bp = n_state, n_lm, n_score, n_bp
+        KW = K + R3
+
         # ------------------------------------------------- word ends
-        wpk = we_pack[n_state]  # [B,K,W,5] (1 gather for all we columns)
+        wpk = we_pack[w_state]  # [B,KW,W,6] (1 gather for all we columns)
+        if use_defer:
+            # survivors' current-frame emission (cls rides the word-end
+            # gather; one KW-row fsel replaces the candidate-wide ones)
+            w_cls = jax.lax.bitcast_convert_type(wpk[..., 0, 5], jnp.int32)
+            w_score = jnp.where(
+                w_score < BIG / 2, w_score + fsel(emis_t, w_cls), BIG
+            )
         ww = jax.lax.bitcast_convert_type(wpk[..., 0], jnp.int32)
         wc = wpk[..., 1]
-        we_base = n_score
+        we_base = w_score
         if use_la:
             # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
-            we_base = n_score - la_coeff * (wpk[..., 0, 4] - la0)
-        pre = jnp.where(ww != WORD_NONE, we_base[..., None] + wc, BIG).reshape(B, K * wmax)
+            we_base = w_score - la_coeff * (wpk[..., 0, 4] - la0)
+        pre = jnp.where(ww != WORD_NONE, we_base[..., None] + wc, BIG).reshape(B, KW * wmax)
         neg_r, ridx = jax.lax.top_k(-pre, R)
         r_pre = -neg_r  # [B,R]
         # flat row gather of the selected word-end records (fast path)
-        roff = jnp.arange(B, dtype=jnp.int32)[:, None] * (K * wmax)
-        rsel = wpk.reshape(B * K * wmax, 5)[ridx + roff]  # [B,R,5]
+        roff = jnp.arange(B, dtype=jnp.int32)[:, None] * (KW * wmax)
+        rsel = wpk.reshape(B * KW * wmax, 6)[ridx + roff]  # [B,R,6]
         r_word = jax.lax.bitcast_convert_type(rsel[..., 0], jnp.int32)
         r_lemma = jax.lax.bitcast_convert_type(rsel[..., 2], jnp.int32)
         r_next = jax.lax.bitcast_convert_type(rsel[..., 3], jnp.int32)
         src = ridx // wmax
-        src_rows = rowsel(jnp.stack([n_lm, n_bp], axis=-1), src)  # [B,R,2]
+        src_rows = rowsel(jnp.stack([w_lm, w_bp], axis=-1), src)  # [B,R,2]
         r_srclm = src_rows[..., 0]
         r_srcbp = src_rows[..., 1]
 
@@ -689,19 +859,19 @@ def _make_step(
         root_score = jnp.where(r_valid, r_score, BIG)
         root_bp = rec_id
 
-        # ------------------------------------------- merge root re-entries
-        m_score = jnp.concatenate([n_score, root_score], axis=1)
+        # --------------- merge word-end re-entries (+ root-select arrivals)
+        m_score = jnp.concatenate([w_score, root_score], axis=1)
         # top_k + row gather beats a payload value-sort at this narrow
         # width (K+R: measured 168 vs 158 audio-s/s at B=64); re-sorting
         # the carry by state id for gather locality also measured slower
         m_rows = jnp.stack(
             [
-                jnp.concatenate([n_state, root_state], axis=1),
-                jnp.concatenate([n_lm, r_newlm], axis=1),
-                jnp.concatenate([n_bp, root_bp], axis=1),
+                jnp.concatenate([w_state, root_state], axis=1),
+                jnp.concatenate([w_lm, r_newlm], axis=1),
+                jnp.concatenate([w_bp, root_bp], axis=1),
             ],
             axis=-1,
-        )  # [B,K+R,3]
+        )  # [B,KW+R,3]
         neg2, idx2 = jax.lax.top_k(-m_score, K)
         f2 = rowsel(m_rows, idx2)
         f2_score = -neg2

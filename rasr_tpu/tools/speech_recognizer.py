@@ -112,6 +112,8 @@ class SpeechRecognizerTool(Application):
             root_arc_limit=int(search.param("root-arc-limit", 0)),
             branch_hyps=int(search.param("branch-hyps", 0)),
             expansion_limit=int(search.param("expansion-limit", 0)),
+            root_select=int(search.param("root-select", 0)),
+            deferred_emission=bool(search.param("deferred-emission", False)),
             lookahead_scale=float(search.param("lookahead-scale", 1.0)),
             lm_scale=float(search.param("lm-scale", 10.0)),
         )

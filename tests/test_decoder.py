@@ -353,3 +353,77 @@ def test_decoder_with_4gram_lm(setup, rng):
     # pruning off -> exact minimum over word sequences under the 4-gram
     oracle_score, _ = _oracle_best(lex, topo, tying, trans, lm4, emis, T, lm_scale)
     np.testing.assert_allclose(res.score, oracle_score, rtol=1e-5)
+
+
+def test_decoder_root_select_exact(setup, rng):
+    """root_select (pre-emission word-start selection outside the main
+    recombination sorts) stays exact vs the oracle when R3 covers the
+    fan-out and pruning is off: root arrivals skip one frame of
+    loop-recombination (bounded beam waste) but never lose the best
+    path, and first-phone word ends still fire on the entry frame."""
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    T = 7
+    lm_scale = 0.7
+    for trial in range(3):
+        emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
+        dec = TreeDecoder(
+            tree, tables,
+            BeamConfig(max_hyps=256, beam=1e9, word_end_limit=64,
+                       root_hyps=256, lm_scale=lm_scale, root_select=4096),
+        )
+        (res,) = dec.decode_scores(emis, np.array([T]))
+        oracle_score, oracle_seq = _oracle_best(
+            lex, topo, tying, trans, lm, emis, T, lm_scale
+        )
+        np.testing.assert_allclose(res.score, oracle_score, rtol=1e-4, atol=1e-3)
+        got = [l.primary_orth for l in res.lemmas]
+        assert got == list(oracle_seq), (got, oracle_seq, trial)
+
+
+def test_decoder_root_select_matches_default(setup, rng):
+    """A generous root_select reproduces the default decoder's results
+    on batched ragged input (scores and word sequences)."""
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    T = 8
+    emis = rng.uniform(0.0, 6.0, size=(3, T, M)).astype(np.float32)
+    n = np.array([5, 8, 6])
+    base = TreeDecoder(
+        tree, tables, BeamConfig(max_hyps=256, word_end_limit=64, lm_scale=0.7)
+    )
+    fast = TreeDecoder(
+        tree, tables,
+        BeamConfig(max_hyps=256, word_end_limit=64, lm_scale=0.7, root_select=64),
+    )
+    for a, b in zip(base.decode_scores(emis, n), fast.decode_scores(emis, n)):
+        np.testing.assert_allclose(a.score, b.score, rtol=1e-4)
+        assert [l.primary_orth for l in a.lemmas] == [
+            l.primary_orth for l in b.lemmas
+        ]
+
+
+def test_decoder_deferred_emission_exact(setup, rng):
+    """deferred_emission (+ root_select) stays exact vs the oracle when
+    pruning is off: emission is a function of the recombination key, so
+    adding it after dedup + top-K changes nothing once every candidate
+    survives the histogram."""
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    T = 7
+    lm_scale = 0.7
+    for rsel in (0, 4096):
+        emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
+        dec = TreeDecoder(
+            tree, tables,
+            BeamConfig(max_hyps=256, beam=1e9, word_end_limit=64,
+                       root_hyps=256, lm_scale=lm_scale,
+                       root_select=rsel, deferred_emission=True),
+        )
+        (res,) = dec.decode_scores(emis, np.array([T]))
+        oracle_score, oracle_seq = _oracle_best(
+            lex, topo, tying, trans, lm, emis, T, lm_scale
+        )
+        np.testing.assert_allclose(res.score, oracle_score, rtol=1e-4, atol=1e-3)
+        got = [l.primary_orth for l in res.lemmas]
+        assert got == list(oracle_seq), (got, oracle_seq, rsel)
