@@ -474,15 +474,28 @@ def _make_step(
         element gathers to a ~12 ns/index serial path, while 2-D row
         gathers run ~1.8 ns/row (HLO-profiled on v5e: the emission
         selection dropped 467us -> ~70us per frame at B=16, E=4096 when
-        rewritten this way). Widening the table to 2 columns and taking
-        column 0 buys the fast path; the duplicated column costs one
-        fused 256KB broadcast per frame."""
+        rewritten this way). QUARTER-ROW form: view the flat table as
+        [B*N/4, 4] (a free reshape — no duplicated-table materialization,
+        which profiled at ~46us/frame in layout copies), row-gather at
+        idx>>2, then pick the lane with two vector selects. Also halves
+        the gather source vs the old 2x-duplicated table (better VMEM
+        pin odds). Microbenched 19.6us vs 26.2us at B=64/1536 idx."""
         Bx, N = x.shape
-        x2 = jnp.stack([x, x], axis=-1)  # [B, N, 2]
+        flat = x.reshape(Bx * N)
+        pad = (-(Bx * N)) % 4
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad,), flat.dtype)], axis=0
+            )
+        xr = flat.reshape((Bx * N + pad) // 4, 4)
         off = jnp.arange(Bx, dtype=jnp.int32).reshape(
             (Bx,) + (1,) * (idx.ndim - 1)
         ) * N
-        return x2.reshape(Bx * N, 2)[idx + off][..., 0]
+        g = idx + off
+        rows = xr[g >> 2]
+        lo = jnp.where((g & 1) == 0, rows[..., 0], rows[..., 1])
+        hi = jnp.where((g & 1) == 0, rows[..., 2], rows[..., 3])
+        return jnp.where((g & 2) == 0, lo, hi)
 
     def rowsel(rows, idx):
         """Batched ROW selection: one gather fetches all C columns per
@@ -594,10 +607,27 @@ def _make_step(
             rs_idx = rs_sorted[1][:, :R3]
             rs_h = jnp.where(rs_idx < G, 0, 1 + (rs_idx - G) // gcap)
             rs_g = jnp.where(rs_idx < G, rs_idx, (rs_idx - G) % gcap)
-            # int32 row gathers (no f32 bitcast — see root_pack note)
-            hr = rowsel(jnp.stack([h_lm, h_bp], axis=-1), rs_h)
-            rs_lm = hr[..., 0]
-            rs_bp = hr[..., 1]
+            # source-hyp columns via one-hot MXU matmul: rs_h indexes a
+            # [B,H] table (H=16) — a [B,R3,H]@[B,H,2] batched matmul
+            # streams through the MXU in ~us while the equivalent row
+            # gather profiled 50us/frame (32768 rows). Ids must be exact
+            # in f32 (< 2^24): bp ids are bounded by T*R << 2^24, so the
+            # guard is on the LM state count only.
+            if L < (1 << 24):
+                hsel = jax.nn.one_hot(rs_h, hroot, dtype=jnp.float32)
+                hcols = jnp.stack(
+                    [h_lm.astype(jnp.float32), h_bp.astype(jnp.float32)],
+                    axis=-1,
+                )  # [B,H,2]
+                hr = jnp.matmul(
+                    hsel, hcols, precision=jax.lax.Precision.HIGHEST
+                )
+                rs_lm = hr[..., 0].astype(jnp.int32)
+                rs_bp = hr[..., 1].astype(jnp.int32)
+            else:
+                hr = rowsel(jnp.stack([h_lm, h_bp], axis=-1), rs_h)
+                rs_lm = hr[..., 0]
+                rs_bp = hr[..., 1]
             rp = root_pack[rs_g]  # [B,R3,2] (dst, cls) row gather
             rs_state = rp[..., 0]
             rs_cls = rp[..., 1]
@@ -837,6 +867,9 @@ def _make_step(
         r_lemma = jax.lax.bitcast_convert_type(rsel[..., 2], jnp.int32)
         r_next = jax.lax.bitcast_convert_type(rsel[..., 3], jnp.int32)
         src = ridx // wmax
+        # (two quarter-row fsels instead of this packed row gather
+        # measured 331 vs 333 audio-s/s — the interleave copy the stack
+        # pays here overlaps with other work; don't redo)
         src_rows = rowsel(jnp.stack([w_lm, w_bp], axis=-1), src)  # [B,R,2]
         r_srclm = src_rows[..., 0]
         r_srcbp = src_rows[..., 1]
@@ -861,9 +894,11 @@ def _make_step(
 
         # --------------- merge word-end re-entries (+ root-select arrivals)
         m_score = jnp.concatenate([w_score, root_score], axis=1)
-        # top_k + row gather beats a payload value-sort at this narrow
-        # width (K+R: measured 168 vs 158 audio-s/s at B=64); re-sorting
-        # the carry by state id for gather locality also measured slower
+        # top_k + row gather beats a payload value-sort at this width
+        # (K+R: 168 vs 158 audio-s/s at B=64; re-measured at KW+R=1600:
+        # 333 vs 283 — the 4-operand sort loses MORE than the op-count
+        # model predicts, don't redo); re-sorting the carry by state id
+        # for gather locality also measured slower
         m_rows = jnp.stack(
             [
                 jnp.concatenate([w_state, root_state], axis=1),
