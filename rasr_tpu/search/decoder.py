@@ -316,6 +316,67 @@ class BeamConfig:
     lookahead_scale: float = 1.0
 
 
+def _bc_f(a):  # int32 -> f32 bits
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+def _bc_i(a):  # f32 bits -> int32
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _build_state_pack(tree: TreeTables, cfg: BeamConfig):
+    """Packed per-state row table for the beam's per-hyp gather.
+
+    Returns ``(state_pack [S+1, 8|9] f32, fold_bh, deg_bits)``. Shared
+    by ``_make_step`` (trace-time constant) and ``init_carry`` (the
+    beam carry rides the selected rows across frames — see step()).
+    """
+    bc_f = _bc_f
+    use_la = tree.has_lookahead and cfg.lookahead_scale != 0.0
+    la_coeff = cfg.lm_scale * cfg.lookahead_scale
+    # own class (loop emission) with the has-branch flag folded into its
+    # sign (~cls when the state has overflow arcs)
+    ecls_flag = jnp.where(
+        tree.branch_deg > 0, -tree.emission_class - 1, tree.emission_class
+    )
+    # one packed 8-column row per state (a split into two 3-col tables
+    # with bit-packed dst/cls measured SLOWER on v5e: 114 vs 129
+    # audio-s/s — two dependent gathers beat one wide row only if both
+    # land in VMEM, which the allocator did not do here)
+    state_pack = jnp.stack(
+        [
+            tree.loop_cost,  # 0
+            bc_f(tree.dense1_dst),  # 1
+            tree.dense1_cost + (la_coeff * tree.dense1_dla if use_la else 0.0),  # 2
+            bc_f(tree.dense1_cls),  # 3
+            bc_f(tree.dense2_dst),  # 4
+            tree.dense2_cost + (la_coeff * tree.dense2_dla if use_la else 0.0),  # 5
+            bc_f(tree.dense2_cls),  # 6
+            bc_f(ecls_flag),  # 7 (sign bit = has branch arcs)
+        ],
+        axis=1,
+    )  # [S+1, 8]
+    # branch CSR head (ptr, deg) folded into the state row when it fits
+    # one int32: the separate [S+1,2] table gathers from HBM at
+    # ~15ns/row (251us/frame profiled) while state_pack rides along
+    # VMEM-pinned — the 9th column is effectively free
+    Db = tree.branch_degree
+    deg_bits = max(int(Db).bit_length(), 1)
+    A_br = int(tree.branch_dst.shape[0])
+    fold_bh = (A_br + 1) < (1 << (31 - deg_bits))
+    if fold_bh:
+        state_pack = jnp.concatenate(
+            [
+                state_pack,
+                bc_f((tree.branch_ptr[:-1] << deg_bits) | tree.branch_deg)[
+                    :, None
+                ],
+            ],
+            axis=1,
+        )  # [S+1, 9]
+    return state_pack, fold_bh, deg_bits
+
+
 def _make_step(
     tree: TreeTables,
     lm: NgramTables,
@@ -371,57 +432,15 @@ def _make_step(
     use_exp = 0 < E < cand_width and not use_defer
     topn = min(K, cand_width)  # local top-K may be limited by slice width
 
-    carry0 = init_carry(B, cfg, lm)
-
     # ---- packed gather tables (trace-time; loop-invariant, hoisted) ----
     # every scan-body gather is an op dispatch on a small core: packing
     # per-state columns into one table turns 10 gathers into 1.
-    def bc_f(a):  # int32 -> f32 bits
-        return jax.lax.bitcast_convert_type(a, jnp.float32)
+    bc_f = _bc_f
+    bc_i = _bc_i
 
-    def bc_i(a):  # f32 bits -> int32
-        return jax.lax.bitcast_convert_type(a, jnp.int32)
-
-    # own class (loop emission) with the has-branch flag folded into its
-    # sign (~cls when the state has overflow arcs)
-    ecls_flag = jnp.where(
-        tree.branch_deg > 0, -tree.emission_class - 1, tree.emission_class
-    )
-    # one packed 8-column row per state (a split into two 3-col tables
-    # with bit-packed dst/cls measured SLOWER on v5e: 114 vs 129
-    # audio-s/s — two dependent gathers beat one wide row only if both
-    # land in VMEM, which the allocator did not do here)
-    state_pack = jnp.stack(
-        [
-            tree.loop_cost,  # 0
-            bc_f(tree.dense1_dst),  # 1
-            tree.dense1_cost + (la_coeff * tree.dense1_dla if use_la else 0.0),  # 2
-            bc_f(tree.dense1_cls),  # 3
-            bc_f(tree.dense2_dst),  # 4
-            tree.dense2_cost + (la_coeff * tree.dense2_dla if use_la else 0.0),  # 5
-            bc_f(tree.dense2_cls),  # 6
-            bc_f(ecls_flag),  # 7 (sign bit = has branch arcs)
-        ],
-        axis=1,
-    )  # [S+1, 8]
-    # branch CSR head (ptr, deg) folded into the state row when it fits
-    # one int32: the separate [S+1,2] table gathers from HBM at
-    # ~15ns/row (251us/frame profiled) while state_pack rides along
-    # VMEM-pinned — the 9th column is effectively free
-    deg_bits = max(int(Db).bit_length(), 1)
-    A_br = int(tree.branch_dst.shape[0])
-    fold_bh = (A_br + 1) < (1 << (31 - deg_bits))
-    if fold_bh:
-        state_pack = jnp.concatenate(
-            [
-                state_pack,
-                bc_f((tree.branch_ptr[:-1] << deg_bits) | tree.branch_deg)[
-                    :, None
-                ],
-            ],
-            axis=1,
-        )  # [S+1, 9]
-    else:
+    state_pack, fold_bh, deg_bits = _build_state_pack(tree, cfg)
+    carry0 = init_carry(B, cfg, lm, state_pack)
+    if not fold_bh:
         branch_head = jnp.stack(
             [tree.branch_ptr[:-1], tree.branch_deg], axis=1
         )  # [S+1, 2]: one row gather replaces two element gathers
@@ -451,6 +470,20 @@ def _make_step(
         ],
         axis=2,
     )  # [S+1, W, 6]
+
+    # ride-along state rows (single-device only): the word-end gather
+    # fetches the we columns AND the state_pack row in ONE row gather;
+    # the merge then carries the selected rows into the next frame's
+    # carry, eliminating the per-frame [B,K] state_pack gather entirely
+    # (HLO-profiled 102us/frame at B=64, K=1024; a [S+1,15] row gathers
+    # at the same ~1.5ns/row as the 6-col one)
+    ride_pk = Pn == 1
+    C_sp = state_pack.shape[1]
+    S1 = state_pack.shape[0]
+    if ride_pk:
+        combo_pack = jnp.concatenate(
+            [we_pack.reshape(S1, wmax * 6), state_pack], axis=1
+        )  # [S+1, W*6 + C_sp]
 
     if use_rsel:
         # root-selection path: (dst, cls) rows for the R3 survivors
@@ -508,7 +541,7 @@ def _make_step(
         return rows.reshape(Bx * N, C)[idx + off]
 
     def step(carry, inputs):
-        state, lms, score, bp, fstate, flm, fscore, fbp = carry
+        state, lms, score, bp, pk_c, fstate, flm, fscore, fbp = carry
         emis_t, t = inputs
         active = (t < n_frames)[:, None]
 
@@ -523,8 +556,15 @@ def _make_step(
         else:
             state_e, lms_e, score_e, bp_e = state, lms, score, bp
 
-        # ------------------------------- per-hyp state columns (1 gather)
-        pk = state_pack[state_e]  # [B,K_loc,8]
+        # ------------------------------- per-hyp state columns
+        # single-device: the carry rides each slot's packed row (picked
+        # up by the word-end gather + merge below), so no per-frame
+        # [B,K] state_pack gather at all; partitioned beams re-gather
+        # (the all_gather merge strips payload columns)
+        if ride_pk:
+            pk = pk_c
+        else:
+            pk = state_pack[state_e]  # [B,K_loc,8|9]
         cls_raw = bc_i(pk[..., 7])
         p_loop = score_e + pk[..., 0]
         d1 = bc_i(pk[..., 1])
@@ -843,7 +883,13 @@ def _make_step(
         KW = K + R3
 
         # ------------------------------------------------- word ends
-        wpk = we_pack[w_state]  # [B,KW,W,6] (1 gather for all we columns)
+        if ride_pk:
+            # one row gather for we columns AND next frame's state rows
+            combo = combo_pack[w_state]  # [B,KW,W*6+C_sp]
+            wpk = combo[..., : wmax * 6].reshape(B, KW, wmax, 6)
+            spk_w = combo[..., wmax * 6 :]  # [B,KW,C_sp]
+        else:
+            wpk = we_pack[w_state]  # [B,KW,W,6] (1 gather, all we cols)
         if use_defer:
             # survivors' current-frame emission (cls rides the word-end
             # gather; one KW-row fsel replaces the candidate-wide ones)
@@ -899,7 +945,7 @@ def _make_step(
         # 333 vs 283 — the 4-operand sort loses MORE than the op-count
         # model predicts, don't redo); re-sorting the carry by state id
         # for gather locality also measured slower
-        m_rows = jnp.stack(
+        m_core = jnp.stack(
             [
                 jnp.concatenate([w_state, root_state], axis=1),
                 jnp.concatenate([w_lm, r_newlm], axis=1),
@@ -907,18 +953,42 @@ def _make_step(
             ],
             axis=-1,
         )  # [B,KW+R,3]
+        if ride_pk:
+            # append the state rows so the merge delivers next frame's
+            # pk directly (word-end re-entries get a tiny [B,R] gather)
+            spk_root = state_pack[root_state]  # [B,R,C_sp]
+            m_rows = jnp.concatenate(
+                [
+                    bc_f(m_core),
+                    jnp.concatenate([spk_w, spk_root], axis=1),
+                ],
+                axis=2,
+            )  # [B,KW+R,3+C_sp] f32
+        else:
+            m_rows = m_core
         neg2, idx2 = jax.lax.top_k(-m_score, K)
         f2 = rowsel(m_rows, idx2)
         f2_score = -neg2
-        f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2[..., 0])
-        f2_lm = f2[..., 1]
-        f2_bp = f2[..., 2]
+        if ride_pk:
+            f2_state = jnp.where(f2_score >= BIG / 2, SENT, bc_i(f2[..., 0]))
+            f2_lm = bc_i(f2[..., 1])
+            f2_bp = bc_i(f2[..., 2])
+            # a SENT-forced slot keeps whatever row rode along: its
+            # score is BIG, so every expansion it seeds stays BIG and
+            # loses recombination — same guarantees as the sentinel row
+            f2_pk = f2[..., 3:]
+        else:
+            f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2[..., 0])
+            f2_lm = f2[..., 1]
+            f2_bp = f2[..., 2]
+            f2_pk = pk_c
 
         # ----------------------------------------------- freeze inactive
         state = jnp.where(active, f2_state, state)
         lms = jnp.where(active, f2_lm, lms)
         score = jnp.where(active, f2_score, score)
         bp = jnp.where(active, f2_bp, bp)
+        pk_n = jnp.where(active[:, :, None], f2_pk, pk_c)
 
         is_last = (t == n_frames - 1)[:, None]
         fstate = jnp.where(is_last, state, fstate)
@@ -934,20 +1004,28 @@ def _make_step(
             jnp.where(r_valid, r_word, WORD_NONE),
             jnp.where(r_valid, r_newlm, -1),
         )
-        return (state, lms, score, bp, fstate, flm, fscore, fbp), recs
+        return (state, lms, score, bp, pk_n, fstate, flm, fscore, fbp), recs
 
     return step, carry0
 
 
-def init_carry(B: int, cfg: BeamConfig, lm: NgramTables):
+def init_carry(B: int, cfg: BeamConfig, lm: NgramTables, state_pack):
     """Initial beam carry: one live hypothesis at the tree root in the
-    LM start state (shared by offline scan and streaming restart)."""
+    LM start state (shared by offline scan and streaming restart).
+
+    ``state_pack`` is ``_build_state_pack(tree, cfg)[0]``: the carry
+    rides each beam slot's packed state row across frames (all slots
+    start at the tree root = row 0), saving the per-frame [B,K] row
+    re-gather (102us/frame HLO-profiled at B=64, K=1024)."""
     K = cfg.max_hyps
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
     score0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
     bp0 = jnp.full((B, K), -1, jnp.int32)
-    return (state0, lm0, score0, bp0, state0, lm0, score0, bp0)
+    pk0 = jnp.broadcast_to(
+        state_pack[0][None, None, :], (B, K, state_pack.shape[1])
+    )
+    return (state0, lm0, score0, bp0, pk0, state0, lm0, score0, bp0)
 
 
 def _best_and_records(lm, lm_prep, recs, finals, cfg: BeamConfig, T: int):
@@ -1044,7 +1122,7 @@ def _decode_scan(
     )
     ts = jnp.arange(T, dtype=jnp.int32)
     carry, recs = jax.lax.scan(step, carry0, (jnp.swapaxes(emissions, 0, 1), ts))
-    _, _, _, _, fstate, flm, fscore, fbp = carry
+    _, _, _, _, _, fstate, flm, fscore, fbp = carry
     return _best_and_records(
         lm, lm_prep, recs, (fstate, flm, fscore, fbp), cfg, T
     )
@@ -1087,7 +1165,7 @@ def _finalize_stream(
     use the frozen finals captured in the scan; still-live utterances
     are finalized at the current frontier (the reference's
     getCurrentBestSentence semantics for partial hypotheses)."""
-    state, lms, score, bp, fstate, flm, fscore, fbp = carry
+    state, lms, score, bp, _pk, fstate, flm, fscore, fbp = carry
     c = captured[:, None]
     finals = (
         jnp.where(c, fstate, state),

@@ -26,6 +26,7 @@ from .decoder import (
     BeamConfig,
     DecodeResult,
     TreeDecoder,
+    _build_state_pack,
     _decode_block,
     _finalize_stream,
     init_carry,
@@ -66,7 +67,8 @@ class StreamingDecoder:
     def restart(self, batch_size: int, n_frames: Optional[np.ndarray] = None):
         """Begin a new (batch of) segment(s) (ref: SearchAlgorithm::restart)."""
         B = batch_size
-        self._carry = init_carry(B, self.dec.cfg, self.dec.lm)
+        state_pack, _, _ = _build_state_pack(self.dec.tables, self.dec.cfg)
+        self._carry = init_carry(B, self.dec.cfg, self.dec.lm, state_pack)
         self._recs = []
         self._t = 0
         self._B = B
