@@ -109,6 +109,111 @@ class BlstmEncoderNet(nn.Module):
         return nn.Dense(self.num_classes, name="output")(h)
 
 
+class ConformerBlock(nn.Module):
+    """One conformer block: ½FF -> MHSA -> conv module -> ½FF, all
+    residual, final LayerNorm (Gulati et al. 2020; see PAPERS.md).
+
+    TPU notes: every hot op is an MXU gemm (QKV/out projections, FF
+    mats, pointwise convs) or a short depthwise conv; attention uses a
+    dense [B, 1, T, T] validity mask so padded frames neither attend
+    nor are attended to (static shapes, no dynamic slicing)."""
+
+    d_model: int
+    num_heads: int = 4
+    ff_mult: int = 4
+    conv_kernel: int = 15
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, pad_mask, attn_mask, train: bool = False):
+        det = not (train and self.dropout > 0.0)
+
+        def drop(h):
+            if self.dropout > 0.0:
+                h = nn.Dropout(rate=self.dropout, deterministic=det)(h)
+            return h
+
+        def ff(h, name):
+            h = nn.LayerNorm(name=f"{name}_ln")(h)
+            h = nn.Dense(self.d_model * self.ff_mult, name=f"{name}_in")(h)
+            h = nn.swish(h)
+            h = drop(h)
+            return drop(nn.Dense(self.d_model, name=f"{name}_out")(h))
+
+        x = x + 0.5 * ff(x, "ff1")
+        # ---- multi-head self-attention over valid frames only
+        h = nn.LayerNorm(name="mhsa_ln")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, name="mhsa",
+            dropout_rate=self.dropout, deterministic=det,
+        )(h, h, mask=attn_mask)
+        x = x + drop(h)
+        # ---- convolution module (pointwise GLU -> depthwise -> pointwise)
+        h = nn.LayerNorm(name="conv_ln")(x)
+        h = nn.Dense(2 * self.d_model, name="conv_in")(h)
+        h = nn.glu(h, axis=-1)
+        # zero padded frames so the depthwise window never reads them
+        h = h * pad_mask
+        h = nn.Conv(
+            self.d_model, kernel_size=(self.conv_kernel,), padding="SAME",
+            feature_group_count=self.d_model, name="conv_dw",
+        )(h)
+        h = nn.swish(nn.LayerNorm(name="conv_bn")(h))  # LN in place of BN
+        h = nn.Dense(self.d_model, name="conv_out")(h)
+        x = x + drop(h * pad_mask)
+        x = x + 0.5 * ff(x, "ff2")
+        return nn.LayerNorm(name="final_ln")(x)
+
+
+class ConformerEncoderNet(nn.Module):
+    """Conformer acoustic encoder [B, T, D] -> [B, T, num_classes]
+    logits — the attention-based hybrid acoustic model (the reference
+    reaches encoder-only acoustic models solely through its TF bridge,
+    ref: src/Tensorflow/ feature scorers; here it is native flax/XLA).
+
+    Frame-synchronous on purpose: no time subsampling, because the
+    hybrid decoder and the HMM topology consume scores at the feature
+    frame rate ([B, T, M] aligned 1:1 with frames). Positional
+    information enters as sinusoidal encodings added before the block
+    stack (absolute; the depthwise conv modules add local relative
+    structure). With ``lengths`` given, padded frames are masked out of
+    attention AND the conv modules, so batched ragged scoring equals
+    per-utterance scoring on the valid prefix."""
+
+    num_classes: int
+    d_model: int = 256
+    num_blocks: int = 4
+    num_heads: int = 4
+    ff_mult: int = 4
+    conv_kernel: int = 15
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, lengths=None, train: bool = False):
+        B, T, _ = x.shape
+        if lengths is None:
+            valid = jnp.ones((B, T), bool)
+        else:
+            valid = jnp.arange(T)[None, :] < lengths[:, None]
+        pad_mask = valid[..., None].astype(x.dtype)  # [B, T, 1]
+        attn_mask = (valid[:, None, None, :] & valid[:, None, :, None])
+
+        h = nn.Dense(self.d_model, name="input_proj")(x)
+        # sinusoidal positions (static shapes: computed at trace time)
+        pos = jnp.arange(T, dtype=jnp.float32)[:, None]
+        dim = jnp.arange(self.d_model // 2, dtype=jnp.float32)[None, :]
+        ang = pos / jnp.power(10000.0, 2.0 * dim / self.d_model)
+        pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        h = h + pe[None, :, : self.d_model]
+        for i in range(self.num_blocks):
+            h = ConformerBlock(
+                d_model=self.d_model, num_heads=self.num_heads,
+                ff_mult=self.ff_mult, conv_kernel=self.conv_kernel,
+                dropout=self.dropout, name=f"block{i}",
+            )(h, pad_mask, attn_mask, train=train)
+        return nn.Dense(self.num_classes, name="output")(h * pad_mask)
+
+
 @dataclasses.dataclass
 class StatePriors:
     """Class priors for hybrid scoring (ref: src/Nn/Prior.* — estimated
@@ -148,14 +253,31 @@ class NnHybridScorer(FeatureScorer):
         self.scale = scale
         self.prior_scale = prior_scale
         self.num_classes = priors.log_priors.shape[0]
+        # length-aware encoders (BLSTM, Conformer) take the valid frame
+        # counts so batched ragged scoring matches unbatched scoring
+        import inspect
+
+        self._takes_lengths = "lengths" in inspect.signature(
+            type(model).__call__
+        ).parameters
         self._jit = jax.jit(self._score)
+        self._jit_len = jax.jit(self._score_len)
 
     def _score(self, feats: jnp.ndarray) -> jnp.ndarray:
         logits = self.model.apply({"params": self.params}, feats)
         logp = jax.nn.log_softmax(logits, axis=-1)
         return self.scale * (-(logp - self.prior_scale * self.log_priors))
 
-    def score(self, feats: jnp.ndarray) -> jnp.ndarray:
+    def _score_len(self, feats: jnp.ndarray, lengths: jnp.ndarray):
+        logits = self.model.apply(
+            {"params": self.params}, feats, lengths=lengths
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return self.scale * (-(logp - self.prior_scale * self.log_priors))
+
+    def score(self, feats: jnp.ndarray, lengths=None) -> jnp.ndarray:
+        if lengths is not None and self._takes_lengths:
+            return self._jit_len(jnp.asarray(feats), jnp.asarray(lengths))
         return self._jit(jnp.asarray(feats))
 
 

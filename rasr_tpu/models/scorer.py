@@ -36,8 +36,14 @@ class FeatureScorer:
     def score(self, feats: jnp.ndarray) -> jnp.ndarray:  # pragma: no cover
         raise NotImplementedError
 
-    def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
-        return self.score(feats)
+    def __call__(self, feats: jnp.ndarray, **kw) -> jnp.ndarray:
+        # length-aware scorers (e.g. NnHybridScorer over a Conformer)
+        # accept lengths=...; frame-local scorers ignore extra kwargs
+        import inspect
+
+        sig = inspect.signature(self.score)
+        kw = {k: v for k, v in kw.items() if k in sig.parameters}
+        return self.score(feats, **kw)
 
 
 _REGISTRY: Dict[str, Callable[..., FeatureScorer]] = {}

@@ -74,10 +74,12 @@ class NnTrainerTool(Application):
     action = ParameterChoice(
         "action", ["supervised-training", "estimate-priors"], default="supervised-training"
     )
-    #: ffnn = framewise (ref: Nn::FeedForwardTrainer); blstm = recurrent
-    #: encoder trained on whole utterances (ref reaches these only via
-    #: the TF bridge)
-    model_type = ParameterChoice("model-type", ["ffnn", "blstm"], default="ffnn")
+    #: ffnn = framewise (ref: Nn::FeedForwardTrainer); blstm/conformer =
+    #: sequence encoders trained on whole utterances (ref reaches these
+    #: only via the TF bridge)
+    model_type = ParameterChoice(
+        "model-type", ["ffnn", "blstm", "conformer"], default="ffnn"
+    )
     feature_cache = ParameterString("feature-cache")
     alignment_cache = ParameterString("alignment-cache")
     num_classes = ParameterInt("num-classes")
@@ -126,16 +128,23 @@ class NnTrainerTool(Application):
             from ..train.checkpoint import CheckpointManager
 
             ckpt = CheckpointManager(self.checkpoint_dir)
-        if self.model_type == "blstm":
-            from ..models.nn import BlstmEncoderNet
+        if self.model_type in ("blstm", "conformer"):
+            from ..models.nn import BlstmEncoderNet, ConformerEncoderNet
             from ..train.nn_trainer import SequenceTrainer
 
             seq_feats, seq_labels = _load_sequences(
                 self.feature_cache, self.alignment_cache
             )
-            model = BlstmEncoderNet(
-                num_classes=self.num_classes, hidden=tuple(self.hidden)
-            )
+            if self.model_type == "conformer":
+                model = ConformerEncoderNet(
+                    num_classes=self.num_classes,
+                    d_model=self.hidden[0] if self.hidden else 256,
+                    num_blocks=max(len(self.hidden), 1),
+                )
+            else:
+                model = BlstmEncoderNet(
+                    num_classes=self.num_classes, hidden=tuple(self.hidden)
+                )
             strainer = SequenceTrainer(
                 model, self.num_classes,
                 TrainConfig(

@@ -208,7 +208,14 @@ class SequenceTrainer(NnTrainer):
         return self.model.init(rng, dummy)["params"]
 
     def _loss(self, params, x, y, w):
-        logits = self.model.apply({"params": params}, x)  # [b, T, C]
+        # valid length per row from the label padding (-1 tail), passed
+        # to length-aware encoders (BLSTM, Conformer) so padded frames
+        # are masked out of recurrence/attention, not just out of the CE
+        T = y.shape[1]
+        lengths = T - jnp.argmax((y >= 0)[:, ::-1], axis=1)
+        logits = self.model.apply(
+            {"params": params}, x, lengths=lengths
+        )  # [b, T, C]
         valid = (y >= 0) & (w > 0)
         yc = jnp.maximum(y, 0)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, yc)

@@ -174,6 +174,17 @@ def test_align_nn_and_util_tools(workdir):
     assert (workdir / "nn.msgpack").exists()
     run_tool(
         "rasr_tpu.tools.nn_trainer",
+        "--nn-trainer.action=supervised-training",
+        "--nn-trainer.model-type=conformer",
+        "--nn-trainer.feature-cache=feat.cache",
+        "--nn-trainer.alignment-cache=align.cache",
+        "--nn-trainer.hidden-layers=16",
+        "--nn-trainer.epochs=1",
+        "--nn-trainer.params-file=conf.msgpack", cwd=cwd,
+    )
+    assert (workdir / "conf.msgpack").exists()
+    run_tool(
+        "rasr_tpu.tools.nn_trainer",
         "--nn-trainer.action=estimate-priors",
         "--nn-trainer.feature-cache=feat.cache",
         "--nn-trainer.alignment-cache=align.cache",
