@@ -226,3 +226,100 @@ def test_time_frame_cn_and_confidence():
     assert len(conf) == sum(1 for a in best if a.lemma >= 0)
     for w, c in conf:
         assert 0.0 <= c <= 1.0 + 1e-9
+
+
+def test_config5_hybrid_sharded_decode_lattice_rescore(rng):
+    """BASELINE.md graduated config 5 as one chain: hybrid NN scoring
+    (length-masked Conformer) -> DP-mesh-sharded beam decode -> word
+    lattice -> higher-order LM rescoring, each stage checked exactly:
+    mesh decode == single-device decode, lattice best path == decoder
+    output, and the rescored lattice's best path == exhaustive
+    enumeration of lattice paths under the new LM."""
+    import jax
+    import jax.numpy as jnp
+
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.models.hmm import HmmTopology, TransitionModel
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+    from rasr_tpu.models.nn import ConformerEncoderNet, NnHybridScorer, StatePriors
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.parallel.mesh import make_mesh
+    from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+    from rasr_tpu.search.tree import build_prefix_tree
+
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    M = tying.num_classes
+    lm2 = NgramLm.train_from_text([["AB", "BA"], ["BA", "AB"]], order=2)
+    tree = build_prefix_tree(lex, tying, topo, TransitionModel(), lm_vocab=lm2.vocab)
+
+    # hybrid scoring: conformer encoder posteriors -> emission costs
+    D = 6
+    model = ConformerEncoderNet(
+        num_classes=M, d_model=8, num_blocks=1, num_heads=2, conv_kernel=3
+    )
+    B, T = 4, 10
+    feats = rng.normal(size=(B, T, D)).astype(np.float32) * 3.0
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(feats))["params"]
+    priors = StatePriors(np.log(np.full(M, 1.0 / M, np.float32)))
+    scorer = NnHybridScorer(model, params, priors, scale=1.0)
+    n = np.array([10, 8, 10, 7])
+    emis = np.asarray(scorer(feats, lengths=n))
+
+    dec = TreeDecoder(
+        tree, compile_ngram(lm2),
+        BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=1.0),
+    )
+    # DP-sharded decode over the test mesh == single-device decode
+    import jax as _jax
+
+    mesh = make_mesh(data=4, model=1, devices=_jax.devices()[:4])
+    res_mesh = dec.decode_scores(emis, n, mesh=mesh)
+    res_one = dec.decode_scores(emis, n)
+    for a, b_ in zip(res_mesh, res_one):
+        assert a.words == b_.words
+        np.testing.assert_allclose(a.score, b_.score, rtol=1e-5)
+
+    # lattice generation (word-pair records) + same-LM consistency
+    lat = decoder_lattice(dec, 0)
+    score, path = best_path(lat)
+    np.testing.assert_allclose(score, res_one[0].score, rtol=1e-4, atol=1e-3)
+
+    # LM rescoring with a higher-order (trigram) LM
+    lm3 = NgramLm.train_from_text(
+        [["AB", "BA", "AB"], ["BA", "AB", "AB"], ["AB", "AB", "BA"]], order=3
+    )
+    synt = {
+        i: lm3.vocab.get(l.primary_orth)
+        for i, l in enumerate(dec.tree.lemmas)
+    }
+    resc = rescore_lm(lat, lm3, synt)
+    got_score, got_path = best_path(resc)
+
+    # oracle: enumerate ALL lattice paths, score am + trigram exactly
+    out = lat.out_arcs()
+    best = [np.inf]
+
+    def dfs(node, hist, am):
+        if node in lat.final_scores:
+            tot = am + lm3.sentence_end_score(hist)
+            best[0] = min(best[0], tot)
+        for ai in out[node]:
+            a = lat.arcs[ai]
+            wid = synt.get(a.lemma)
+            if wid is None:
+                dfs(a.to_node, hist, am + a.am_score)
+            else:
+                dfs(
+                    a.to_node,
+                    lm3.extended_history(hist, wid),
+                    am + a.am_score + lm3.score(hist, wid),
+                )
+
+    dfs(0, lm3.start_history(), 0.0)
+    np.testing.assert_allclose(got_score, best[0], rtol=1e-5, atol=1e-4)
