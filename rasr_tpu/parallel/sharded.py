@@ -194,3 +194,58 @@ def dp_decode(decoder, mesh: Mesh, emissions: np.ndarray, n_frames: np.ndarray,
     by the mesh's data axis.
     """
     return decoder.decode_scores(emissions, n_frames, names=names, mesh=mesh)
+
+
+# ------------------------------------------------- NN tensor parallelism
+def conformer_param_specs(params):
+    """PartitionSpec pytree for tensor-parallel ConformerEncoderNet
+    params over a ``(data, model)`` mesh (SURVEY §2.8 TP row: "NN layers
+    sharded with standard pjit annotations").
+
+    Split axes: attention heads over ``model`` (QKV kernels
+    [d, H, hd] -> (None,'model',None), out kernel [H, hd, d] ->
+    ('model',None,None)); FF/conv pointwise expansions column-split on
+    the way in, row-split on the way out (the Megatron pattern — one
+    allreduce per block half, inserted by GSPMD); depthwise-conv
+    channels over ``model``. Everything else (LayerNorms, projections,
+    biases of row-split layers) replicated. GSPMD keeps the math
+    identical to the replicated run up to float reduction order.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    specs = {}
+    COL_IN = ("ff1_in", "ff2_in", "conv_in")  # [d, 4d]-style column split
+    ROW_OUT = ("ff1_out", "ff2_out", "conv_out")  # [4d, d]-style row split
+    for path, leaf in flat.items():
+        kind = path[-1]
+        parent = path[-2] if len(path) >= 2 else ""
+        grand = path[-3] if len(path) >= 3 else ""
+        s = P()
+        if grand == "mhsa" or parent == "mhsa":
+            if parent == "out" and kind == "kernel":
+                s = P("model", None, None)
+            elif kind == "kernel" and leaf.ndim == 3:
+                s = P(None, "model", None)
+            elif kind == "bias" and leaf.ndim == 2:
+                s = P("model", None)
+        elif parent in COL_IN:
+            s = P(None, "model") if kind == "kernel" else P("model")
+        elif parent in ROW_OUT and kind == "kernel":
+            s = P("model", None)
+        elif parent == "conv_dw" and kind == "kernel":
+            s = P(None, None, "model")  # [k, 1, channels]
+        elif parent == "conv_dw" and kind == "bias":
+            s = P("model")
+        specs[path] = s
+    return flax.traverse_util.unflatten_dict(specs)
+
+
+def shard_conformer_params(params, mesh: Mesh):
+    """Place conformer params TP-sharded on the mesh (device_put with
+    the specs from :func:`conformer_param_specs`)."""
+    specs = conformer_param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
