@@ -199,6 +199,16 @@ def prepare_lookup(tables: NgramTables):
     replication below is ~max_probe x the hash table and XLA does not
     hoist its construction out of while loops — rebuilding it per frame
     collapses decoder throughput (measured 92 -> 3 audio-s/s).
+
+    Returns ``(packed, bo_packed, rep, uni_packed)``. ``uni_packed`` is
+    the DENSE final-level table: the last level of any backoff chain is
+    always the empty context, so it is an array lookup by word id — a
+    tiny [V, 2] (cost-bits, next) table the allocator VMEM-pins —
+    instead of a hash probe (HLO-profiled 33us vs ~6us per frame at
+    4096 word-end lookups). Words with no unigram hold the <unk>
+    unigram (or cost 99) precomputed, so the separate unk probe level
+    disappears too: ``order`` hash probes + 1 unk probe become
+    ``order - 1`` probes + 1 dense row gather, exactly.
     """
     mask = tables.table_size - 1
     # packed [H, 4] table: (key_state, key_word, cost-bits, next)
@@ -230,7 +240,33 @@ def prepare_lookup(tables: NgramTables):
         rep = packed[
             (jnp.arange(H, dtype=jnp.int32)[:, None] + probes) & mask
         ].reshape(H, P * 4)
-    return packed, bo_packed, rep
+    # dense unigram table (host-built, once per decoder)
+    ks = np.asarray(tables.key_state)
+    kw = np.asarray(tables.key_word)
+    vc = np.asarray(tables.val_cost)
+    vn = np.asarray(tables.val_next)
+    uni_rows = ks == 0
+    V = int(kw[uni_rows].max()) + 1 if uni_rows.any() else 1
+    # default = the current unk-fallback semantics
+    if tables.unk_word >= 0:
+        unk_hit = uni_rows & (kw == tables.unk_word)
+        if unk_hit.any():
+            i = int(np.flatnonzero(unk_hit)[0])
+            d_cost, d_next = float(vc[i]), int(vn[i])
+        else:
+            d_cost, d_next = 99.0, 0
+    else:
+        d_cost, d_next = 99.0, 0
+    # V+1 rows: the sentinel row V holds the default, so out-of-range
+    # query ids clamp to it instead of aliasing a real word's row
+    uni_cost = np.full(V + 1, d_cost, np.float32)
+    uni_next = np.full(V + 1, d_next, np.int32)
+    uni_cost[kw[uni_rows]] = vc[uni_rows]
+    uni_next[kw[uni_rows]] = vn[uni_rows]
+    uni_packed = jnp.asarray(
+        np.stack([uni_cost.view(np.int32), uni_next], axis=1)
+    )  # [V+1, 2]
+    return packed, bo_packed, rep, uni_packed
 
 
 def lookup_prepared(
@@ -243,8 +279,14 @@ def lookup_prepared(
 
     states, words ``[N] i32`` -> (costs ``[N] f32``, next states ``[N] i32``).
     Unknown words (no unigram) get the <unk> unigram or cost 99.
+
+    ``order - 1`` hash-probe levels; the final level (always the empty
+    context after the backoff chain bottoms out) is a dense row gather
+    by word id, with the unknown-word fallback precomputed into the
+    dense rows (see prepare_lookup) — identical results, two fewer
+    probe gathers per call than the naive order+unk chain.
     """
-    packed, bo_packed, rep = prep
+    packed, bo_packed, rep, uni_packed = prep
     mask = tables.table_size - 1
     N = states.shape
     acc = jnp.zeros(N, jnp.float32)
@@ -254,7 +296,7 @@ def lookup_prepared(
     P = tables.max_probe
     probes = jnp.arange(P, dtype=jnp.int32)
 
-    def probe_level(acc, nxt, found, cur, words):
+    def probe_level(cur, words):
         h = _hash_jax(cur, words, mask)
         if rep is not None:
             rows = rep[h].reshape(h.shape + (P, 4))  # one row gather
@@ -270,8 +312,8 @@ def lookup_prepared(
         hit_next = jnp.where(hit_any, row[..., 3], 0)
         return hit_cost, hit_next, hit_any
 
-    for _level in range(tables.order):
-        hit_cost, hit_next, hit_any = probe_level(acc, nxt, found, cur, words)
+    for _level in range(tables.order - 1):
+        hit_cost, hit_next, hit_any = probe_level(cur, words)
         new_hit = hit_any & ~found
         acc = jnp.where(new_hit, acc + hit_cost, acc)
         nxt = jnp.where(new_hit, hit_next, nxt)
@@ -284,17 +326,12 @@ def lookup_prepared(
         )
         cur = jnp.where(can_bo, bo[..., 1], cur)
 
-    # words with no unigram at all: <unk> unigram or flat 99
-    if tables.unk_word >= 0:
-        unk_cost, unk_next, unk_hit = probe_level(
-            acc, nxt, found,
-            jnp.zeros_like(cur), jnp.full_like(words, tables.unk_word),
-        )
-        acc = jnp.where(~found, acc + jnp.where(unk_hit, unk_cost, 99.0), acc)
-        nxt = jnp.where(~found, jnp.where(unk_hit, unk_next, 0), nxt)
-    else:
-        acc = jnp.where(~found, acc + 99.0, acc)
-        nxt = jnp.where(~found, 0, nxt)
+    # final level: dense unigram rows (sentinel row V = no-unigram default)
+    V = uni_packed.shape[0] - 1
+    urow = uni_packed[jnp.minimum(words, V)]  # [N, 2] row gather
+    ucost = jax.lax.bitcast_convert_type(urow[..., 0], jnp.float32)
+    acc = jnp.where(~found, acc + ucost, acc)
+    nxt = jnp.where(~found, urow[..., 1], nxt)
     return acc, nxt
 
 
@@ -306,6 +343,7 @@ def lookup(
     return lookup_prepared(tables, prepare_lookup(tables), states, words)
 
 
-@jax.jit
 def score_batch(tables: NgramTables, states: jnp.ndarray, words: jnp.ndarray):
+    # not jitted: prepare_lookup builds its dense unigram table host-side
+    # (decoders prepare once and jit lookup_prepared instead)
     return lookup(tables, states, words)

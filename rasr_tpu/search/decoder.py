@@ -521,9 +521,14 @@ def _make_step(
                 [flat, jnp.zeros((pad,), flat.dtype)], axis=0
             )
         xr = flat.reshape((Bx * N + pad) // 4, 4)
-        off = jnp.arange(Bx, dtype=jnp.int32).reshape(
-            (Bx,) + (1,) * (idx.ndim - 1)
-        ) * N
+        # trace-time CONSTANT offsets: an in-body jnp.arange becomes an
+        # iota fusion XLA re-materializes per frame and shuttles
+        # VMEM->HBM->VMEM (copy-start/done pairs, ~40us/frame profiled)
+        off = jnp.asarray(
+            (np.arange(Bx, dtype=np.int32) * N).reshape(
+                (Bx,) + (1,) * (idx.ndim - 1)
+            )
+        )
         g = idx + off
         rows = xr[g >> 2]
         lo = jnp.where((g & 1) == 0, rows[..., 0], rows[..., 1])
@@ -535,9 +540,11 @@ def _make_step(
         index (measured ~1.5-2 cycles/index vs ~7 for element gathers:
         pack columns, gather once)."""
         Bx, N, C = rows.shape
-        off = jnp.arange(Bx, dtype=jnp.int32).reshape(
-            (Bx,) + (1,) * (idx.ndim - 1)
-        ) * N
+        off = jnp.asarray(
+            (np.arange(Bx, dtype=np.int32) * N).reshape(
+                (Bx,) + (1,) * (idx.ndim - 1)
+            )
+        )
         return rows.reshape(Bx * N, C)[idx + off]
 
     def step(carry, inputs):
@@ -907,7 +914,7 @@ def _make_step(
         neg_r, ridx = jax.lax.top_k(-pre, R)
         r_pre = -neg_r  # [B,R]
         # flat row gather of the selected word-end records (fast path)
-        roff = jnp.arange(B, dtype=jnp.int32)[:, None] * (KW * wmax)
+        roff = jnp.asarray(np.arange(B, dtype=np.int32)[:, None] * (KW * wmax))
         rsel = wpk.reshape(B * KW * wmax, 6)[ridx + roff]  # [B,R,6]
         r_word = jax.lax.bitcast_convert_type(rsel[..., 0], jnp.int32)
         r_lemma = jax.lax.bitcast_convert_type(rsel[..., 2], jnp.int32)
@@ -1208,7 +1215,8 @@ class TreeDecoder:
         # LM gather tables (incl. the replicated probe-chain) built ONCE
         # per decoder — rebuilding per decode call wastes ~10ms+ each,
         # rebuilding per FRAME collapses throughput (92 -> 3 audio-s/s)
-        self.lm_prep = jax.jit(prepare_lookup)(lm_tables)
+        # NOT jitted: builds the dense unigram table host-side
+        self.lm_prep = prepare_lookup(lm_tables)
         # word-end selection cannot exceed the number of candidates
         self.cfg = dataclasses.replace(
             cfg,
