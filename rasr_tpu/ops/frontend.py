@@ -56,6 +56,10 @@ class FrontendConfig:
     fmax: float = 0.0  # 0 = nyquist
     num_cepstra: int = 16
     dct_norm: str = "rasr"  # rasr (scale 2/num_mel-ish) | ortho
+    #: sinusoidal cepstral liftering (ref: src/Signal/Cepstrum.* optional
+    #: liftering; HTK-style c_k *= 1 + (L/2) sin(pi k / L)). 0 = off.
+    #: Folded into the DCT matrix, so it costs nothing at runtime.
+    cep_lifter: float = 0.0
     log_floor: float = 1e-10
     append_energy: bool = False
     normalize: str = "segment"  # none | segment | sliding (cyclic window)
@@ -153,6 +157,14 @@ def dct_matrix(num_mel: int, num_cepstra: int, norm: str = "rasr") -> np.ndarray
     return basis.astype(np.float32)
 
 
+def lifter_coeffs(num_cepstra: int, lifter: float) -> np.ndarray:
+    """Sinusoidal liftering coefficients ``[C]`` (identity for lifter<=0)."""
+    if lifter <= 0:
+        return np.ones(num_cepstra, np.float32)
+    k = np.arange(num_cepstra)
+    return (1.0 + lifter / 2.0 * np.sin(np.pi * k / lifter)).astype(np.float32)
+
+
 # ------------------------------------------------------------------ parameters
 @dataclasses.dataclass(frozen=True)
 class FrontendParams:
@@ -184,7 +196,10 @@ def make_params(cfg: FrontendConfig) -> FrontendParams:
                 cfg.sample_rate, cfg.fmin, cfg.fmax,
             )
         ),
-        dct=jnp.asarray(dct_matrix(cfg.num_mel, cfg.num_cepstra, cfg.dct_norm)),
+        dct=jnp.asarray(
+            dct_matrix(cfg.num_mel, cfg.num_cepstra, cfg.dct_norm)
+            * lifter_coeffs(cfg.num_cepstra, cfg.cep_lifter)[None, :]
+        ),
     )
 
 

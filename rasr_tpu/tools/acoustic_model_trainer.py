@@ -58,6 +58,9 @@ class AcousticModelTrainerTool(Application):
     splits = ParameterInt("splits", default=0)
     states_per_phone = ParameterInt("states-per-phone", default=3)
     var_floor = ParameterFloat("var-floor", default=0.05)
+    variance_tying = ParameterChoice(
+        "variance-tying", ["density", "mixture", "pooled"], default="density"
+    )
     lda_output_dim = ParameterInt("lda-output-dim", default=45)
     lda_file = ParameterString("lda-output-file", default="lda.npy")
 
@@ -94,7 +97,7 @@ class AcousticModelTrainerTool(Application):
         if action == "estimate":
             acc = GmmAccumulator.load(self.accumulator_file)
             prev = MixtureSet.load(self.mixture_file) if self.mixture_file else None
-            model = estimate(acc, prev=prev)
+            model = estimate(acc, prev=prev, variance_tying=self.variance_tying)
             model.save(self.new_mixture_file)
             self.log("estimated", mixtures=model.num_mixtures)
             return 0

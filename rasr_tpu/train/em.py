@@ -150,6 +150,7 @@ def estimate(
     min_observations: float = 1.0,
     variance_floor_factor: float = 0.01,
     prev: Optional[MixtureSet] = None,
+    variance_tying: str = "density",
 ) -> MixtureSet:
     """ML re-estimation with min-observation pruning and variance flooring.
 
@@ -158,7 +159,16 @@ def estimate(
     surviving density keep their previous parameters (or a unit Gaussian).
     The variance floor is ``factor * global pooled variance`` per dim
     (ref: Mm estimation's min-observation + variance flooring).
+
+    ``variance_tying`` (ref: Mm pooled covariances — "means/vars possibly
+    pooled"): ``"density"`` = per-density diagonal (default);
+    ``"mixture"`` = one diagonal covariance shared by a mixture's
+    densities; ``"pooled"`` = one global diagonal covariance. Tied
+    variances are the ML estimates under the tying (count-weighted
+    within-density scatter over the tied group).
     """
+    if variance_tying not in ("density", "mixture", "pooled"):
+        raise ValueError(f"unknown variance_tying {variance_tying!r}")
     M, K, D = acc.shape
     count = acc.count  # [M, K]
     total = count.sum()
@@ -171,7 +181,18 @@ def estimate(
     alive = count >= min_observations  # [M, K]
     cnt = np.maximum(count, 1e-10)[..., None]
     means = acc.sum / cnt
-    variances = np.maximum(acc.sumsq / cnt - means**2, floor[None, None, :])
+    if variance_tying == "density":
+        variances = np.maximum(acc.sumsq / cnt - means**2, floor[None, None, :])
+    else:
+        # within-density scatter (zero for unobserved densities)
+        within = acc.sumsq - count[..., None] * means**2  # [M, K, D]
+        if variance_tying == "pooled":
+            pooled = np.maximum(within.sum((0, 1)) / total, floor)
+            variances = np.broadcast_to(pooled, (M, K, D)).copy()
+        else:  # mixture
+            cm = np.maximum(count.sum(1), 1e-10)[:, None]
+            vm = np.maximum(within.sum(1) / cm, floor[None, :])  # [M, D]
+            variances = np.broadcast_to(vm[:, None, :], (M, K, D)).copy()
 
     # compact: move surviving densities to the front of each mixture row
     new_means = np.zeros_like(means, dtype=np.float32)

@@ -38,21 +38,53 @@ class TrainConfig:
     optimizer: str = "momentum"  # sgd | momentum | adam
     epochs: int = 1
     seed: int = 0
-    lr_schedule: str = "constant"  # constant | newbob-ish decay handled by caller
+    #: "constant", or "newbob" (ref: the classic relevance-driven
+    #: learning-rate control of RASR/RETURNN hybrid training): when the
+    #: control loss (dev set if given, else train) improves by less than
+    #: ``newbob_threshold`` (relative), the learning rate multiplies by
+    #: ``newbob_decay`` for the following epochs.
+    lr_schedule: str = "constant"
+    newbob_decay: float = 0.5
+    newbob_threshold: float = 0.01
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    if cfg.optimizer == "sgd":
-        opt = optax.sgd(cfg.learning_rate)
-    elif cfg.optimizer == "momentum":
-        opt = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
-    elif cfg.optimizer == "adam":
-        opt = optax.adam(cfg.learning_rate)
-    else:
-        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    if cfg.l2 > 0:
-        opt = optax.chain(optax.add_decayed_weights(cfg.l2), opt)
-    return opt
+    def base(learning_rate):
+        if cfg.optimizer == "sgd":
+            opt = optax.sgd(learning_rate)
+        elif cfg.optimizer == "momentum":
+            opt = optax.sgd(learning_rate, momentum=cfg.momentum)
+        elif cfg.optimizer == "adam":
+            opt = optax.adam(learning_rate)
+        else:
+            raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+        if cfg.l2 > 0:
+            opt = optax.chain(optax.add_decayed_weights(cfg.l2), opt)
+        return opt
+
+    if cfg.lr_schedule == "newbob":
+        # learning_rate lives in opt_state.hyperparams: epoch-boundary
+        # decay updates it without retracing the jitted step
+        return optax.inject_hyperparams(base)(learning_rate=cfg.learning_rate)
+    if cfg.lr_schedule != "constant":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    return base(cfg.learning_rate)
+
+
+def newbob_step(cfg: TrainConfig, opt_state, prev_loss, cur_loss):
+    """Epoch-boundary newbob control: decay the injected learning rate
+    when the relative improvement of the control loss is below threshold.
+    Returns (opt_state, new_prev_loss, new_lr or None)."""
+    if cfg.lr_schedule != "newbob" or prev_loss is None:
+        return opt_state, cur_loss, None
+    rel = (prev_loss - cur_loss) / max(abs(prev_loss), 1e-12)
+    if rel >= cfg.newbob_threshold:
+        return opt_state, cur_loss, None
+    lr = float(opt_state.hyperparams["learning_rate"]) * cfg.newbob_decay
+    opt_state = opt_state._replace(
+        hyperparams={**opt_state.hyperparams, "learning_rate": jnp.asarray(lr)}
+    )
+    return opt_state, cur_loss, lr
 
 
 class FrameDataset:
@@ -98,6 +130,7 @@ class NnTrainer:
         self.cfg = cfg
         self.opt = make_optimizer(cfg)
         self._step = jax.jit(self._update)
+        self._eval = jax.jit(self._loss)
 
     def init_params(self, input_dim: int, seed: Optional[int] = None):
         rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
@@ -125,6 +158,7 @@ class NnTrainer:
         ckpt=None,  # train.checkpoint.CheckpointManager
         ckpt_every: int = 0,  # full-state checkpoint every N steps (0 = per epoch)
         resume: bool = False,  # restore the latest checkpoint and continue
+        dev: Optional["FrameDataset"] = None,  # newbob control set
     ):
         """Run the SGD schedule; optionally checkpoint/resume MID-EPOCH.
 
@@ -148,6 +182,7 @@ class NnTrainer:
             if log is not None:
                 log("nn resume", epoch=start_epoch, batch=start_batch, step=gstep)
         stats = []
+        self._newbob_prev = None
         for epoch in range(start_epoch, self.cfg.epochs):
             losses, accs = [], []
             skip = start_batch if epoch == start_epoch else 0
@@ -172,6 +207,23 @@ class NnTrainer:
                 "loss": float(np.mean(losses)) if losses else 0.0,
                 "frame_accuracy": float(np.mean(accs)) if accs else 0.0,
             }
+            if dev is not None:
+                dl, da = [], []
+                for x, y, w in dev.minibatches(self.cfg.batch_size, 0):
+                    loss, acc = self._eval(
+                        params, jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
+                    )
+                    dl.append(float(loss))
+                    da.append(float(acc))
+                rec["dev_loss"] = float(np.mean(dl)) if dl else 0.0
+                rec["dev_frame_accuracy"] = float(np.mean(da)) if da else 0.0
+            control = rec.get("dev_loss", rec["loss"])
+            opt_state, prev_control, new_lr = newbob_step(
+                self.cfg, opt_state, getattr(self, "_newbob_prev", None), control
+            )
+            self._newbob_prev = prev_control
+            if new_lr is not None:
+                rec["learning_rate"] = new_lr
             stats.append(rec)
             if ckpt is not None:
                 ckpt.save(gstep, (params, opt_state), {"epoch": epoch + 1, "batch": 0})
@@ -236,6 +288,7 @@ class SequenceTrainer(NnTrainer):
         opt_state = self.opt.init(params)
         N = feats.shape[0]
         stats = []
+        prev_control = None
         for epoch in range(self.cfg.epochs):
             perm = np.random.default_rng(self.cfg.seed + epoch).permutation(N)
             losses, accs = [], []
@@ -252,6 +305,11 @@ class SequenceTrainer(NnTrainer):
                 "loss": float(np.mean(losses)) if losses else 0.0,
                 "frame_accuracy": float(np.mean(accs)) if accs else 0.0,
             }
+            opt_state, prev_control, new_lr = newbob_step(
+                self.cfg, opt_state, prev_control, rec["loss"]
+            )
+            if new_lr is not None:
+                rec["learning_rate"] = new_lr
             stats.append(rec)
             if log is not None:
                 log("nn sequence epoch", **rec)

@@ -277,3 +277,23 @@ def test_delay_shifts():
     x = jnp.asarray(np.arange(6, dtype=np.float32)[None])
     np.testing.assert_allclose(np.asarray(delay(x, 2))[0], [0, 0, 0, 1, 2, 3])
     np.testing.assert_allclose(np.asarray(delay(x, -2))[0], [2, 3, 4, 5, 0, 0])
+
+
+def test_cepstral_liftering_folds_into_dct(rng):
+    """cep_lifter folds into the DCT matrix: liftered cepstra ==
+    unliftered * HTK sin-lifter coefficients."""
+    from rasr_tpu.ops.frontend import lifter_coeffs
+
+    sig = (rng.normal(size=(1, 4000)) * 0.2).astype(np.float32)
+    lens = np.array([4000], np.int64)
+    base = FeatureFrontend(FrontendConfig(normalize="none"))
+    lift = FeatureFrontend(FrontendConfig(normalize="none", cep_lifter=22.0))
+    f0, n0 = base(sig, lens)
+    f1, n1 = lift(sig, lens)
+    co = lifter_coeffs(base.cfg.num_cepstra, 22.0)
+    np.testing.assert_allclose(
+        np.asarray(f1)[0, : int(n1[0])],
+        np.asarray(f0)[0, : int(n0[0])] * co[None, :],
+        rtol=1e-4, atol=1e-4,
+    )
+    assert co[0] == 1.0 and co.max() > 5.0

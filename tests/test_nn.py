@@ -290,3 +290,44 @@ def test_conformer_scorer_lengths(rng):
     # GMM-style scorers ignore the kwarg through the seam
     full = scorer(x)
     assert full.shape == (2, 7, M)
+
+
+def test_newbob_schedule_decays_on_plateau(rng):
+    """lr_schedule='newbob' halves the injected learning rate when the
+    epoch loss stops improving; training still converges."""
+    feats, labels, _ = _toy_data(rng)
+    ds = FrameDataset(feats, labels)
+    cfg = TrainConfig(
+        batch_size=64, learning_rate=0.5, optimizer="sgd", epochs=6,
+        lr_schedule="newbob", newbob_decay=0.5, newbob_threshold=0.9,
+    )
+    # threshold 0.9 (90% relative improvement required) forces decay at
+    # every epoch boundary after the first
+    tr = NnTrainer(FeedForwardNet(num_classes=4, hidden=(16,)), 4, cfg)
+    params, stats = tr.train(ds)
+    lrs = [s["learning_rate"] for s in stats if "learning_rate" in s]
+    assert len(lrs) >= 3 and lrs[0] == 0.25 and lrs[1] == 0.125
+    assert stats[-1]["frame_accuracy"] > 0.8
+
+    # constant schedule records no lr changes and reaches accuracy too
+    tr2 = NnTrainer(
+        FeedForwardNet(num_classes=4, hidden=(16,)), 4,
+        TrainConfig(batch_size=64, learning_rate=0.1, epochs=3),
+    )
+    _, stats2 = tr2.train(ds)
+    assert all("learning_rate" not in s for s in stats2)
+    assert stats2[-1]["frame_accuracy"] > 0.8
+
+
+def test_newbob_dev_control_set(rng):
+    """With a dev dataset, newbob keys off dev_loss and the epoch record
+    carries dev metrics."""
+    feats, labels, _ = _toy_data(rng, n=400)
+    dev_f, dev_l, _ = _toy_data(rng, n=120)
+    cfg = TrainConfig(
+        batch_size=64, learning_rate=0.2, epochs=3, lr_schedule="newbob",
+        newbob_threshold=0.0,  # decay only on regression
+    )
+    tr = NnTrainer(FeedForwardNet(num_classes=4, hidden=(16,)), 4, cfg)
+    params, stats = tr.train(FrameDataset(feats, labels), dev=FrameDataset(dev_f, dev_l))
+    assert all("dev_loss" in s and "dev_frame_accuracy" in s for s in stats)

@@ -188,3 +188,34 @@ def test_default_questions(rng):
     names = {q.name for q in qs}
     assert "left=a" in names and "leftinAB" in names and "state=0" in names
     assert "center=#" in names
+
+
+def test_variance_tying_pooled_and_mixture(rng):
+    """Tied-variance estimation == count-weighted within-density scatter
+    oracle (ref: Mm pooled covariances)."""
+    M, D, n = 3, 4, 900
+    means_true = rng.normal(size=(M, D)).astype(np.float32) * 2
+    labels = rng.integers(0, M, size=n).astype(np.int32)
+    data = (means_true[labels] + rng.normal(size=(n, D)) * (1.0 + labels[:, None] * 0.5)).astype(np.float32)
+    model = MixtureSet.single_density(means_true, np.ones((M, D), np.float32))
+    acc = GmmAccumulator.zeros(M, 1, D)
+    accumulate(acc, model, data, labels)
+
+    pooled = estimate(acc, variance_floor_factor=0.0, variance_tying="pooled")
+    mix = estimate(acc, variance_floor_factor=0.0, variance_tying="mixture")
+    plain = estimate(acc, variance_floor_factor=0.0)
+
+    # oracle: within-class scatter per mixture / globally
+    want_mix = np.stack(
+        [data[labels == m].var(0) for m in range(M)]
+    )
+    counts = np.array([(labels == m).sum() for m in range(M)], np.float64)
+    want_pool = (want_mix * counts[:, None]).sum(0) / counts.sum()
+
+    for m in range(M):
+        np.testing.assert_allclose(mix.variances[m, 0], want_mix[m], rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(pooled.variances[m, 0], want_pool, rtol=1e-3, atol=1e-3)
+        # means unchanged by the tying
+        np.testing.assert_allclose(pooled.means[m, 0], plain.means[m, 0], rtol=1e-5)
+    # per-density estimation differs from pooled when classes differ
+    assert not np.allclose(plain.variances[0, 0], plain.variances[2, 0], rtol=0.05)
