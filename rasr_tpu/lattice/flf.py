@@ -375,3 +375,75 @@ def word_confidence(
         conf = float(np.mean(span)) if span else 0.0
         out.append((orth, conf))
     return out
+
+
+# --------------------------------------------------- structural lattice ops
+def scale_scores(lat: Lattice, am_scale: float, lm_scale: float) -> Lattice:
+    """Semiring rescale (ref: Flf semiring rescale nodes): bake the
+    per-dimension scales into the score dims so downstream consumers can
+    run with unit scales. Final scores are already in the total
+    dimension (the decoder emits them pre-scaled — see
+    search/decoder._best_and_records) and pass through unchanged."""
+    arcs = [
+        LatticeArc(a.from_node, a.to_node, a.lemma,
+                   am_scale * a.am_score, lm_scale * a.lm_score)
+        for a in lat.arcs
+    ]
+    return Lattice(lat.num_nodes, arcs, lat.node_time.copy(),
+                   dict(lat.final_scores), list(lat.lemma_orths))
+
+
+def map_lemmas(lat: Lattice, orth_map: Dict[str, str]) -> Lattice:
+    """Alphabet mapping (ref: Flf map-alphabet nodes): rewrite arc
+    labels through an orthography map; unmapped orths pass through.
+    Lemmas merging onto the same orth share one output label."""
+    new_orths: List[str] = []
+    index: Dict[str, int] = {}
+    remap: List[int] = []
+    for orth in lat.lemma_orths:
+        target = orth_map.get(orth, orth)
+        if target not in index:
+            index[target] = len(new_orths)
+            new_orths.append(target)
+        remap.append(index[target])
+    arcs = [
+        LatticeArc(a.from_node, a.to_node,
+                   remap[a.lemma] if a.lemma >= 0 else -1,
+                   a.am_score, a.lm_score)
+        for a in lat.arcs
+    ]
+    return Lattice(lat.num_nodes, arcs, lat.node_time.copy(),
+                   dict(lat.final_scores), new_orths)
+
+
+def union(lats: Sequence[Lattice]) -> Lattice:
+    """Lattice union (ref: Flf union node — e.g. system combination
+    before CN decoding): a fresh initial node epsilon-branches into each
+    input's initial node; alphabets merge by orthography."""
+    assert lats, "union of nothing"
+    new_orths: List[str] = []
+    index: Dict[str, int] = {}
+    arcs: List[LatticeArc] = []
+    finals: Dict[int, float] = {}
+    times: List[int] = [0]
+    offset = 1
+    for lat in lats:
+        remap = []
+        for orth in lat.lemma_orths:
+            if orth not in index:
+                index[orth] = len(new_orths)
+                new_orths.append(orth)
+            remap.append(index[orth])
+        times.extend(int(t) for t in lat.node_time)
+        arcs.append(LatticeArc(0, offset, -1, 0.0, 0.0))  # eps entry
+        for a in lat.arcs:
+            arcs.append(
+                LatticeArc(offset + a.from_node, offset + a.to_node,
+                           remap[a.lemma] if a.lemma >= 0 else -1,
+                           a.am_score, a.lm_score)
+            )
+        for n, s in lat.final_scores.items():
+            node = offset + n
+            finals[node] = min(finals.get(node, BIG), float(s))
+        offset += lat.num_nodes
+    return Lattice(offset, arcs, np.asarray(times, np.int32), finals, new_orths)

@@ -323,3 +323,37 @@ def test_config5_hybrid_sharded_decode_lattice_rescore(rng):
 
     dfs(0, lm3.start_history(), 0.0)
     np.testing.assert_allclose(got_score, best[0], rtol=1e-5, atol=1e-4)
+
+
+def test_scale_map_union_ops(rng):
+    """Structural FLF ops: semiring rescale, alphabet map, union."""
+    from rasr_tpu.lattice.flf import best_path, map_lemmas, scale_scores, union
+    from rasr_tpu.lattice.lattice import Lattice, LatticeArc
+
+    def two_word_lattice(orths, am1, am2):
+        arcs = [
+            LatticeArc(0, 1, 0, am1, 1.0),
+            LatticeArc(0, 1, 1, am2, 2.0),
+        ]
+        return Lattice(2, arcs, np.array([0, 10], np.int32), {1: 0.5}, list(orths))
+
+    lat = two_word_lattice(["A", "B"], 3.0, 4.0)
+
+    s = scale_scores(lat, 2.0, 10.0)
+    assert s.arcs[0].am_score == 6.0 and s.arcs[0].lm_score == 10.0
+    assert s.final_scores[1] == 0.5  # finals are total-dim: unscaled
+    # scaled lattice at unit scales == original at (2, 10)
+    c0, p0 = best_path(lat, 2.0, 10.0)
+    c1, p1 = best_path(s, 1.0, 1.0)
+    assert abs(c0 - c1) < 1e-6 and [a.lemma for a in p0] == [a.lemma for a in p1]
+
+    m = map_lemmas(lat, {"B": "A"})
+    assert m.lemma_orths == ["A"]
+    assert all(a.lemma == 0 for a in m.arcs)
+
+    u = union([lat, two_word_lattice(["B", "C"], 1.0, 9.0)])
+    assert u.num_nodes == 5
+    assert sorted(u.lemma_orths) == ["A", "B", "C"]
+    cu, pu = best_path(u, 1.0, 1.0)
+    # best path of the union == best over the inputs' best paths
+    assert abs(cu - min(best_path(lat)[0], 1.0 + 1.0 + 0.5)) < 1e-6
