@@ -84,7 +84,11 @@ def build_setup(
 
     tying = HashTying(num_classes)
 
-    # bigram LM over the word vocab
+    # n-gram LM over the word vocab (BENCH_LM_ORDER: 2 = classic bigram
+    # decode; 4 = production 4-gram shape — the LM state space outgrows
+    # the packed-int32 recombination key, so the decoder's two-key sort
+    # path and the deeper backoff-probe chain are what's measured)
+    order = int(os.environ.get("BENCH_LM_ORDER", "2"))
     vocab = {"<s>": 0, "</s>": 1, "<unk>": 2}
     for lemma in lex.lemmata:
         if lemma.special:
@@ -93,11 +97,22 @@ def build_setup(
     ngrams = {}
     for w, i in vocab.items():
         ngrams[(i,)] = (float(rng.uniform(5, 12)), float(rng.uniform(0.2, 2.0)))
-    ids = list(vocab.values())
+    ids = np.asarray(list(vocab.values()))
     for _ in range(num_words * 12):
         a, b = rng.choice(ids), rng.choice(ids)
         ngrams[(int(a), int(b))] = (float(rng.uniform(2, 9)), 0.0)
-    lm = NgramLm(2, vocab, ngrams)
+    for k in range(3, order + 1):
+        # higher orders: extend existing (k-1)-grams so prefix closure
+        # holds; contexts get backoff weights (they become LM states)
+        prev = [g for g in ngrams if len(g) == k - 1]
+        picks = rng.integers(0, len(prev), size=num_words * 8)
+        for pi in picks:
+            g = prev[int(pi)]
+            w = int(rng.choice(ids))
+            ngrams[g + (w,)] = (float(rng.uniform(1, 7)), 0.0)
+            if g in ngrams and ngrams[g][1] == 0.0:
+                ngrams[g] = (ngrams[g][0], float(rng.uniform(0.2, 1.5)))
+    lm = NgramLm(order, vocab, ngrams)
     tables = compile_ngram(lm)
 
     unigrams = {wid: ngrams[(wid,)][0] for wid in vocab.values()}
