@@ -44,8 +44,17 @@ class Application(Component):
         rest = config.parse_args(argv)
         app = cls(config)
         try:
-            return app.run(rest)
+            rc = app.run(rest)
         except Exception as exc:
             app.error(f"{type(exc).__name__}: {exc}")
             traceback.print_exc()
             return 1
+        # unknown-parameter detection (ref: Core::Configuration usage
+        # checking): a mistyped selector/param never gets looked up, so
+        # it would otherwise be silently inert
+        for rule in config.unused_rules():
+            app.warning(
+                f"unknown/unused parameter: {'.'.join(rule.pattern)} = "
+                f"{rule.value} ({rule.source})"
+            )
+        return rc

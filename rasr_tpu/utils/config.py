@@ -76,6 +76,7 @@ class Configuration:
         self._rules: List[Rule] = []
         self._variables: Dict[str, str] = {}
         self._order = 0
+        self._used: set = set()  # orders of rules consumed by a lookup
 
     # ------------------------------------------------------------------ build
     def set(self, selector: str, value: Any, source: str = "<api>") -> None:
@@ -138,6 +139,8 @@ class Configuration:
                     or (rule.specificity == best.specificity and rule.order > best.order)
                 ):
                     best = rule
+        if best is not None:
+            self._used.add(best.order)
         return best
 
     def _substitute(self, value: str, context: Tuple[str, ...], depth: int = 0) -> str:
@@ -175,6 +178,13 @@ class Configuration:
         return "\n".join(
             f"{'.'.join(r.pattern)} = {r.value}   # {r.source}" for r in self._rules
         )
+
+    def unused_rules(self) -> List[Rule]:
+        """Rules never consumed by any parameter lookup (ref: the
+        reference's unknown-parameter detection — a typo'd selector is
+        silently inert otherwise; Application warns about these at
+        shutdown)."""
+        return [r for r in self._rules if r.order not in self._used]
 
     def rules_under(self, selection: str) -> Dict[str, str]:
         """All literal (non-wildcard) rules whose pattern starts with selection."""

@@ -124,3 +124,19 @@ def test_subconfig_scoping():
     child = parent.select("child")
     assert child.param("knob") == "7"
     assert child.full_name == "parent.child"
+
+
+def test_unknown_parameter_detection():
+    """Rules never consumed by a lookup are reported (ref: the
+    reference's unknown-parameter warnings — typo'd selectors must not
+    be silently inert)."""
+    from rasr_tpu.utils.config import Configuration
+
+    cfg = Configuration()
+    cfg.set("tool.max-hyps", 128)
+    cfg.set("tool.max-hyps-typo", 64)
+    cfg.set("*.beam", 12)
+    assert cfg.resolve("tool", "max-hyps") == "128"
+    assert cfg.resolve("tool.search", "beam") == "12"
+    unused = cfg.unused_rules()
+    assert len(unused) == 1 and unused[0].pattern == ("tool", "max-hyps-typo")
