@@ -42,16 +42,23 @@ class FeedForwardNet(nn.Module):
     hidden: Sequence[int] = (512, 512)
     activation: str = "relu"
     dropout: float = 0.0
+    #: computation dtype for the gemms (params stay f32). "bfloat16"
+    #: runs the MXU at its native rate — the TPU analog of the
+    #: reference's CUDA fp32 path; logits come back f32.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = _ACTS[self.activation]
+        cdt = jnp.dtype(self.compute_dtype)
         for i, width in enumerate(self.hidden):
-            x = nn.Dense(width, name=f"hidden{i}")(x)
+            x = nn.Dense(width, name=f"hidden{i}", dtype=cdt)(x)
             x = act(x)
             if self.dropout > 0.0 and train:
                 x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
-        return nn.Dense(self.num_classes, name="output")(x)
+        return nn.Dense(self.num_classes, name="output", dtype=cdt)(x).astype(
+            jnp.float32
+        )
 
 
 class ConvFrontendNet(nn.Module):
@@ -93,20 +100,24 @@ class BlstmEncoderNet(nn.Module):
 
     num_classes: int
     hidden: Sequence[int] = (256, 256)
+    compute_dtype: str = "float32"  # "bfloat16": gate gemms on the MXU
 
     @nn.compact
     def __call__(self, x, lengths=None, train: bool = False):
         h = x
+        cdt = jnp.dtype(self.compute_dtype)
         for i, width in enumerate(self.hidden):
-            fwd = nn.RNN(nn.OptimizedLSTMCell(width), name=f"fwd{i}")(
+            fwd = nn.RNN(nn.OptimizedLSTMCell(width, dtype=cdt), name=f"fwd{i}")(
                 h, seq_lengths=lengths
             )
             bwd = nn.RNN(
-                nn.OptimizedLSTMCell(width), reverse=True, keep_order=True,
-                name=f"bwd{i}",
+                nn.OptimizedLSTMCell(width, dtype=cdt), reverse=True,
+                keep_order=True, name=f"bwd{i}",
             )(h, seq_lengths=lengths)
             h = jnp.concatenate([fwd, bwd], axis=-1)
-        return nn.Dense(self.num_classes, name="output")(h)
+        return nn.Dense(self.num_classes, name="output", dtype=cdt)(h).astype(
+            jnp.float32
+        )
 
 
 class ConformerBlock(nn.Module):
@@ -123,10 +134,12 @@ class ConformerBlock(nn.Module):
     ff_mult: int = 4
     conv_kernel: int = 15
     dropout: float = 0.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, pad_mask, attn_mask, train: bool = False):
         det = not (train and self.dropout > 0.0)
+        cdt = jnp.dtype(self.compute_dtype)
 
         def drop(h):
             if self.dropout > 0.0:
@@ -134,35 +147,38 @@ class ConformerBlock(nn.Module):
             return h
 
         def ff(h, name):
-            h = nn.LayerNorm(name=f"{name}_ln")(h)
-            h = nn.Dense(self.d_model * self.ff_mult, name=f"{name}_in")(h)
+            # LayerNorms stay f32 (bf16 moment accumulation is unstable);
+            # the gemms around them run in compute_dtype
+            h = nn.LayerNorm(name=f"{name}_ln", dtype=jnp.float32)(h)
+            h = nn.Dense(self.d_model * self.ff_mult, name=f"{name}_in", dtype=cdt)(h)
             h = nn.swish(h)
             h = drop(h)
-            return drop(nn.Dense(self.d_model, name=f"{name}_out")(h))
+            return drop(nn.Dense(self.d_model, name=f"{name}_out", dtype=cdt)(h))
 
         x = x + 0.5 * ff(x, "ff1")
         # ---- multi-head self-attention over valid frames only
-        h = nn.LayerNorm(name="mhsa_ln")(x)
+        h = nn.LayerNorm(name="mhsa_ln", dtype=jnp.float32)(x)
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, name="mhsa",
+            num_heads=self.num_heads, name="mhsa", dtype=cdt,
             dropout_rate=self.dropout, deterministic=det,
+            force_fp32_for_softmax=True,
         )(h, h, mask=attn_mask)
         x = x + drop(h)
         # ---- convolution module (pointwise GLU -> depthwise -> pointwise)
-        h = nn.LayerNorm(name="conv_ln")(x)
-        h = nn.Dense(2 * self.d_model, name="conv_in")(h)
+        h = nn.LayerNorm(name="conv_ln", dtype=jnp.float32)(x)
+        h = nn.Dense(2 * self.d_model, name="conv_in", dtype=cdt)(h)
         h = nn.glu(h, axis=-1)
         # zero padded frames so the depthwise window never reads them
-        h = h * pad_mask
+        h = h * pad_mask.astype(h.dtype)
         h = nn.Conv(
             self.d_model, kernel_size=(self.conv_kernel,), padding="SAME",
-            feature_group_count=self.d_model, name="conv_dw",
+            feature_group_count=self.d_model, name="conv_dw", dtype=cdt,
         )(h)
-        h = nn.swish(nn.LayerNorm(name="conv_bn")(h))  # LN in place of BN
-        h = nn.Dense(self.d_model, name="conv_out")(h)
-        x = x + drop(h * pad_mask)
+        h = nn.swish(nn.LayerNorm(name="conv_bn", dtype=jnp.float32)(h))
+        h = nn.Dense(self.d_model, name="conv_out", dtype=cdt)(h)
+        x = x + drop(h * pad_mask.astype(h.dtype))
         x = x + 0.5 * ff(x, "ff2")
-        return nn.LayerNorm(name="final_ln")(x)
+        return nn.LayerNorm(name="final_ln", dtype=jnp.float32)(x)
 
 
 class ConformerEncoderNet(nn.Module):
@@ -187,6 +203,9 @@ class ConformerEncoderNet(nn.Module):
     ff_mult: int = 4
     conv_kernel: int = 15
     dropout: float = 0.0
+    #: "bfloat16" runs every gemm/conv on the MXU at its native rate;
+    #: params and LayerNorms stay f32, logits return f32
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, lengths=None, train: bool = False):
@@ -198,20 +217,24 @@ class ConformerEncoderNet(nn.Module):
         pad_mask = valid[..., None].astype(x.dtype)  # [B, T, 1]
         attn_mask = (valid[:, None, None, :] & valid[:, None, :, None])
 
-        h = nn.Dense(self.d_model, name="input_proj")(x)
+        cdt = jnp.dtype(self.compute_dtype)
+        h = nn.Dense(self.d_model, name="input_proj", dtype=cdt)(x)
         # sinusoidal positions (static shapes: computed at trace time)
         pos = jnp.arange(T, dtype=jnp.float32)[:, None]
         dim = jnp.arange(self.d_model // 2, dtype=jnp.float32)[None, :]
         ang = pos / jnp.power(10000.0, 2.0 * dim / self.d_model)
         pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-        h = h + pe[None, :, : self.d_model]
+        h = h + pe[None, :, : self.d_model].astype(h.dtype)
         for i in range(self.num_blocks):
             h = ConformerBlock(
                 d_model=self.d_model, num_heads=self.num_heads,
                 ff_mult=self.ff_mult, conv_kernel=self.conv_kernel,
                 dropout=self.dropout, name=f"block{i}",
+                compute_dtype=self.compute_dtype,
             )(h, pad_mask, attn_mask, train=train)
-        return nn.Dense(self.num_classes, name="output")(h * pad_mask)
+        return nn.Dense(self.num_classes, name="output", dtype=cdt)(
+            h * pad_mask.astype(h.dtype)
+        ).astype(jnp.float32)
 
 
 @dataclasses.dataclass

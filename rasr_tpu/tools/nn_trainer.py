@@ -93,6 +93,10 @@ class NnTrainerTool(Application):
     l2 = ParameterFloat("l2", default=0.0)
     optimizer = ParameterChoice("optimizer", ["sgd", "momentum", "adam"], default="momentum")
     seed = ParameterInt("seed", default=0)
+    #: "bfloat16" runs the gemms at the MXU's native bf16 rate
+    compute_dtype = ParameterChoice(
+        "compute-dtype", ["float32", "bfloat16"], default="float32"
+    )
     #: directory for full-state (params+optimizer+cursor) checkpoints;
     #: empty = artifact-only resume like the reference (SURVEY §5)
     checkpoint_dir = ParameterString("checkpoint-dir", default="")
@@ -108,7 +112,7 @@ class NnTrainerTool(Application):
             self.num_classes = int(labels.max()) + 1
         model = FeedForwardNet(
             num_classes=self.num_classes, hidden=tuple(self.hidden),
-            activation=self.activation,
+            activation=self.activation, compute_dtype=self.compute_dtype,
         )
         trainer = NnTrainer(
             model, self.num_classes,
@@ -140,10 +144,12 @@ class NnTrainerTool(Application):
                     num_classes=self.num_classes,
                     d_model=self.hidden[0] if self.hidden else 256,
                     num_blocks=max(len(self.hidden), 1),
+                    compute_dtype=self.compute_dtype,
                 )
             else:
                 model = BlstmEncoderNet(
-                    num_classes=self.num_classes, hidden=tuple(self.hidden)
+                    num_classes=self.num_classes, hidden=tuple(self.hidden),
+                    compute_dtype=self.compute_dtype,
                 )
             strainer = SequenceTrainer(
                 model, self.num_classes,

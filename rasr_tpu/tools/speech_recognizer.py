@@ -62,6 +62,7 @@ class SpeechRecognizerTool(Application):
     nn_priors_file = ParameterString("nn-priors-file", default="")
     nn_hidden = ParameterString("nn-hidden-layers", default="512 512")
     prior_scale = ParameterFloat("prior-scale", default=1.0)
+    nn_compute_dtype = ParameterString("nn-compute-dtype", default="float32")
 
     def run(self, args: List[str]) -> int:
         corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
@@ -84,6 +85,7 @@ class SpeechRecognizerTool(Application):
             net = FeedForwardNet(
                 num_classes=priors.log_priors.shape[0],
                 hidden=tuple(int(h) for h in self.nn_hidden.split()),
+                compute_dtype=self.nn_compute_dtype,
             )
             template = net.init(
                 jax.random.PRNGKey(0), jnp.zeros((2, frontend.output_dim))

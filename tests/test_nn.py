@@ -331,3 +331,39 @@ def test_newbob_dev_control_set(rng):
     tr = NnTrainer(FeedForwardNet(num_classes=4, hidden=(16,)), 4, cfg)
     params, stats = tr.train(FrameDataset(feats, labels), dev=FrameDataset(dev_f, dev_l))
     assert all("dev_loss" in s and "dev_frame_accuracy" in s for s in stats)
+
+
+def test_bf16_compute_matches_f32_and_trains(rng):
+    """compute_dtype='bfloat16': params stay f32, forward ~= the f32
+    forward (bf16 mantissa tolerance), and training converges."""
+    from rasr_tpu.models.nn import ConformerEncoderNet
+
+    x = rng.normal(size=(2, 12, 8)).astype(np.float32)
+    lengths = jnp.asarray(np.array([12, 9], np.int32))
+    f32 = ConformerEncoderNet(num_classes=6, d_model=16, num_blocks=2, num_heads=2)
+    b16 = ConformerEncoderNet(
+        num_classes=6, d_model=16, num_blocks=2, num_heads=2,
+        compute_dtype="bfloat16",
+    )
+    params = f32.init(jax.random.PRNGKey(0), jnp.asarray(x), lengths=lengths)["params"]
+    # same param tree (params are f32 in both)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a: a.dtype == jnp.float32, params
+        )
+    )
+    y32 = np.asarray(f32.apply({"params": params}, x, lengths=lengths))
+    y16 = np.asarray(b16.apply({"params": params}, x, lengths=lengths))
+    assert y16.dtype == np.float32
+    np.testing.assert_allclose(y16, y32, rtol=0.15, atol=0.15)
+    corr = np.corrcoef(y16.ravel(), y32.ravel())[0, 1]
+    assert corr > 0.99
+
+    # a bf16 FFNN still learns the toy task
+    feats, labels, _ = _toy_data(rng)
+    tr = NnTrainer(
+        FeedForwardNet(num_classes=4, hidden=(32,), compute_dtype="bfloat16"),
+        4, TrainConfig(batch_size=64, learning_rate=0.1, epochs=4),
+    )
+    _, stats = tr.train(FrameDataset(feats, labels))
+    assert stats[-1]["frame_accuracy"] > 0.9
