@@ -168,7 +168,10 @@ def main():
     import jax.numpy as jnp
 
     t_setup = time.time()
-    fe, scorer, dec, tree = build_setup()
+    fe, scorer, dec, tree = build_setup(
+        num_words=int(os.environ.get("BENCH_WORDS", "5000")),
+        num_classes=int(os.environ.get("BENCH_CLASSES", "2000")),
+    )
     # B=64 measured best on v5e with the current scan (171 audio-s/s vs
     # 146 @16, 156 @32; the knee moved up as per-frame op costs fell)
     batch_size = int(os.environ.get("BENCH_BATCH", "64"))
