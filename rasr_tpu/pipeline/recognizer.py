@@ -23,7 +23,7 @@ from ..search.decoder import DecodeResult, TreeDecoder
 from ..utils.archive import FileArchive
 from ..utils.logging import LogManager
 from ..utils.statistics import Accumulator
-from .visitor import CorpusVisitor
+from .visitor import CorpusVisitor, prefetch_batches
 
 
 class OfflineRecognizer:
@@ -35,6 +35,7 @@ class OfflineRecognizer:
         lattice_archive: Optional[str] = None,
         frame_shift_s: float = 0.01,
         mesh=None,
+        prefetch: bool = True,
     ):
         self.frontend = frontend
         self.scorer = scorer
@@ -48,6 +49,8 @@ class OfflineRecognizer:
         self.stats = LogManager.get().channel("recognizer", "statistics")
         self.evaluator = CorpusEvaluator()
         self.rtf = Accumulator("rtf")
+        #: overlap next batch's audio read/pad with the device decode
+        self.prefetch = prefetch
 
     def run(self, visitor: CorpusVisitor) -> List[DecodeResult]:
         results: List[DecodeResult] = []
@@ -55,7 +58,10 @@ class OfflineRecognizer:
             FileArchive(self.lattice_archive, "a") if self.lattice_archive else None
         )
         try:
-            for batch in visitor.batches():
+            batches = (
+                prefetch_batches(visitor) if self.prefetch else visitor.batches()
+            )
+            for batch in batches:
                 t0 = time.perf_counter()
                 feats, n_frames = self.frontend(batch.samples, batch.lengths)
                 emis = self.scorer(feats)  # device array straight into decode

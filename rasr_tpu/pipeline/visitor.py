@@ -79,3 +79,37 @@ class CorpusVisitor:
                 samples[j, : len(w)] = w
                 lengths[j] = len(w)
             yield SegmentBatch(chunk, samples, lengths)
+
+
+def prefetch_batches(visitor: "CorpusVisitor", depth: int = 2):
+    """Background-thread batch prefetch: audio read + pad of batch i+1
+    overlaps the device work on batch i (the reference overlaps nothing —
+    its Flow pull is synchronous per frame; here host IO is the only
+    non-device stage left, so one thread suffices).
+
+    Yields the same batches as ``visitor.batches()``; worker exceptions
+    re-raise in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for batch in visitor.batches():
+                q.put(batch)
+            q.put(_END)
+        except BaseException as exc:  # propagate into the consumer
+            q.put(exc)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()

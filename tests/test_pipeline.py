@@ -119,3 +119,41 @@ def test_model_combination(rng):
         transitions=TransitionModel(), scorer=scorer, am_scale=0.5,
     )
     assert mc.scorer.scale == 0.5
+
+
+def test_prefetch_batches_equivalence(tmp_path, rng):
+    """prefetch_batches yields exactly visitor.batches(), and worker
+    exceptions propagate to the consumer."""
+    from rasr_tpu.corpus.bliss import CorpusDescription
+    from rasr_tpu.corpus.audio import write_wav
+    from rasr_tpu.pipeline.visitor import CorpusVisitor, prefetch_batches
+
+    sr = 16000
+    xml = ['<corpus name="t">']
+    for i in range(5):
+        wav = tmp_path / f"r{i}.wav"
+        write_wav(str(wav), rng.normal(size=1600).astype(np.float32) * 0.1, sr)
+        xml.append(
+            f'<recording name="r{i}" audio="{wav}">'
+            f'<segment name="s" start="0" end="0.1"><orth>X</orth></segment></recording>'
+        )
+    xml.append("</corpus>")
+    (tmp_path / "c.xml").write_text("".join(xml))
+    corpus = CorpusDescription.load(str(tmp_path / "c.xml"))
+
+    plain = list(CorpusVisitor(corpus, 2).batches())
+    pre = list(prefetch_batches(CorpusVisitor(corpus, 2)))
+    assert [b.names for b in plain] == [b.names for b in pre]
+    for a, b in zip(plain, pre):
+        np.testing.assert_array_equal(a.samples, b.samples)
+        np.testing.assert_array_equal(a.lengths, b.lengths)
+
+    class Boom(CorpusVisitor):
+        def batches(self):
+            yield plain[0]
+            raise RuntimeError("io exploded")
+
+    it = prefetch_batches(Boom(corpus, 2))
+    next(it)
+    with pytest.raises(RuntimeError, match="io exploded"):
+        list(it)
