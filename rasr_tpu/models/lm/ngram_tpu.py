@@ -347,3 +347,43 @@ def score_batch(tables: NgramTables, states: jnp.ndarray, words: jnp.ndarray):
     # not jitted: prepare_lookup builds its dense unigram table host-side
     # (decoders prepare once and jit lookup_prepared instead)
     return lookup(tables, states, words)
+
+
+# ------------------------------------------------------------- image caching
+def save_tables(tables: NgramTables, path: str) -> None:
+    """Persist compiled LM tables (ref: the ARPA image caching —
+    hash-table construction over millions of n-grams is a build step,
+    not a startup step)."""
+    np.savez_compressed(
+        path,
+        key_state=np.asarray(tables.key_state),
+        key_word=np.asarray(tables.key_word),
+        val_cost=np.asarray(tables.val_cost),
+        val_next=np.asarray(tables.val_next),
+        backoff_cost=np.asarray(tables.backoff_cost),
+        backoff_state=np.asarray(tables.backoff_state),
+        aux=np.array(
+            [tables.order, tables.max_probe, tables.start_state,
+             tables.end_word, tables.unk_word, tables.num_states],
+            np.int64,
+        ),
+    )
+
+
+def load_tables(path: str) -> NgramTables:
+    data = np.load(path, allow_pickle=False)
+    aux = data["aux"]
+    return NgramTables(
+        key_state=jnp.asarray(data["key_state"]),
+        key_word=jnp.asarray(data["key_word"]),
+        val_cost=jnp.asarray(data["val_cost"]),
+        val_next=jnp.asarray(data["val_next"]),
+        backoff_cost=jnp.asarray(data["backoff_cost"]),
+        backoff_state=jnp.asarray(data["backoff_state"]),
+        order=int(aux[0]),
+        max_probe=int(aux[1]),
+        start_state=int(aux[2]),
+        end_word=int(aux[3]),
+        unk_word=int(aux[4]),
+        num_states=int(aux[5]),
+    )

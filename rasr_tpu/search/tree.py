@@ -256,3 +256,65 @@ def compute_lookahead(tree: PrefixTree, lm_unigrams: Dict[int, float]) -> np.nda
         la[s] = best
     la[la >= BIG / 2] = 0.0  # dead-end states (shouldn't exist): neutral
     return la.astype(np.float32)
+
+
+# ------------------------------------------------------------- image caching
+def save_tree(tree: PrefixTree, path: str) -> None:
+    """Persist the compiled network (ref: the reference's image/dump
+    caching of compiled state networks — compilation of large lexica
+    takes seconds-to-minutes, so it is a cached build artifact).
+
+    Lemma objects are not serialized: the list is rebound from the
+    lexicon at load (it is exactly the lexicon's pronunciation-bearing
+    lemmata in order); saved orths double-check the binding."""
+    np.savez_compressed(
+        path,
+        emission_class=tree.emission_class,
+        loop_cost=tree.loop_cost,
+        arc_ptr=tree.arc_ptr,
+        arc_dst=tree.arc_dst,
+        arc_cost=tree.arc_cost,
+        we_word=tree.we_word,
+        we_cost=tree.we_cost,
+        we_lemma=tree.we_lemma,
+        max_out_degree=np.int64(tree.max_out_degree),
+        lookahead=(
+            tree.lookahead if tree.lookahead is not None else np.zeros(0, np.float32)
+        ),
+        we_next=(
+            tree.we_next if tree.we_next is not None else np.zeros((0, 0), np.int32)
+        ),
+        lemma_orths=np.array(
+            [l.primary_orth for l in tree.lemmas], dtype=np.str_
+        ),
+    )
+
+
+def load_tree(path: str, lexicon) -> PrefixTree:
+    """Load a saved network and rebind its lemma objects from ``lexicon``.
+    Raises ValueError when the lexicon no longer matches the image."""
+    data = np.load(path, allow_pickle=False)
+    lemmas = [l for l in lexicon.lemmata if l.pronunciations]
+    saved = [str(o) for o in data["lemma_orths"]]
+    got = [l.primary_orth for l in lemmas]
+    if saved != got:
+        raise ValueError(
+            f"search-network image {path} does not match the lexicon "
+            f"({len(saved)} vs {len(got)} lemmata)"
+        )
+    la = data["lookahead"]
+    wn = data["we_next"]
+    return PrefixTree(
+        emission_class=data["emission_class"],
+        loop_cost=data["loop_cost"],
+        arc_ptr=data["arc_ptr"],
+        arc_dst=data["arc_dst"],
+        arc_cost=data["arc_cost"],
+        we_word=data["we_word"],
+        we_cost=data["we_cost"],
+        we_lemma=data["we_lemma"],
+        lemmas=lemmas,
+        max_out_degree=int(data["max_out_degree"]),
+        lookahead=la if la.size else None,
+        we_next=wn if wn.size else None,
+    )

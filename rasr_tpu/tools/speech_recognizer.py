@@ -29,14 +29,14 @@ from ..corpus.lexicon import Lexicon
 from ..models.gmm import MixtureSet
 from ..models.hmm import HmmTopology, TransitionModel
 from ..models.lm.arpa import NgramLm
-from ..models.lm.ngram_tpu import compile_ngram
+from ..models.lm.ngram_tpu import compile_ngram, load_tables, save_tables
 from ..models.scorer import GmmFeatureScorer
 from ..models.tying import CartStateTying, MonophoneStateTying
 from ..models.cart import CartTree
 from ..pipeline.recognizer import OfflineRecognizer
 from ..pipeline.visitor import CorpusVisitor
 from ..search.decoder import BeamConfig, TreeDecoder
-from ..search.tree import build_prefix_tree
+from ..search.tree import build_prefix_tree, load_tree, save_tree
 from ..utils.component import ParameterFloat, ParameterInt, ParameterString
 from .application import Application
 from .feature_extraction import frontend_from_config
@@ -63,6 +63,53 @@ class SpeechRecognizerTool(Application):
     nn_hidden = ParameterString("nn-hidden-layers", default="512 512")
     prior_scale = ParameterFloat("prior-scale", default=1.0)
     nn_compute_dtype = ParameterString("nn-compute-dtype", default="float32")
+    #: image cache for the compiled search network + LM tables (ref:
+    #: the reference's image/dump caching): first run builds and
+    #: saves, later runs load in seconds. Stale images (changed
+    #: lexicon/LM/topology) are detected by content hash and rebuilt.
+    network_cache = ParameterString("network-cache", default="")
+
+    def _network(self, lexicon, tying, topology, transitions):
+        """Compiled search network + LM tables, via the image cache."""
+        import hashlib
+        import os
+
+        cache = self.network_cache
+        if cache:
+            h = hashlib.sha1()
+            for f in (self.lexicon_file, self.lm_file, self.cart_file):
+                if f and os.path.exists(f):
+                    with open(f, "rb") as fh:
+                        h.update(fh.read())
+            h.update(str(self.states_per_phone).encode())
+            key = h.hexdigest()
+            if os.path.exists(cache + ".key"):
+                with open(cache + ".key") as fh:
+                    stale = fh.read().strip() != key
+            else:
+                stale = True
+            if not stale:
+                try:
+                    tree = load_tree(cache + ".tree.npz", lexicon)
+                    tables = load_tables(cache + ".lm.npz")
+                    self.log("network image loaded", cache=cache)
+                    return tree, tables
+                except (OSError, ValueError, KeyError) as exc:
+                    self.warning(f"network image unusable ({exc}); rebuilding")
+        lm = NgramLm.read_arpa(self.lm_file)
+        tables = compile_ngram(lm)
+        unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
+        tree = build_prefix_tree(
+            lexicon, tying, topology, transitions, lm_vocab=lm.vocab,
+            lm_unigrams=unigrams,
+        )
+        if cache:
+            save_tree(tree, cache + ".tree.npz")
+            save_tables(tables, cache + ".lm.npz")
+            with open(cache + ".key", "w") as fh:
+                fh.write(key)
+            self.log("network image saved", cache=cache)
+        return tree, tables
 
     def run(self, args: List[str]) -> int:
         corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
@@ -98,13 +145,7 @@ class SpeechRecognizerTool(Application):
         else:
             mixtures = MixtureSet.load(self.mixture_file)
             scorer = GmmFeatureScorer(mixtures, scale=self.am_scale)
-        lm = NgramLm.read_arpa(self.lm_file)
-        tables = compile_ngram(lm)
-        unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
-        tree = build_prefix_tree(
-            lexicon, tying, topology, transitions, lm_vocab=lm.vocab,
-            lm_unigrams=unigrams,
-        )
+        tree, tables = self._network(lexicon, tying, topology, transitions)
         search = self.select("search")
         cfg = BeamConfig(
             max_hyps=int(search.param("max-hyps", 1024)),

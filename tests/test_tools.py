@@ -229,3 +229,43 @@ def test_align_nn_and_util_tools(workdir):
         "--lattice-processor.ops=best evaluate", cwd=cwd,
     )
     assert "WER:" in out
+
+
+def test_network_image_cache(workdir):
+    """--network-cache: second run loads the compiled network image;
+    changing the LM invalidates it (content-hash key)."""
+    cwd = str(workdir)
+    if not (workdir / "model.mix.npz").exists():
+        test_full_tool_chain(workdir)
+    args = [
+        "--speech-recognizer.corpus-file=toy.corpus",
+        "--speech-recognizer.lexicon-file=lexicon.xml",
+        "--speech-recognizer.lm-file=lm.arpa",
+        "--speech-recognizer.mixture-file=model.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.frontend.normalize=none",
+        "--speech-recognizer.network-cache=net.img",
+        "--speech-recognizer.log-file=sr.log",
+    ]
+    out1 = run_tool("rasr_tpu.tools.speech_recognizer", *args, cwd=cwd)
+    assert "WER: 0.0000" in out1
+    assert (workdir / "net.img.tree.npz").exists()
+    log = (workdir / "sr.log").read_text()
+    assert "network image saved" in log
+    (workdir / "sr.log").unlink()
+
+    out2 = run_tool("rasr_tpu.tools.speech_recognizer", *args, cwd=cwd)
+    assert "WER: 0.0000" in out2  # identical results from the image
+    log = (workdir / "sr.log").read_text()
+    assert "network image loaded" in log
+    (workdir / "sr.log").unlink()
+
+    # touch the LM -> stale key -> rebuild
+    lm_path = workdir / "lm.arpa"
+    lm_path.write_text(lm_path.read_text() + "\n")
+    out3 = run_tool("rasr_tpu.tools.speech_recognizer", *args, cwd=cwd)
+    assert "WER: 0.0000" in out3
+    log = (workdir / "sr.log").read_text()
+    assert "network image saved" in log
