@@ -121,13 +121,33 @@ def build_setup(
         lm_unigrams=unigrams,
     )
 
-    ms = MixtureSet(
-        means=rng.normal(size=(num_classes, densities, feat_dim)).astype(np.float32),
-        variances=(0.5 + rng.uniform(size=(num_classes, densities, feat_dim))).astype(np.float32),
-        weights=np.full((num_classes, densities), 1.0 / densities, np.float32),
-        num_densities=np.full(num_classes, densities, np.int32),
-    )
-    scorer = GmmFeatureScorer(ms, scale=1.0)
+    if os.environ.get("BENCH_SCORER", "gmm") == "conformer":
+        # hybrid conformer acoustic model at production size (d=512,
+        # 12 blocks, bf16 gemms) — the "config 5" modern pipeline
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from rasr_tpu.models.nn import ConformerEncoderNet, NnHybridScorer, StatePriors
+
+        net = ConformerEncoderNet(
+            num_classes=num_classes, d_model=512, num_blocks=12, num_heads=8,
+            compute_dtype=os.environ.get("BENCH_NN_DTYPE", "bfloat16"),
+        )
+        params = net.init(
+            _jax.random.PRNGKey(0), _jnp.zeros((1, 8, feat_dim), _jnp.float32)
+        )["params"]
+        priors = StatePriors.from_counts(
+            rng.uniform(1, 10, size=num_classes).astype(np.float32)
+        )
+        scorer = NnHybridScorer(net, params, priors, scale=10.0)
+    else:
+        ms = MixtureSet(
+            means=rng.normal(size=(num_classes, densities, feat_dim)).astype(np.float32),
+            variances=(0.5 + rng.uniform(size=(num_classes, densities, feat_dim))).astype(np.float32),
+            weights=np.full((num_classes, densities), 1.0 / densities, np.float32),
+            num_densities=np.full(num_classes, densities, np.int32),
+        )
+        scorer = GmmFeatureScorer(ms, scale=1.0)
 
     lda = (rng.normal(size=(16 * 9, feat_dim)) * 0.1).astype(np.float32)
     fe = FeatureFrontend(FrontendConfig(), splice_context=4, lda=lda)

@@ -283,25 +283,32 @@ class NnHybridScorer(FeatureScorer):
         self._takes_lengths = "lengths" in inspect.signature(
             type(model).__call__
         ).parameters
+        # params ride as jit ARGUMENTS, not closure constants: baked-in
+        # constants bloat the compiled program by the full weight size
+        # (a 70M-param conformer = 280MB of HLO literals — remote
+        # compile services reject it) and defeat donation/sharding
+        self._params_dev = jax.tree_util.tree_map(jnp.asarray, self.params)
         self._jit = jax.jit(self._score)
         self._jit_len = jax.jit(self._score_len)
 
-    def _score(self, feats: jnp.ndarray) -> jnp.ndarray:
-        logits = self.model.apply({"params": self.params}, feats)
+    def _score(self, params, feats: jnp.ndarray) -> jnp.ndarray:
+        logits = self.model.apply({"params": params}, feats)
         logp = jax.nn.log_softmax(logits, axis=-1)
         return self.scale * (-(logp - self.prior_scale * self.log_priors))
 
-    def _score_len(self, feats: jnp.ndarray, lengths: jnp.ndarray):
+    def _score_len(self, params, feats: jnp.ndarray, lengths: jnp.ndarray):
         logits = self.model.apply(
-            {"params": self.params}, feats, lengths=lengths
+            {"params": params}, feats, lengths=lengths
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         return self.scale * (-(logp - self.prior_scale * self.log_priors))
 
     def score(self, feats: jnp.ndarray, lengths=None) -> jnp.ndarray:
         if lengths is not None and self._takes_lengths:
-            return self._jit_len(jnp.asarray(feats), jnp.asarray(lengths))
-        return self._jit(jnp.asarray(feats))
+            return self._jit_len(
+                self._params_dev, jnp.asarray(feats), jnp.asarray(lengths)
+            )
+        return self._jit(self._params_dev, jnp.asarray(feats))
 
 
 register_scorer("nn-precomputed-hybrid")(NnHybridScorer)
