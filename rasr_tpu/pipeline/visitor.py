@@ -88,28 +88,44 @@ def prefetch_batches(visitor: "CorpusVisitor", depth: int = 2):
     non-device stage left, so one thread suffices).
 
     Yields the same batches as ``visitor.batches()``; worker exceptions
-    re-raise in the consumer."""
+    re-raise in the consumer. If the consumer abandons the generator
+    (e.g. decode raises mid-corpus), the worker notices via the stop
+    event and exits instead of blocking on a full queue forever."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in visitor.batches():
-                q.put(batch)
-            q.put(_END)
+                if not put(batch):
+                    return
+            put(_END)
         except BaseException as exc:  # propagate into the consumer
-            q.put(exc)
+            put(exc)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        t.join()

@@ -192,7 +192,8 @@ class AcousticModelTrainerTool(Application):
                         labels[i, : al.num_frames] = al.emission_ids
                         total_score += al.score
                 accumulate(acc, model, feats, labels)
-            model = estimate(acc, prev=None if first else model)
+            model = estimate(acc, prev=None if first else model,
+                             variance_tying=self.variance_tying)
             first = False
             self.log("iteration", iteration=it, score=total_score)
             if self.splits > 0 and it >= self.iterations - self.splits - 1 and it < self.iterations - 1:

@@ -43,6 +43,7 @@ def frontend_from_config(component) -> FeatureFrontend:
         num_mel=int(scope.param("num-mel", 20)),
         num_cepstra=int(scope.param("num-cepstra", 16)),
         normalize=scope.param("normalize", "segment"),
+        cep_lifter=float(scope.param("cep-lifter", 0.0)),
         append_energy=str(scope.param("append-energy", "false")).lower() == "true",
     )
     lda_file = scope.param("lda-file", "")

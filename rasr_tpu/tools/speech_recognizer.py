@@ -82,6 +82,8 @@ class SpeechRecognizerTool(Application):
                     with open(f, "rb") as fh:
                         h.update(fh.read())
             h.update(str(self.states_per_phone).encode())
+            # the TDPs are baked into the tree's loop/arc/word-end costs
+            h.update(repr(transitions).encode())
             key = h.hexdigest()
             if os.path.exists(cache + ".key"):
                 with open(cache + ".key") as fh:

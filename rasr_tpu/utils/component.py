@@ -32,6 +32,7 @@ class Parameter:
         raise NotImplementedError
 
     def get(self, component: "Component") -> Any:
+        component.config.note_param(self.name)
         raw = component.config.resolve(component.full_name, self.name)
         if raw is None:
             return self.default
@@ -144,6 +145,7 @@ class Component:
                     setattr(self, f"_p_{attr}", decl)
 
     def param(self, name: str, default: Any = None) -> Any:
+        self.config.note_param(name)
         raw = self.config.resolve(self.full_name, name)
         return default if raw is None else raw
 

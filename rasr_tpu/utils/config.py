@@ -76,7 +76,8 @@ class Configuration:
         self._rules: List[Rule] = []
         self._variables: Dict[str, str] = {}
         self._order = 0
-        self._used: set = set()  # orders of rules consumed by a lookup
+        self._used: set = set()  # orders of rules matched by a lookup
+        self._known_params: set = set()  # param names any component declared/queried
 
     # ------------------------------------------------------------------ build
     def set(self, selector: str, value: Any, source: str = "<api>") -> None:
@@ -133,14 +134,16 @@ class Configuration:
         best: Optional[Rule] = None
         for rule in self._rules:
             if _match(rule.pattern, path):
+                # every MATCHING rule counts as known, not just the
+                # winner: a rule shadowed by a more specific override is
+                # not a typo
+                self._used.add(rule.order)
                 if (
                     best is None
                     or rule.specificity > best.specificity
                     or (rule.specificity == best.specificity and rule.order > best.order)
                 ):
                     best = rule
-        if best is not None:
-            self._used.add(best.order)
         return best
 
     def _substitute(self, value: str, context: Tuple[str, ...], depth: int = 0) -> str:
@@ -179,12 +182,24 @@ class Configuration:
             f"{'.'.join(r.pattern)} = {r.value}   # {r.source}" for r in self._rules
         )
 
+    def note_param(self, name: str) -> None:
+        """Record a parameter name some component declares/queries (for
+        unknown-parameter detection)."""
+        self._known_params.add(name)
+
     def unused_rules(self) -> List[Rule]:
-        """Rules never consumed by any parameter lookup (ref: the
-        reference's unknown-parameter detection — a typo'd selector is
-        silently inert otherwise; Application warns about these at
-        shutdown)."""
-        return [r for r in self._rules if r.order not in self._used]
+        """Rules that look like TYPOS: never matched by any lookup AND
+        naming a parameter no component ever declared or queried (ref:
+        the reference's unknown-parameter detection — a typo'd selector
+        is silently inert otherwise; Application warns about these at
+        shutdown). Rules with a known param name that merely lost every
+        resolution (shadowed overrides, params unread on the taken code
+        path) are NOT flagged — those are legitimate configs."""
+        return [
+            r for r in self._rules
+            if r.order not in self._used
+            and (not r.pattern or r.pattern[-1] not in self._known_params)
+        ]
 
     def rules_under(self, selection: str) -> Dict[str, str]:
         """All literal (non-wildcard) rules whose pattern starts with selection."""

@@ -140,3 +140,16 @@ def test_unknown_parameter_detection():
     assert cfg.resolve("tool.search", "beam") == "12"
     unused = cfg.unused_rules()
     assert len(unused) == 1 and unused[0].pattern == ("tool", "max-hyps-typo")
+
+    # a shadowed generic rule is NOT a typo: both matched the lookup
+    cfg2 = Configuration()
+    cfg2.set("*.lm-scale", 10)
+    cfg2.set("tool.search.lm-scale", 4)
+    assert cfg2.resolve("tool.search", "lm-scale") == "4"
+    assert cfg2.unused_rules() == []
+
+    # declared-but-unread params are known names, not typos
+    cfg3 = Configuration()
+    cfg3.set("tool.mixture-file", "m.mix")
+    cfg3.note_param("mixture-file")
+    assert cfg3.unused_rules() == []

@@ -63,7 +63,11 @@ WORKER = textwrap.dedent(
 def test_two_process_dp_em(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(repo=REPO))
-    port = 20000 + (os.getpid() % 10000)
+    import socket
+
+    with socket.socket() as sk:  # reserve a genuinely free port
+        sk.bind(("localhost", 0))
+        port = sk.getsockname()[1]
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env.pop("JAX_PLATFORMS", None)

@@ -157,3 +157,16 @@ def test_prefetch_batches_equivalence(tmp_path, rng):
     next(it)
     with pytest.raises(RuntimeError, match="io exploded"):
         list(it)
+
+    # abandoning the generator mid-corpus must stop the worker thread
+    import threading
+    import time
+
+    before = threading.active_count()
+    it2 = prefetch_batches(CorpusVisitor(corpus, 1), depth=1)
+    next(it2)
+    it2.close()  # consumer bails (e.g. decode raised)
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
