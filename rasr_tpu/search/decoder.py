@@ -142,34 +142,38 @@ def tree_to_device(tree: PrefixTree) -> TreeTables:
         root_dst = np.array([SENT], np.int32)
         root_cost = np.array([BIG], np.float32)
 
+    # vectorized slot split (the python per-state loop took ~1s per 100k
+    # states and runs on EVERY decoder construction, image-cached or not):
+    # arc i belongs to state src[i] at within-state position pos[i];
+    # pos 0 -> dense slot 1, pos 1 -> dense slot 2, pos >= 2 -> branch CSR
+    # (root state 0 excluded — its arcs are the root fan-out).
     d1_dst = np.full(S + 1, SENT, np.int32)
     d1_cost = np.full(S + 1, BIG, np.float32)
     d2_dst = np.full(S + 1, SENT, np.int32)
     d2_cost = np.full(S + 1, BIG, np.float32)
+    ptr = tree.arc_ptr.astype(np.int64)
+    deg = ptr[1:] - ptr[:-1]  # [S]
+    A = int(ptr[-1])
+    src = np.repeat(np.arange(S, dtype=np.int64), deg)  # [A]
+    pos = np.arange(A, dtype=np.int64) - ptr[:-1][src]
+    nonroot = src >= 1
+    m1 = nonroot & (pos == 0)
+    m2 = nonroot & (pos == 1)
+    d1_dst[src[m1]] = tree.arc_dst[m1]
+    d1_cost[src[m1]] = tree.arc_cost[m1]
+    d2_dst[src[m2]] = tree.arc_dst[m2]
+    d2_cost[src[m2]] = tree.arc_cost[m2]
+    mbr = nonroot & (pos >= 2)  # CSR order preserved (sorted by (src, pos))
+    br_deg = np.zeros(S + 1, np.int32)
+    nr_deg = np.where(np.arange(S) >= 1, np.maximum(deg - 2, 0), 0)
+    br_deg[:S] = nr_deg
     br_ptr = np.zeros(S + 2, np.int32)
-    br_dst: List[int] = []
-    br_cost: List[float] = []
-    for s in range(1, S):  # root excluded
-        lo, hi = int(tree.arc_ptr[s]), int(tree.arc_ptr[s + 1])
-        arcs = [(int(tree.arc_dst[i]), float(tree.arc_cost[i])) for i in range(lo, hi)]
-        if arcs:
-            d1_dst[s], d1_cost[s] = arcs[0]
-        if len(arcs) > 1:
-            d2_dst[s], d2_cost[s] = arcs[1]
-        for dst, cost in arcs[2:]:
-            br_dst.append(dst)
-            br_cost.append(cost)
-        br_ptr[s + 1] = len(br_dst)
-    br_ptr[S + 1] = br_ptr[S] = len(br_dst)
-    # fix the prefix structure: ptr must be cumulative over all states
-    for s in range(1, S + 2):
-        br_ptr[s] = max(br_ptr[s], br_ptr[s - 1])
-    br_deg = (br_ptr[1:] - br_ptr[:-1]).astype(np.int32)  # [S+1]
-    if not br_dst:
-        br_dst = [SENT]
-        br_cost = [BIG]
-    br_dst_a = np.asarray(br_dst, np.int32)
-    br_cost_a = np.asarray(br_cost, np.float32)
+    np.cumsum(br_deg, out=br_ptr[1 : S + 2][: S + 1])
+    br_dst_a = tree.arc_dst[mbr].astype(np.int32)
+    br_cost_a = tree.arc_cost[mbr].astype(np.float32)
+    if br_dst_a.size == 0:
+        br_dst_a = np.array([SENT], np.int32)
+        br_cost_a = np.array([BIG], np.float32)
 
     def cls_of(dst):
         return ecls[np.minimum(dst, SENT)].astype(np.int32)
@@ -255,9 +259,10 @@ def tree_to_device(tree: PrefixTree) -> TreeTables:
 
 def _branch_src_of(br_ptr: np.ndarray, S: int, num_arcs: int) -> np.ndarray:
     """Source state of each branch arc (from the CSR ptr)."""
-    src = np.zeros(num_arcs, np.int64)
-    for s in range(S + 1):
-        src[br_ptr[s] : br_ptr[s + 1]] = s
+    deg = np.asarray(br_ptr[1 : S + 2]) - np.asarray(br_ptr[: S + 1])
+    src = np.repeat(np.arange(S + 1, dtype=np.int64), deg)
+    if src.size < num_arcs:  # placeholder row when there are no branch arcs
+        src = np.concatenate([src, np.zeros(num_arcs - src.size, np.int64)])
     return src
 
 
