@@ -43,7 +43,7 @@ class AcousticModelTrainerTool(Application):
 
     action = ParameterChoice(
         "action",
-        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "train"],
+        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "train"],
         default="train",
     )
     corpus_file = ParameterString("corpus-file", default="")
@@ -63,6 +63,10 @@ class AcousticModelTrainerTool(Application):
     )
     lda_output_dim = ParameterInt("lda-output-dim", default=45)
     lda_file = ParameterString("lda-output-file", default="lda.npy")
+    #: estimate-vtln outputs (JSON speaker -> alpha for the
+    #: feature-extraction tool's vtln-warp-file)
+    vtln_output_file = ParameterString("vtln-output-file", default="vtln.json")
+    vtln_max_segments = ParameterInt("vtln-max-segments", default=8)
 
     # ----------------------------------------------------------------- setup
     def _setup(self):
@@ -146,6 +150,48 @@ class AcousticModelTrainerTool(Application):
             self.log("accumulated", frames=float(acc.count.sum()))
             return 0
 
+        if action == "estimate-vtln":
+            # per-speaker grid search: best total alignment likelihood
+            # under warped frontends (ref: the RASR VTLN recipe)
+            import json
+
+            from ..train.vtln import estimate_warping_factor
+            from .feature_extraction import frontend_spec_from_config
+
+            corpus, lexicon, topology, tying, transitions, _ = self._setup()
+            model = MixtureSet.load(self.mixture_file)
+            aligner = BatchAligner(GmmFeatureScorer(model))
+            cfg, kwargs = frontend_spec_from_config(self)
+            by_speaker: dict = {}
+            visitor = CorpusVisitor(corpus, self.batch_size)
+            for seg in corpus.segments():
+                by_speaker.setdefault(seg.speaker or "*", []).append(seg)
+            table = {}
+            for spk, segs in sorted(by_speaker.items()):
+                segs = segs[: self.vtln_max_segments]
+                waves = [visitor._read(s) for s in segs]
+                S = max(len(w) for w in waves)
+                samples = np.zeros((len(waves), S), np.float32)
+                lengths = np.zeros(len(waves), np.int64)
+                for j, w in enumerate(waves):
+                    samples[j, : len(w)] = w
+                    lengths[j] = len(w)
+                graphs = [
+                    build_linear_graph(s.orth, lexicon, tying, topology, transitions)
+                    for s in segs
+                ]
+                best, scores = estimate_warping_factor(
+                    samples, lengths, graphs, aligner,
+                    frontend_cfg=cfg, frontend_kwargs=kwargs,
+                )
+                table[spk] = best
+                self.log("vtln speaker", speaker=spk, alpha=best,
+                         segments=len(segs))
+            with open(self.vtln_output_file, "w") as fh:
+                json.dump(table, fh)
+            self.log("vtln estimated", speakers=len(table),
+                     output=self.vtln_output_file)
+            return 0
         if action == "estimate-lda":
             model = MixtureSet.load(self.mixture_file)
             scorer = GmmFeatureScorer(model, var_floor=self.var_floor)

@@ -31,8 +31,10 @@ from ..utils.component import (
 from .application import Application
 
 
-def frontend_from_config(component) -> FeatureFrontend:
-    """Build a FeatureFrontend from a component's ``frontend`` scope."""
+def frontend_spec_from_config(component):
+    """(FrontendConfig, FeatureFrontend kwargs) from a component's
+    ``frontend`` scope — split out so per-speaker VTLN variants can be
+    instantiated from one spec."""
     scope = component.select("frontend")
     cfg = FrontendConfig(
         sample_rate=int(scope.param("sample-rate", 16000)),
@@ -48,13 +50,19 @@ def frontend_from_config(component) -> FeatureFrontend:
     )
     lda_file = scope.param("lda-file", "")
     lda = np.load(lda_file) if lda_file else None
-    return FeatureFrontend(
-        cfg,
+    kwargs = dict(
         splice_context=int(scope.param("splice", 0)),
         lda=lda,
         delta_order=int(scope.param("delta-order", 0)),
         use_pallas=str(scope.param("use-pallas", "false")).lower() == "true",
     )
+    return cfg, kwargs
+
+
+def frontend_from_config(component, vtln_warp=None) -> FeatureFrontend:
+    """Build a FeatureFrontend from a component's ``frontend`` scope."""
+    cfg, kwargs = frontend_spec_from_config(component)
+    return FeatureFrontend(cfg, vtln_warp=vtln_warp, **kwargs)
 
 
 class FeatureExtractionTool(Application):
@@ -68,9 +76,44 @@ class FeatureExtractionTool(Application):
     partition = ParameterInt("partition", default=0)
     num_partitions = ParameterInt("num-partitions", default=1)
     overwrite = ParameterBool("overwrite", default=False)
+    #: per-speaker VTLN warping factors (JSON {speaker: alpha}, from the
+    #: acoustic-model-trainer's estimate-vtln action; key "*" = default).
+    #: Segments extract through a frontend whose mel filterbank carries
+    #: their speaker's piecewise-linear warp (ref: Signal::Warping).
+    vtln_warp_file = ParameterString("vtln-warp-file", default="")
 
     def run(self, args: List[str]) -> int:
         corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
+        if self.vtln_warp_file:
+            import json
+
+            from ..ops.gammatone import piecewise_linear_warp
+
+            with open(self.vtln_warp_file) as fh:
+                table = {k: float(v) for k, v in json.load(fh).items()}
+            default = table.get("*", 1.0)
+            groups: dict = {}
+            for seg in corpus.segments(self.partition, self.num_partitions):
+                alpha = table.get(seg.speaker or "", default)
+                groups.setdefault(alpha, []).append(seg.full_name)
+            cfg, kwargs = frontend_spec_from_config(self)
+            written = 0
+            for alpha in sorted(groups):
+                warp = (
+                    None if alpha == 1.0
+                    else piecewise_linear_warp(cfg.num_bins, alpha)
+                )
+                fe = FeatureFrontend(cfg, vtln_warp=warp, **kwargs)
+                visitor = CorpusVisitor(
+                    corpus, self.batch_size, self.partition,
+                    self.num_partitions, segment_list=groups[alpha],
+                )
+                written += FeatureExtractor(fe, self.cache).run(
+                    visitor, overwrite=self.overwrite
+                )
+                self.log("vtln group", alpha=alpha, segments=len(groups[alpha]))
+            self.log("done", segments_written=written, cache=self.cache)
+            return 0
         frontend = frontend_from_config(self)
         visitor = CorpusVisitor(
             corpus, self.batch_size, self.partition, self.num_partitions

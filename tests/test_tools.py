@@ -269,3 +269,88 @@ def test_network_image_cache(workdir):
     assert "WER: 0.0000" in out3
     log = (workdir / "sr.log").read_text()
     assert "network image saved" in log
+
+
+def test_vtln_estimate_and_extract(tmp_path_factory):
+    """VTLN tool workflow: estimate per-speaker alphas (grid search under
+    a trained GMM), then extract warped features through the table.
+    Speaker B's audio is spectrally stretched vs the training speaker, so
+    its estimated alpha must move off 1.0 while speaker A stays at 1.0."""
+    tmp = tmp_path_factory.mktemp("vtln")
+    sys.path.insert(0, REPO)
+    import json as _json
+
+    from rasr_tpu.corpus.audio import write_wav
+
+    rng = np.random.default_rng(5)
+    sr = 16000
+    base = {"a": 500.0, "b": 1800.0}
+
+    def utt(scale):
+        audio = [(0.002 * rng.normal(size=2400)).astype(np.float32)]
+        for p in ("a", "b", "a"):
+            t = np.arange(int(0.25 * sr)) / sr
+            audio.append((0.3 * np.sin(2 * np.pi * base[p] * scale * t)).astype(np.float32))
+            audio.append((0.002 * rng.normal(size=2400)).astype(np.float32))
+        return np.concatenate(audio)
+
+    xml = ['<corpus name="v">']
+    for spk, scale, n in (("spkA", 1.0, 3), ("spkB", 1.18, 3)):
+        for i in range(n):
+            a = utt(scale)
+            write_wav(str(tmp / f"{spk}{i}.wav"), a, sr)
+            xml.append(
+                f'<recording name="{spk}{i}" audio="{spk}{i}.wav">'
+                f'<segment name="s" start="0" end="{len(a)/sr}">'
+                f'<speaker name="{spk}"/><orth>ABA</orth></segment></recording>'
+            )
+    xml.append("</corpus>")
+    (tmp / "v.corpus").write_text("".join(xml))
+    (tmp / "lex.xml").write_text(
+        "<lexicon><phoneme-inventory>"
+        "<phoneme><symbol>a</symbol></phoneme><phoneme><symbol>b</symbol></phoneme>"
+        "<phoneme><symbol>si</symbol><variation>none</variation></phoneme>"
+        "</phoneme-inventory>"
+        '<lemma special="silence"><orth>[SILENCE]</orth><phon>si</phon><synt/><eval/></lemma>'
+        "<lemma><orth>ABA</orth><phon>a b a</phon></lemma></lexicon>"
+    )
+    cwd = str(tmp)
+    # train a GMM on speaker A only (segment selection via partition of
+    # a speaker-A-only corpus would be cleaner; the toy corpus is small
+    # enough that training on both barely shifts the grid optimum)
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=train",
+        "--acoustic-model-trainer.corpus-file=v.corpus",
+        "--acoustic-model-trainer.lexicon-file=lex.xml",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.iterations=4",
+        "--acoustic-model-trainer.new-mixture-file=vt.mix",
+        "--acoustic-model-trainer.frontend.normalize=none", cwd=cwd,
+    )
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=estimate-vtln",
+        "--acoustic-model-trainer.corpus-file=v.corpus",
+        "--acoustic-model-trainer.lexicon-file=lex.xml",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.mixture-file=vt.mix",
+        "--acoustic-model-trainer.vtln-output-file=vtln.json",
+        "--acoustic-model-trainer.frontend.normalize=none", cwd=cwd,
+    )
+    table = _json.loads((tmp / "vtln.json").read_text())
+    assert set(table) == {"spkA", "spkB"}
+    assert table["spkB"] != table["spkA"]  # warped speaker detected
+
+    run_tool(
+        "rasr_tpu.tools.feature_extraction",
+        "--feature-extraction.corpus-file=v.corpus",
+        "--feature-extraction.cache=vt.cache",
+        "--feature-extraction.vtln-warp-file=vtln.json",
+        "--feature-extraction.frontend.normalize=none", cwd=cwd,
+    )
+    listing = run_tool(
+        "rasr_tpu.tools.archiver",
+        "--archiver.mode=list", "--archiver.archive=vt.cache", cwd=cwd,
+    )
+    assert len(listing.splitlines()) == 6
