@@ -36,6 +36,7 @@ class OfflineRecognizer:
         frame_shift_s: float = 0.01,
         mesh=None,
         prefetch: bool = True,
+        feature_cache: Optional[str] = None,
     ):
         self.frontend = frontend
         self.scorer = scorer
@@ -51,6 +52,23 @@ class OfflineRecognizer:
         self.rtf = Accumulator("rtf")
         #: overlap next batch's audio read/pad with the device decode
         self.prefetch = prefetch
+        #: read features from this cache archive by segment name instead
+        #: of running the frontend on audio (ref: decoding from feature
+        #: caches — pair with CorpusVisitor(load_audio=False))
+        self.feature_cache = feature_cache
+
+    def _cached_features(self, batch):
+        from .feature_extractor import load_features
+
+        rows = [load_features(self.feature_cache, s.full_name) for s in batch.segments]
+        T = max(r.shape[0] for r in rows)
+        D = rows[0].shape[1]
+        feats = np.zeros((len(rows), T, D), np.float32)
+        n_frames = np.zeros(len(rows), np.int32)
+        for i, r in enumerate(rows):
+            feats[i, : r.shape[0]] = r
+            n_frames[i] = r.shape[0]
+        return feats, n_frames
 
     def run(self, visitor: CorpusVisitor) -> List[DecodeResult]:
         results: List[DecodeResult] = []
@@ -63,7 +81,10 @@ class OfflineRecognizer:
             )
             for batch in batches:
                 t0 = time.perf_counter()
-                feats, n_frames = self.frontend(batch.samples, batch.lengths)
+                if self.feature_cache:
+                    feats, n_frames = self._cached_features(batch)
+                else:
+                    feats, n_frames = self.frontend(batch.samples, batch.lengths)
                 emis = self.scorer(feats)  # device array straight into decode
                 batch_results = self.decoder.decode_scores(
                     emis, np.asarray(n_frames), batch.names, mesh=self.mesh

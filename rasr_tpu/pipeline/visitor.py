@@ -46,6 +46,7 @@ class CorpusVisitor:
         segment_list: Optional[List[str]] = None,
         bucket_tolerance: float = 2.0,
         sample_rate: int = 16000,
+        load_audio: bool = True,
     ):
         self.corpus = corpus
         self.batch_size = batch_size
@@ -54,6 +55,9 @@ class CorpusVisitor:
         self.segment_list = segment_list
         self.bucket_tolerance = bucket_tolerance
         self.sample_rate = sample_rate
+        #: False = metadata-only batches (empty samples, lengths from the
+        #: segment times) for consumers reading cached features instead
+        self.load_audio = load_audio
         self._audio_cache: Tuple[Optional[str], Optional[object]] = (None, None)
 
     def _read(self, seg: Segment) -> np.ndarray:
@@ -71,6 +75,13 @@ class CorpusVisitor:
         segs.sort(key=lambda s: s.duration)
         for i in range(0, len(segs), self.batch_size):
             chunk = segs[i : i + self.batch_size]
+            if not self.load_audio:
+                lengths = np.array(
+                    [int(round(s.duration * self.sample_rate)) for s in chunk],
+                    np.int64,
+                )
+                yield SegmentBatch(chunk, np.zeros((len(chunk), 0), np.float32), lengths)
+                continue
             waves = [self._read(s) for s in chunk]
             S = max((len(w) for w in waves), default=0)
             samples = np.zeros((len(chunk), S), np.float32)

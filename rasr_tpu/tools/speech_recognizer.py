@@ -68,6 +68,10 @@ class SpeechRecognizerTool(Application):
     #: saves, later runs load in seconds. Stale images (changed
     #: lexicon/LM/topology) are detected by content hash and rebuilt.
     network_cache = ParameterString("network-cache", default="")
+    #: decode from a feature cache archive (keyed by segment name)
+    #: instead of extracting features from audio (ref: cache-driven
+    #: recognition — reruns skip the frontend and the audio entirely)
+    feature_cache = ParameterString("feature-cache", default="")
 
     def _network(self, lexicon, tying, topology, transitions):
         """Compiled search network + LM tables, via the image cache."""
@@ -166,8 +170,14 @@ class SpeechRecognizerTool(Application):
         rec = OfflineRecognizer(
             frontend, scorer, decoder,
             lattice_archive=self.lattice_archive or None,
+            feature_cache=self.feature_cache or None,
         )
-        rec.run(CorpusVisitor(corpus, self.batch_size))
+        rec.run(
+            CorpusVisitor(
+                corpus, self.batch_size,
+                load_audio=not self.feature_cache,
+            )
+        )
         report = rec.evaluator.report()
         self.log("recognition finished", **report)
         print(f"WER: {report['wer']:.4f} ({report['errors']} errors / {report['ref_len']} words)")

@@ -354,3 +354,23 @@ def test_vtln_estimate_and_extract(tmp_path_factory):
         "--archiver.mode=list", "--archiver.archive=vt.cache", cwd=cwd,
     )
     assert len(listing.splitlines()) == 6
+
+
+def test_recognize_from_feature_cache(workdir):
+    """Cache-driven recognition: --feature-cache decodes the cached
+    features (no audio/frontend) with identical WER."""
+    cwd = str(workdir)
+    if not (workdir / "model.mix.npz").exists():
+        test_full_tool_chain(workdir)
+    out = run_tool(
+        "rasr_tpu.tools.speech_recognizer",
+        "--speech-recognizer.corpus-file=toy.corpus",
+        "--speech-recognizer.lexicon-file=lexicon.xml",
+        "--speech-recognizer.lm-file=lm.arpa",
+        "--speech-recognizer.mixture-file=model.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.feature-cache=feat.cache",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
