@@ -43,7 +43,7 @@ class AcousticModelTrainerTool(Application):
 
     action = ParameterChoice(
         "action",
-        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "train"],
+        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "estimate-cart", "train"],
         default="train",
     )
     corpus_file = ParameterString("corpus-file", default="")
@@ -67,13 +67,26 @@ class AcousticModelTrainerTool(Application):
     #: feature-extraction tool's vtln-warp-file)
     vtln_output_file = ParameterString("vtln-output-file", default="vtln.json")
     vtln_max_segments = ParameterInt("vtln-max-segments", default=8)
+    #: estimate-cart outputs (decision-tree state tying grown from
+    #: monophone-alignment examples; consumed by the recognizer's
+    #: --cart-file)
+    cart_output_file = ParameterString("cart-output-file", default="cart.json")
+    cart_max_leaves = ParameterInt("cart-max-leaves", default=200)
+    #: train/align under an existing CART tying (the triphone stage)
+    cart_file = ParameterString("cart-file", default="")
 
     # ----------------------------------------------------------------- setup
     def _setup(self):
         corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
         lexicon = Lexicon.load(self.lexicon_file)
         topology = HmmTopology(states_per_phone=self.states_per_phone)
-        tying = MonophoneStateTying(lexicon, topology)
+        if self.cart_file:
+            from ..models.cart import CartTree
+            from ..models.tying import CartStateTying
+
+            tying = CartStateTying(CartTree.load(self.cart_file), lexicon)
+        else:
+            tying = MonophoneStateTying(lexicon, topology)
         transitions = TransitionModel.from_config(self)
         frontend = frontend_from_config(self)
         return corpus, lexicon, topology, tying, transitions, frontend
@@ -191,6 +204,42 @@ class AcousticModelTrainerTool(Application):
                 json.dump(table, fh)
             self.log("vtln estimated", speakers=len(table),
                      output=self.vtln_output_file)
+            return 0
+        if action == "estimate-cart":
+            # CART example accumulation + tree growing (ref: the
+            # acoustic-model-trainer's CART actions): frames label with
+            # their FULL allophone-state context recovered from the
+            # Viterbi chain-state path (graphs keep allophone states),
+            # then likelihood-gain splitting over phonetic questions.
+            from ..models.cart import CartExamples, CartTree, default_questions
+
+            corpus, lexicon, topology, tying, transitions, frontend = self._setup()
+            model = MixtureSet.load(self.mixture_file)
+            aligner = BatchAligner(GmmFeatureScorer(model))
+            ex = CartExamples(frontend.output_dim)
+            for batch, feats, nf, graphs in self._batches_with_graphs(
+                corpus, lexicon, tying, topology, transitions, frontend
+            ):
+                als = aligner.align(feats, graphs, nf, batch.names)
+                for i, (al, g) in enumerate(zip(als, graphs)):
+                    keys = [
+                        (
+                            g.states[si].allophone.left,
+                            g.states[si].allophone.center,
+                            g.states[si].allophone.right,
+                            g.states[si].state,
+                        )
+                        for si in al.state_indices
+                    ]
+                    ex.add_frames(keys, feats[i, : al.num_frames], al.weights)
+            tree = CartTree.train(
+                ex, default_questions(lexicon), max_leaves=self.cart_max_leaves
+            )
+            tree.save(self.cart_output_file)
+            self.log(
+                "cart estimated", leaves=tree.num_classes,
+                contexts=len(ex.stats), output=self.cart_output_file,
+            )
             return 0
         if action == "estimate-lda":
             model = MixtureSet.load(self.mixture_file)

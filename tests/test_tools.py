@@ -374,3 +374,51 @@ def test_recognize_from_feature_cache(workdir):
         "--speech-recognizer.search.max-hyps=128", cwd=cwd,
     )
     assert "WER: 0.0000" in out
+
+
+def test_estimate_cart_and_triphone_recognition(workdir):
+    """Full triphone workflow: estimate-cart grows a tying tree from
+    monophone alignments; recognition with --cart-file stays at 0 WER."""
+    cwd = str(workdir)
+    if not (workdir / "model.mix.npz").exists():
+        test_full_tool_chain(workdir)
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=estimate-cart",
+        "--acoustic-model-trainer.corpus-file=toy.corpus",
+        "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.mixture-file=model.mix",
+        "--acoustic-model-trainer.cart-output-file=cart.json",
+        "--acoustic-model-trainer.cart-max-leaves=6",
+        "--acoustic-model-trainer.frontend.normalize=none", cwd=cwd,
+    )
+    import json as _json
+    tree = _json.loads((workdir / "cart.json").read_text())
+    assert tree  # non-trivial tree artifact
+
+    # retrain the GMM under the CART tying, then decode with it
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=train",
+        "--acoustic-model-trainer.corpus-file=toy.corpus",
+        "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.iterations=4",
+        "--acoustic-model-trainer.cart-file=cart.json",
+        "--acoustic-model-trainer.new-mixture-file=tri.mix",
+        "--acoustic-model-trainer.frontend.normalize=none", cwd=cwd,
+    )
+    out = run_tool(
+        "rasr_tpu.tools.speech_recognizer",
+        "--speech-recognizer.corpus-file=toy.corpus",
+        "--speech-recognizer.lexicon-file=lexicon.xml",
+        "--speech-recognizer.lm-file=lm.arpa",
+        "--speech-recognizer.mixture-file=tri.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.cart-file=cart.json",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.frontend.normalize=none", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
