@@ -149,6 +149,38 @@ def main() -> None:
                    "--speech-recognizer.frontend.normalize=none", cwd=workdir)
     assert "WER: 0.0000" in out, "GMM recognition should nail the toy corpus"
 
+    # -- stage 4b: CART triphone tying + retrained triphone GMM
+    # (the reference's monophone -> CART-triphone stage)
+    run_tool("acoustic_model_trainer",
+             "--acoustic-model-trainer.action=estimate-cart",
+             "--acoustic-model-trainer.corpus-file=toy.corpus",
+             "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+             "--acoustic-model-trainer.states-per-phone=1",
+             "--acoustic-model-trainer.mixture-file=model.mix",
+             "--acoustic-model-trainer.cart-output-file=cart.json",
+             "--acoustic-model-trainer.cart-max-leaves=8",
+             "--acoustic-model-trainer.frontend.normalize=none", cwd=workdir)
+    run_tool("acoustic_model_trainer",
+             "--acoustic-model-trainer.action=train",
+             "--acoustic-model-trainer.corpus-file=toy.corpus",
+             "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+             "--acoustic-model-trainer.states-per-phone=1",
+             "--acoustic-model-trainer.iterations=4",
+             "--acoustic-model-trainer.cart-file=cart.json",
+             "--acoustic-model-trainer.new-mixture-file=tri.mix",
+             "--acoustic-model-trainer.frontend.normalize=none", cwd=workdir)
+    out = run_tool("speech_recognizer",
+                   "--speech-recognizer.corpus-file=toy.corpus",
+                   "--speech-recognizer.lexicon-file=lexicon.xml",
+                   "--speech-recognizer.lm-file=lm.arpa",
+                   "--speech-recognizer.mixture-file=tri.mix",
+                   "--speech-recognizer.states-per-phone=1",
+                   "--speech-recognizer.cart-file=cart.json",
+                   "--speech-recognizer.search.lm-scale=2.0",
+                   "--speech-recognizer.search.max-hyps=256",
+                   "--speech-recognizer.frontend.normalize=none", cwd=workdir)
+    assert "WER: 0.0000" in out, "triphone recognition should nail the toy corpus"
+
     # -- stage 5: forced alignment cache for NN training
     run_tool("acoustic_model_trainer",
              "--acoustic-model-trainer.action=align",
@@ -201,8 +233,8 @@ def main() -> None:
                    "--flf-tool.ops=prune best evaluate oracle", cwd=workdir)
     assert "WER: 0.0000" in out
 
-    print("\nrecipe complete: GMM WER 0.0000, hybrid WER 0.0000, "
-          f"artifacts in {workdir}")
+    print("\nrecipe complete: monophone / CART-triphone / hybrid all at "
+          f"WER 0.0000; artifacts in {workdir}")
 
 
 if __name__ == "__main__":
