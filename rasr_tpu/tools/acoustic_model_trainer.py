@@ -43,7 +43,7 @@ class AcousticModelTrainerTool(Application):
 
     action = ParameterChoice(
         "action",
-        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "estimate-cart", "train"],
+        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "estimate-cart", "train", "train-mmi"],
         default="train",
     )
     corpus_file = ParameterString("corpus-file", default="")
@@ -74,6 +74,11 @@ class AcousticModelTrainerTool(Application):
     cart_max_leaves = ParameterInt("cart-max-leaves", default=200)
     #: train/align under an existing CART tying (the triphone stage)
     cart_file = ParameterString("cart-file", default="")
+    #: train-mmi: lattice-based discriminative (EBW) training inputs
+    lm_file = ParameterString("lm-file", default="")
+    mmi_lm_scale = ParameterFloat("mmi-lm-scale", default=2.0)
+    mmi_max_hyps = ParameterInt("mmi-max-hyps", default=256)
+    mmi_word_end_limit = ParameterInt("mmi-word-end-limit", default=32)
 
     # ----------------------------------------------------------------- setup
     def _setup(self):
@@ -240,6 +245,68 @@ class AcousticModelTrainerTool(Application):
                 "cart estimated", leaves=tree.num_classes,
                 contexts=len(ex.stats), output=self.cart_output_file,
             )
+            return 0
+        if action == "train-mmi":
+            # lattice-based MMI via extended Baum-Welch (ref: the
+            # MODULE_SPEECH_DT discriminative pipeline — numerator from
+            # forced alignments, denominator from decoding lattices,
+            # EBW mixture updates), iterated self.iterations times.
+            from ..lattice.lattice import decoder_lattice
+            from ..models.lm.arpa import NgramLm
+            from ..models.lm.ngram_tpu import compile_ngram
+            from ..search.decoder import BeamConfig, TreeDecoder
+            from ..search.tree import build_prefix_tree
+            from ..train.discriminative import (
+                MmiAccumulators,
+                accumulate_denominator_from_lattice,
+                accumulate_numerator,
+                ebw_update,
+            )
+
+            assert self.lm_file, "train-mmi needs lm-file (denominator lattices)"
+            corpus, lexicon, topology, tying, transitions, frontend = self._setup()
+            model = MixtureSet.load(self.mixture_file)
+            lm = NgramLm.read_arpa(self.lm_file)
+            tables = compile_ngram(lm)
+            tree = build_prefix_tree(
+                lexicon, tying, topology, transitions, lm_vocab=lm.vocab
+            )
+            cfg = BeamConfig(
+                max_hyps=self.mmi_max_hyps,
+                word_end_limit=self.mmi_word_end_limit,
+                lm_scale=self.mmi_lm_scale,
+            )
+            decoder = TreeDecoder(tree, tables, cfg)
+            M, K, D = model.means.shape
+            for it in range(self.iterations):
+                acc = MmiAccumulators.zeros(M, K, D)
+                scorer = GmmFeatureScorer(model)
+                aligner = BatchAligner(scorer)
+                for batch, feats, nf, graphs in self._batches_with_graphs(
+                    corpus, lexicon, tying, topology, transitions, frontend
+                ):
+                    als = aligner.align(feats, graphs, nf, batch.names)
+                    labels = np.full(feats.shape[:2], -1, np.int32)
+                    for i, al in enumerate(als):
+                        labels[i, : al.num_frames] = al.emission_ids
+                    accumulate_numerator(acc, model, feats, labels)
+                    emis = scorer(feats)
+                    decoder.decode_scores(np.asarray(emis), nf, batch.names)
+                    for i in range(feats.shape[0]):
+                        lat = decoder_lattice(decoder, i)
+                        accumulate_denominator_from_lattice(
+                            acc, model, feats[i, : int(nf[i])], lat, aligner,
+                            lexicon, tying, topology, transitions,
+                            lm_scale=self.mmi_lm_scale,
+                        )
+                model = ebw_update(model, acc)
+                self.log(
+                    "mmi iteration", iteration=it,
+                    num_frames=float(acc.num.count.sum()),
+                    den_frames=float(acc.den.count.sum()),
+                )
+            model.save(self.new_mixture_file)
+            self.log("mmi trained", output=self.new_mixture_file)
             return 0
         if action == "estimate-lda":
             model = MixtureSet.load(self.mixture_file)

@@ -422,3 +422,35 @@ def test_estimate_cart_and_triphone_recognition(workdir):
         "--speech-recognizer.frontend.normalize=none", cwd=cwd,
     )
     assert "WER: 0.0000" in out
+
+
+def test_train_mmi_action(workdir):
+    """Lattice-based MMI (EBW) tool action: runs end-to-end from the ML
+    model and the discriminatively trained model still decodes at 0 WER."""
+    cwd = str(workdir)
+    if not (workdir / "model.mix.npz").exists():
+        test_full_tool_chain(workdir)
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=train-mmi",
+        "--acoustic-model-trainer.corpus-file=toy.corpus",
+        "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+        "--acoustic-model-trainer.lm-file=lm.arpa",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.iterations=2",
+        "--acoustic-model-trainer.mixture-file=model.mix",
+        "--acoustic-model-trainer.new-mixture-file=mmi.mix",
+        "--acoustic-model-trainer.frontend.normalize=none", cwd=cwd,
+    )
+    out = run_tool(
+        "rasr_tpu.tools.speech_recognizer",
+        "--speech-recognizer.corpus-file=toy.corpus",
+        "--speech-recognizer.lexicon-file=lexicon.xml",
+        "--speech-recognizer.lm-file=lm.arpa",
+        "--speech-recognizer.mixture-file=mmi.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.frontend.normalize=none", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
