@@ -447,3 +447,95 @@ def union(lats: Sequence[Lattice]) -> Lattice:
             finals[node] = min(finals.get(node, BIG), float(s))
         offset += lat.num_nodes
     return Lattice(offset, arcs, np.asarray(times, np.int32), finals, new_orths)
+
+
+def intersect(a: Lattice, b: Lattice) -> Lattice:
+    """Lattice intersection (ref: Flf intersect node): keep exactly the
+    word sequences present in BOTH lattices, with per-dimension scores
+    added — the lattice-level counterpart of acceptor composition
+    (fsa/algorithms.compose). Words match by orthography, so the inputs
+    may use different lemma alphabets (e.g. lattices from two systems).
+
+    Epsilon arcs (lemma < 0) advance one side at a time through the
+    standard three-state epsilon-sequencing filter (Mohri's composition
+    filter), so no path is generated twice. Node times come from ``a``
+    (``b``'s boundaries may disagree; ``a`` is the primary system).
+    """
+    orth_to_b: Dict[str, List[int]] = {}
+    for i, orth in enumerate(b.lemma_orths):
+        orth_to_b.setdefault(orth, []).append(i)
+    out_a, out_b = a.out_arcs(), b.out_arcs()
+
+    # product states (node_a, node_b, filter); filter: 0 = free,
+    # 1 = only eps-on-a may continue, 2 = only eps-on-b may continue.
+    node_map: Dict[Tuple[int, int, int], int] = {}
+    times: List[int] = []
+
+    def get_node(na: int, nb: int, f: int) -> int:
+        key = (na, nb, f)
+        if key not in node_map:
+            node_map[key] = len(times)
+            times.append(int(a.node_time[na]))
+        return node_map[key]
+
+    start = get_node(0, 0, 0)
+    arcs: List[LatticeArc] = []
+    finals: Dict[int, float] = {}
+    stack = [(0, 0, 0)]
+    seen = {(0, 0, 0)}
+
+    def push(key: Tuple[int, int, int]) -> int:
+        if key not in seen:
+            seen.add(key)
+            stack.append(key)
+        return get_node(*key)
+
+    while stack:
+        na, nb, f = stack.pop()
+        src = get_node(na, nb, f)
+        if na in a.final_scores and nb in b.final_scores:
+            sc = a.final_scores[na] + b.final_scores[nb]
+            finals[src] = min(finals.get(src, BIG), sc)
+        for ai in out_a[na]:
+            arc_a = a.arcs[ai]
+            if arc_a.lemma < 0:
+                if f in (0, 1):  # eps on a
+                    dst = push((arc_a.to_node, nb, 1))
+                    arcs.append(LatticeArc(src, dst, -1,
+                                           arc_a.am_score, arc_a.lm_score))
+                continue
+            matches = orth_to_b.get(a.lemma_orths[arc_a.lemma])
+            if not matches:
+                continue
+            for bi in out_b[nb]:
+                arc_b = b.arcs[bi]
+                if arc_b.lemma in matches:
+                    dst = push((arc_a.to_node, arc_b.to_node, 0))
+                    arcs.append(LatticeArc(
+                        src, dst, arc_a.lemma,
+                        arc_a.am_score + arc_b.am_score,
+                        arc_a.lm_score + arc_b.lm_score,
+                    ))
+        if f in (0, 2):  # eps on b
+            for bi in out_b[nb]:
+                arc_b = b.arcs[bi]
+                if arc_b.lemma < 0:
+                    dst = push((na, arc_b.to_node, 2))
+                    arcs.append(LatticeArc(src, dst, -1,
+                                           arc_b.am_score, arc_b.lm_score))
+        if f == 0:  # simultaneous eps advance (filter state 0 only)
+            for ai in out_a[na]:
+                arc_a = a.arcs[ai]
+                if arc_a.lemma >= 0:
+                    continue
+                for bi in out_b[nb]:
+                    arc_b = b.arcs[bi]
+                    if arc_b.lemma < 0:
+                        dst = push((arc_a.to_node, arc_b.to_node, 0))
+                        arcs.append(LatticeArc(
+                            src, dst, -1,
+                            arc_a.am_score + arc_b.am_score,
+                            arc_a.lm_score + arc_b.lm_score,
+                        ))
+    return _trim(Lattice(len(times), arcs, np.asarray(times, np.int32),
+                         finals, list(a.lemma_orths)))

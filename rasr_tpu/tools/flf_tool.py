@@ -10,6 +10,10 @@ reference's FLF processing networks as a linear ``ops`` list:
     posterior-threshold = 10.0
     lm-file         = rescoring.arpa    # for op 'rescore'
     output-archive  = out.cache         # for op 'write'
+
+Ops: prune rescore best cn-decode nbest oracle evaluate write
+union intersect (vs second-archive; system combination) map (map-file)
+scale confidence.
 """
 
 from __future__ import annotations
@@ -21,7 +25,8 @@ import numpy as np
 from ..corpus.bliss import CorpusDescription
 from ..lattice.evaluator import CorpusEvaluator, lattice_oracle
 from ..lattice.flf import (
-    best_path, cn_decode, confusion_network, n_best, posterior_prune, rescore_lm,
+    best_path, cn_decode, confusion_network, intersect, map_lemmas, n_best,
+    posterior_prune, rescore_lm, scale_scores, union, word_confidence,
 )
 from ..lattice.lattice import Lattice
 from ..models.lm.arpa import NgramLm
@@ -43,6 +48,11 @@ class FlfTool(Application):
     lm_scale = ParameterFloat("lm-scale", default=1.0)
     am_scale = ParameterFloat("am-scale", default=1.0)
     nbest = ParameterInt("nbest", default=10)
+    # second archive for the binary ops 'union' / 'intersect'
+    # (system combination: same segment names in both archives)
+    second_archive = ParameterString("second-archive", default="")
+    # orthography map for op 'map': lines of "<from> <to>"
+    map_file = ParameterString("map-file", default="")
 
     def run(self, args: List[str]) -> int:
         ops = self.ops.split()
@@ -51,6 +61,14 @@ class FlfTool(Application):
             corpus = CorpusDescription.load(self.corpus_file)
             orths = {s.full_name: s.orth for s in corpus.segments()}
         rescore_model = NgramLm.read_arpa(self.lm_file) if self.lm_file else None
+        orth_map = {}
+        if self.map_file:
+            with open(self.map_file) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        orth_map[parts[0]] = parts[1]
+        second = open_archive(self.second_archive) if self.second_archive else None
         evaluator = CorpusEvaluator()
         oracle_errs, oracle_words = 0, 0
         out = FileArchive(self.output_archive, "a") if self.output_archive else None
@@ -76,7 +94,8 @@ class FlfTool(Application):
                         hyp_words = [
                             lat.lemma_orths[a.lemma]
                             for a in path
-                            if not lat.lemma_orths[a.lemma].startswith("[")
+                            if a.lemma >= 0  # skip eps (e.g. union entry arcs)
+                            and not lat.lemma_orths[a.lemma].startswith("[")
                         ]
                     elif op == "cn-decode":
                         slots = confusion_network(lat, self.am_scale, self.lm_scale)
@@ -86,6 +105,19 @@ class FlfTool(Application):
                     elif op == "nbest":
                         nb = n_best(lat, self.nbest, self.am_scale, self.lm_scale)
                         self.log("nbest", segment=name, count=len(nb))
+                    elif op in ("union", "intersect"):
+                        assert second is not None, f"{op} needs second-archive"
+                        other = Lattice.unpack(second.read(name))
+                        lat = (union([lat, other]) if op == "union"
+                               else intersect(lat, other))
+                    elif op == "map":
+                        lat = map_lemmas(lat, orth_map)
+                    elif op == "scale":
+                        lat = scale_scores(lat, self.am_scale, self.lm_scale)
+                    elif op == "confidence":
+                        confs = word_confidence(lat, self.am_scale, self.lm_scale)
+                        self.log("confidence", segment=name,
+                                 words=[[w, round(c, 4)] for w, c in confs])
                     elif op == "oracle":
                         ref = orths.get(name, "").split()
                         errs, _ = lattice_oracle(lat, ref)
@@ -103,6 +135,8 @@ class FlfTool(Application):
                     out.write(name, lat.pack())
         finally:
             archive.close()
+            if second is not None:
+                second.close()
             if out is not None:
                 out.close()
         if "evaluate" in ops:

@@ -357,3 +357,60 @@ def test_scale_map_union_ops(rng):
     cu, pu = best_path(u, 1.0, 1.0)
     # best path of the union == best over the inputs' best paths
     assert abs(cu - min(best_path(lat)[0], 1.0 + 1.0 + 0.5)) < 1e-6
+
+
+def test_intersect():
+    """Lattice intersection: language intersection with added scores."""
+    from rasr_tpu.lattice.flf import forward_backward, intersect, union
+
+    # diamond ∩ diamond: same language, every score doubled
+    both = intersect(_diamond(), _diamond())
+    score, path = best_path(both)
+    assert [both.lemma_orths[a.lemma] for a in path] == ["A", "C"]
+    np.testing.assert_allclose(score, 3.0)
+    nb = n_best(both, 5)
+    assert len(nb) == 2
+    np.testing.assert_allclose(nb[1][0], 5.0)
+
+    # ∩ with a "B C"-only lattice (different lemma alphabet: matches by orth)
+    bc = Lattice(
+        num_nodes=3,
+        arcs=[LatticeArc(0, 1, 1, 0.0, 0.0), LatticeArc(1, 2, 0, 0.0, 0.0)],
+        node_time=np.array([0, 5, 10], np.int32),
+        final_scores={2: 0.0},
+        lemma_orths=["C", "B"],
+    )
+    only_bc = intersect(_diamond(), bc)
+    score, path = best_path(only_bc)
+    assert [only_bc.lemma_orths[a.lemma] for a in path] == ["B", "C"]
+    np.testing.assert_allclose(score, 2.5)
+    assert len(n_best(only_bc, 5)) == 1
+
+    # disjoint languages -> empty lattice
+    nothing = intersect(
+        _diamond(),
+        Lattice(2, [LatticeArc(0, 1, 0, 0.0, 0.0)],
+                np.array([0, 10], np.int32), {1: 0.0}, ["Z"]),
+    )
+    assert best_path(nothing)[1] == []
+
+
+def test_intersect_epsilon_no_duplication():
+    """Epsilon-sequencing filter: eps arcs on both sides must not
+    duplicate paths (checked via total forward-backward mass)."""
+    from rasr_tpu.lattice.flf import forward_backward, intersect, union
+
+    def single(orth, cost):
+        return Lattice(
+            2, [LatticeArc(0, 1, 0, cost, 0.0)],
+            np.array([0, 10], np.int32), {1: 0.0}, [orth],
+        )
+
+    # union introduces eps entry arcs on both sides
+    a = union([single("A", 1.0), single("A", 1.0)])
+    b = union([single("A", 1.0), single("A", 1.0)])
+    got = intersect(a, b)
+    total, _ = forward_backward(got)
+    # exactly 2x2 = 4 combined paths of cost 2.0 each — duplicated eps
+    # interleavings would double the mass
+    np.testing.assert_allclose(total, 2.0 - math.log(4.0), rtol=1e-6)

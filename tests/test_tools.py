@@ -454,3 +454,23 @@ def test_train_mmi_action(workdir):
         "--speech-recognizer.frontend.normalize=none", cwd=cwd,
     )
     assert "WER: 0.0000" in out
+
+
+def test_flf_structural_ops(workdir):
+    """flf-tool union/intersect/map/scale/confidence ops (system
+    combination surface). Self-union then self-intersection preserves
+    the language, so the best path / WER must be unchanged."""
+    cwd = str(workdir)
+    assert (workdir / "lat.cache").exists()  # from test_full_tool_chain
+    (workdir / "orth.map").write_text("ZZZ QQQ\n")
+    out = run_tool(
+        "rasr_tpu.tools.flf_tool",
+        "--flf-tool.lattice-archive=lat.cache",
+        "--flf-tool.second-archive=lat.cache",
+        "--flf-tool.map-file=orth.map",
+        "--flf-tool.corpus-file=toy.corpus",
+        "--flf-tool.ops=scale union intersect map confidence best evaluate",
+        "--flf-tool.output-archive=lat2.cache", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
+    assert (workdir / "lat2.cache").exists()
