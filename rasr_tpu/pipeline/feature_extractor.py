@@ -21,9 +21,13 @@ from .visitor import CorpusVisitor
 
 
 class FeatureExtractor:
-    def __init__(self, frontend: FeatureFrontend, cache_path: str):
+    def __init__(self, frontend: FeatureFrontend, cache_path: str,
+                 feature_transforms=None):
         self.frontend = frontend
         self.cache_path = cache_path
+        #: optional per-speaker fMLLR transforms (train/fmllr.py) so
+        #: adapted-feature caches drive SAT / hybrid training
+        self.feature_transforms = feature_transforms
         self.log = LogManager.get().channel("feature-extraction", "log")
 
     def run(self, visitor: CorpusVisitor, overwrite: bool = False) -> int:
@@ -39,6 +43,12 @@ class FeatureExtractor:
                 feats, n_frames = self.frontend(batch.samples, batch.lengths)
                 feats = np.asarray(feats)
                 n_frames = np.asarray(n_frames)
+                if self.feature_transforms:
+                    from ..train.fmllr import apply_speaker_transforms
+
+                    feats = apply_speaker_transforms(
+                        feats, batch.segments, self.feature_transforms
+                    )
                 for i in todo:
                     name = batch.names[i]
                     archive.write(

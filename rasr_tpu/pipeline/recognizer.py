@@ -37,6 +37,7 @@ class OfflineRecognizer:
         mesh=None,
         prefetch: bool = True,
         feature_cache: Optional[str] = None,
+        feature_transforms=None,
     ):
         self.frontend = frontend
         self.scorer = scorer
@@ -56,6 +57,10 @@ class OfflineRecognizer:
         #: of running the frontend on audio (ref: decoding from feature
         #: caches — pair with CorpusVisitor(load_audio=False))
         self.feature_cache = feature_cache
+        #: optional per-speaker fMLLR transforms {speaker: W [D, D+1]}
+        #: applied after the frontend (ref: the adaptation pass of the
+        #: reference's recognizer; train/fmllr.py)
+        self.feature_transforms = feature_transforms
 
     def _cached_features(self, batch):
         from .feature_extractor import load_features
@@ -85,6 +90,12 @@ class OfflineRecognizer:
                     feats, n_frames = self._cached_features(batch)
                 else:
                     feats, n_frames = self.frontend(batch.samples, batch.lengths)
+                if self.feature_transforms:
+                    from ..train.fmllr import apply_speaker_transforms
+
+                    feats = apply_speaker_transforms(
+                        feats, batch.segments, self.feature_transforms
+                    )
                 emis = self.scorer(feats)  # device array straight into decode
                 batch_results = self.decoder.decode_scores(
                     emis, np.asarray(n_frames), batch.names, mesh=self.mesh

@@ -43,7 +43,7 @@ class AcousticModelTrainerTool(Application):
 
     action = ParameterChoice(
         "action",
-        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "estimate-cart", "train", "train-mmi"],
+        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "estimate-fmllr", "estimate-cart", "train", "train-mmi"],
         default="train",
     )
     corpus_file = ParameterString("corpus-file", default="")
@@ -67,6 +67,14 @@ class AcousticModelTrainerTool(Application):
     #: feature-extraction tool's vtln-warp-file)
     vtln_output_file = ParameterString("vtln-output-file", default="vtln.json")
     vtln_max_segments = ParameterInt("vtln-max-segments", default=8)
+    #: estimate-fmllr outputs (JSON speaker -> W [D, D+1] affine feature
+    #: transform for --fmllr-file consumers; ref: CMLLR / MODULE_ADAPT)
+    fmllr_output_file = ParameterString("fmllr-output-file", default="fmllr.json")
+    fmllr_iterations = ParameterInt("fmllr-iterations", default=20)
+    fmllr_min_count = ParameterFloat("fmllr-min-count", default=200.0)
+    #: apply existing per-speaker transforms during align/accumulate/
+    #: train — the SAT loop (adapted-space statistics stay mergeable)
+    fmllr_file = ParameterString("fmllr-file", default="")
     #: estimate-cart outputs (decision-tree state tying grown from
     #: monophone-alignment examples; consumed by the recognizer's
     #: --cart-file)
@@ -97,14 +105,26 @@ class AcousticModelTrainerTool(Application):
         return corpus, lexicon, topology, tying, transitions, frontend
 
     def _batches_with_graphs(self, corpus, lexicon, tying, topology, transitions, frontend):
+        transforms = None
+        if self.fmllr_file:
+            from ..train.fmllr import load_transforms
+
+            transforms = load_transforms(self.fmllr_file)
         visitor = CorpusVisitor(corpus, self.batch_size)
         for batch in visitor.batches():
             feats, n_frames = frontend(batch.samples, batch.lengths)
+            feats = np.asarray(feats)
+            if transforms:
+                from ..train.fmllr import apply_speaker_transforms
+
+                feats = apply_speaker_transforms(
+                    feats, batch.segments, transforms
+                )
             graphs = [
                 build_linear_graph(s.orth, lexicon, tying, topology, transitions)
                 for s in batch.segments
             ]
-            yield batch, np.asarray(feats), np.asarray(n_frames), graphs
+            yield batch, feats, np.asarray(n_frames), graphs
 
     # ---------------------------------------------------------------- actions
     def run(self, args: List[str]) -> int:
@@ -209,6 +229,70 @@ class AcousticModelTrainerTool(Application):
                 json.dump(table, fh)
             self.log("vtln estimated", speakers=len(table),
                      output=self.vtln_output_file)
+            return 0
+        if action == "estimate-fmllr":
+            # per-speaker CMLLR: align each speaker's data under the
+            # current model, accumulate the row statistics (jitted
+            # einsums), solve the row-iterative update on the host
+            # (ref: the adaptation pass of RASR's SAT recipes)
+            import json as _json
+
+            from ..train.fmllr import (
+                FmllrModelTensors, estimate_fmllr, fmllr_auxiliary,
+                fmllr_stats, save_transforms,
+            )
+
+            model = MixtureSet.load(self.mixture_file)
+            mt = FmllrModelTensors.from_mixture_set(model)
+            aligner = BatchAligner(GmmFeatureScorer(model, var_floor=self.var_floor))
+            visitor = CorpusVisitor(corpus, self.batch_size)
+            by_speaker: dict = {}
+            for seg in corpus.segments():
+                by_speaker.setdefault(seg.speaker or "*", []).append(seg)
+            table = {}
+            for spk, segs in sorted(by_speaker.items()):
+                D = frontend.output_dim
+                Gs = np.zeros((D, D + 1, D + 1))
+                ks = np.zeros((D, D + 1))
+                beta = 0.0
+                for lo in range(0, len(segs), self.batch_size):
+                    chunk = segs[lo : lo + self.batch_size]
+                    waves = [visitor._read(s) for s in chunk]
+                    S = max(len(w) for w in waves)
+                    samples = np.zeros((len(waves), S), np.float32)
+                    lengths = np.zeros(len(waves), np.int64)
+                    for j, w in enumerate(waves):
+                        samples[j, : len(w)] = w
+                        lengths[j] = len(w)
+                    feats, nf = frontend(samples, lengths)
+                    feats, nf = np.asarray(feats), np.asarray(nf)
+                    graphs = [
+                        build_linear_graph(s.orth, lexicon, tying, topology, transitions)
+                        for s in chunk
+                    ]
+                    als = aligner.align(feats, graphs, nf)
+                    rows = np.concatenate(
+                        [feats[j, : int(nf[j])] for j in range(len(chunk))]
+                    )
+                    mix = np.concatenate([al.emission_ids for al in als])
+                    G, k, b = fmllr_stats(rows, mix, mt)
+                    Gs += G
+                    ks += k
+                    beta += b
+                W = estimate_fmllr(
+                    Gs, ks, beta, iterations=self.fmllr_iterations,
+                    min_count=self.fmllr_min_count,
+                )
+                table[spk] = W
+                ident = np.hstack([np.eye(D), np.zeros((D, 1))])
+                self.log(
+                    "fmllr speaker", speaker=spk, frames=beta,
+                    gain=(fmllr_auxiliary(Gs, ks, beta, W)
+                          - fmllr_auxiliary(Gs, ks, beta, ident)) / max(beta, 1.0),
+                )
+            save_transforms(self.fmllr_output_file, table)
+            self.log("fmllr estimated", speakers=len(table),
+                     output=self.fmllr_output_file)
             return 0
         if action == "estimate-cart":
             # CART example accumulation + tree growing (ref: the

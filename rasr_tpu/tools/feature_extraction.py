@@ -81,6 +81,17 @@ class FeatureExtractionTool(Application):
     #: Segments extract through a frontend whose mel filterbank carries
     #: their speaker's piecewise-linear warp (ref: Signal::Warping).
     vtln_warp_file = ParameterString("vtln-warp-file", default="")
+    #: per-speaker fMLLR transforms (JSON {speaker: W}, from the
+    #: acoustic-model-trainer's estimate-fmllr action): write ADAPTED
+    #: feature caches (the SAT data path; ref: MODULE_ADAPT)
+    fmllr_file = ParameterString("fmllr-file", default="")
+
+    def _transforms(self):
+        if not self.fmllr_file:
+            return None
+        from ..train.fmllr import load_transforms
+
+        return load_transforms(self.fmllr_file)
 
     def run(self, args: List[str]) -> int:
         corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
@@ -108,9 +119,9 @@ class FeatureExtractionTool(Application):
                     corpus, self.batch_size, self.partition,
                     self.num_partitions, segment_list=groups[alpha],
                 )
-                written += FeatureExtractor(fe, self.cache).run(
-                    visitor, overwrite=self.overwrite
-                )
+                written += FeatureExtractor(
+                    fe, self.cache, feature_transforms=self._transforms()
+                ).run(visitor, overwrite=self.overwrite)
                 self.log("vtln group", alpha=alpha, segments=len(groups[alpha]))
             self.log("done", segments_written=written, cache=self.cache)
             return 0
@@ -118,7 +129,9 @@ class FeatureExtractionTool(Application):
         visitor = CorpusVisitor(
             corpus, self.batch_size, self.partition, self.num_partitions
         )
-        extractor = FeatureExtractor(frontend, self.cache)
+        extractor = FeatureExtractor(
+            frontend, self.cache, feature_transforms=self._transforms()
+        )
         written = extractor.run(visitor, overwrite=self.overwrite)
         self.log("done", segments_written=written, cache=self.cache)
         return 0

@@ -72,6 +72,10 @@ class SpeechRecognizerTool(Application):
     #: instead of extracting features from audio (ref: cache-driven
     #: recognition — reruns skip the frontend and the audio entirely)
     feature_cache = ParameterString("feature-cache", default="")
+    #: per-speaker fMLLR/CMLLR transforms (JSON {speaker: W}, from the
+    #: acoustic-model-trainer's estimate-fmllr action) applied to the
+    #: features before scoring (ref: the adaptation pass / MODULE_ADAPT)
+    fmllr_file = ParameterString("fmllr-file", default="")
 
     def _network(self, lexicon, tying, topology, transitions):
         """Compiled search network + LM tables, via the image cache."""
@@ -167,10 +171,16 @@ class SpeechRecognizerTool(Application):
             lm_scale=float(search.param("lm-scale", 10.0)),
         )
         decoder = TreeDecoder(tree, tables, cfg)
+        transforms = None
+        if self.fmllr_file:
+            from ..train.fmllr import load_transforms
+
+            transforms = load_transforms(self.fmllr_file)
         rec = OfflineRecognizer(
             frontend, scorer, decoder,
             lattice_archive=self.lattice_archive or None,
             feature_cache=self.feature_cache or None,
+            feature_transforms=transforms,
         )
         rec.run(
             CorpusVisitor(

@@ -15,7 +15,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_tool(module, *args, cwd):
+def run_tool(module, *args, cwd, with_stderr=False):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
@@ -24,7 +24,7 @@ def run_tool(module, *args, cwd):
         cwd=cwd, env=env, capture_output=True, text=True, timeout=300,
     )
     assert out.returncode == 0, f"{module} failed:\n{out.stdout}\n{out.stderr}"
-    return out.stdout
+    return out.stdout + out.stderr if with_stderr else out.stdout
 
 
 @pytest.fixture(scope="module")
@@ -474,3 +474,126 @@ def test_flf_structural_ops(workdir):
     )
     assert "WER: 0.0000" in out
     assert (workdir / "lat2.cache").exists()
+
+
+def test_fmllr_estimate_and_adapted_recognition(tmp_path_factory):
+    """fMLLR tool workflow (the SAT surface): estimate per-speaker CMLLR
+    transforms under a trained GMM, then recognize with --fmllr-file.
+    Speaker B's audio has a large gain mismatch vs the training speaker
+    (log-mel offset -> cepstral bias), so its transform must move off
+    identity and report a positive likelihood gain; adapted recognition
+    stays at 0 WER."""
+    tmp = tmp_path_factory.mktemp("fmllr")
+    sys.path.insert(0, REPO)
+    import json as _json
+
+    from rasr_tpu.corpus.audio import write_wav
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    ph = {"a": 500.0, "b": 1800.0}
+
+    def utt(words, amp):
+        audio = [(amp / 100 * rng.normal(size=2400)).astype(np.float32)]
+        for w in words:
+            for p in {"AB": "ab", "BA": "ba"}[w]:
+                t = np.arange(int(0.25 * sr)) / sr
+                audio.append((amp * np.sin(2 * np.pi * ph[p] * t)).astype(np.float32))
+            audio.append((amp / 100 * rng.normal(size=2400)).astype(np.float32))
+        return np.concatenate(audio)
+
+    texts = [["AB", "BA"], ["BA", "AB"], ["AB", "AB"]]
+    recs = {"spkA": [], "spkB": []}
+    for spk, amp in (("spkA", 0.3), ("spkB", 0.02)):
+        for i, ws in enumerate(texts):
+            a = utt(ws, amp)
+            write_wav(str(tmp / f"{spk}{i}.wav"), a, sr)
+            recs[spk].append(
+                f'<recording name="{spk}{i}" audio="{spk}{i}.wav">'
+                f'<segment name="s" start="0" end="{len(a)/sr}">'
+                f'<speaker name="{spk}"/><orth>{" ".join(ws)}</orth></segment></recording>'
+            )
+    (tmp / "f.corpus").write_text(
+        '<corpus name="f">' + "".join(recs["spkA"] + recs["spkB"]) + "</corpus>"
+    )
+    # training corpus: speaker A only — B is the mismatched test speaker
+    (tmp / "fA.corpus").write_text(
+        '<corpus name="f">' + "".join(recs["spkA"]) + "</corpus>"
+    )
+    (tmp / "lex.xml").write_text(
+        "<lexicon><phoneme-inventory>"
+        "<phoneme><symbol>a</symbol></phoneme><phoneme><symbol>b</symbol></phoneme>"
+        "<phoneme><symbol>si</symbol><variation>none</variation></phoneme>"
+        "</phoneme-inventory>"
+        '<lemma special="silence"><orth>[SILENCE]</orth><phon>si</phon><synt/><eval/></lemma>'
+        "<lemma><orth>AB</orth><phon>a b</phon></lemma>"
+        "<lemma><orth>BA</orth><phon>b a</phon></lemma></lexicon>"
+    )
+    from rasr_tpu.models.lm.arpa import NgramLm
+
+    NgramLm.train_from_text(texts, order=2).write_arpa(str(tmp / "f.arpa"))
+    cwd = str(tmp)
+    common = [
+        "--acoustic-model-trainer.lexicon-file=lex.xml",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.frontend.normalize=none",
+    ]
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=train",
+        "--acoustic-model-trainer.corpus-file=fA.corpus",
+        "--acoustic-model-trainer.iterations=4",
+        "--acoustic-model-trainer.new-mixture-file=f.mix", *common, cwd=cwd,
+    )
+    out = run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=estimate-fmllr",
+        "--acoustic-model-trainer.corpus-file=f.corpus",
+        "--acoustic-model-trainer.mixture-file=f.mix",
+        "--acoustic-model-trainer.fmllr-output-file=fmllr.json",
+        "--acoustic-model-trainer.fmllr-min-count=50", *common, cwd=cwd,
+        with_stderr=True,  # per-speaker gains are on the log channel
+    )
+    table = _json.loads((tmp / "fmllr.json").read_text())
+    assert set(table) == {"spkA", "spkB"}
+    # per-frame likelihood gain (logged per speaker): the gain-mismatched
+    # speaker must gain much more from adaptation than the matched one
+    import re as _re
+
+    gains = dict(
+        _re.findall(r"fmllr speaker speaker=(\S+).*?gain=([-\d.e+]+)", out)
+    )
+    assert float(gains["spkB"]) > float(gains["spkA"]) + 1.0
+    assert float(gains["spkB"]) > 0.0
+
+    out = run_tool(
+        "rasr_tpu.tools.speech_recognizer",
+        "--speech-recognizer.corpus-file=f.corpus",
+        "--speech-recognizer.lexicon-file=lex.xml",
+        "--speech-recognizer.lm-file=f.arpa",
+        "--speech-recognizer.mixture-file=f.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.fmllr-file=fmllr.json",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.frontend.normalize=none", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
+
+    # SAT iteration: accumulate adapted-space statistics + re-estimate
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=accumulate",
+        "--acoustic-model-trainer.corpus-file=f.corpus",
+        "--acoustic-model-trainer.mixture-file=f.mix",
+        "--acoustic-model-trainer.fmllr-file=fmllr.json",
+        "--acoustic-model-trainer.accumulator-file=sat.acc", *common, cwd=cwd,
+    )
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=estimate",
+        "--acoustic-model-trainer.accumulator-file=sat.acc",
+        "--acoustic-model-trainer.mixture-file=f.mix",
+        "--acoustic-model-trainer.new-mixture-file=sat.mix", *common, cwd=cwd,
+    )
+    assert (tmp / "sat.mix.npz").exists()
