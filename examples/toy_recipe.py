@@ -233,8 +233,32 @@ def main() -> None:
                    "--flf-tool.ops=prune best evaluate oracle", cwd=workdir)
     assert "WER: 0.0000" in out
 
-    print("\nrecipe complete: monophone / CART-triphone / hybrid all at "
-          f"WER 0.0000; artifacts in {workdir}")
+    # -- stage 9: speaker adaptation (fMLLR/SAT; ref: the CMLLR pass of
+    # the reference's SAT recipes) — estimate per-speaker transforms
+    # under the GMM, recognize in the adapted feature space
+    run_tool("acoustic_model_trainer",
+             "--acoustic-model-trainer.action=estimate-fmllr",
+             "--acoustic-model-trainer.corpus-file=toy.corpus",
+             "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+             "--acoustic-model-trainer.states-per-phone=1",
+             "--acoustic-model-trainer.mixture-file=model.mix",
+             "--acoustic-model-trainer.fmllr-output-file=fmllr.json",
+             "--acoustic-model-trainer.fmllr-min-count=50",
+             "--acoustic-model-trainer.frontend.normalize=none", cwd=workdir)
+    out = run_tool("speech_recognizer",
+                   "--speech-recognizer.corpus-file=toy.corpus",
+                   "--speech-recognizer.lexicon-file=lexicon.xml",
+                   "--speech-recognizer.lm-file=lm.arpa",
+                   "--speech-recognizer.mixture-file=model.mix",
+                   "--speech-recognizer.states-per-phone=1",
+                   "--speech-recognizer.fmllr-file=fmllr.json",
+                   "--speech-recognizer.search.lm-scale=2.0",
+                   "--speech-recognizer.search.max-hyps=256",
+                   "--speech-recognizer.frontend.normalize=none", cwd=workdir)
+    assert "WER: 0.0000" in out, "fMLLR-adapted recognition regressed"
+
+    print("\nrecipe complete: monophone / CART-triphone / hybrid / "
+          f"fMLLR-adapted all at WER 0.0000; artifacts in {workdir}")
 
 
 if __name__ == "__main__":

@@ -104,6 +104,45 @@ class RnnLm(LanguageModel):
         logp, _ = self._state_of(tuple(history))
         return float(-logp[word])
 
+    # ------------------------------------------------------------ artifacts
+    def save(self, path: str) -> None:
+        """Persist params + vocab (msgpack sidecar to a JSON header),
+        the LM-image analog of the n-gram .lmbin (ref: the reference's
+        reloadable NN-LM graphs/checkpoints)."""
+        import json
+
+        from flax import serialization
+
+        with open(path + ".json", "w") as fh:
+            json.dump(
+                {
+                    "vocab": self.vocab,
+                    "embed_dim": self.module.embed_dim,
+                    "hidden_dim": self.module.hidden_dim,
+                },
+                fh,
+            )
+        with open(path + ".msgpack", "wb") as fh:
+            fh.write(serialization.to_bytes(self.params))
+
+    @classmethod
+    def load(cls, path: str, cache_size: int = 10000) -> "RnnLm":
+        import json
+
+        from flax import serialization
+
+        with open(path + ".json") as fh:
+            meta = json.load(fh)
+        vocab = {w: int(i) for w, i in meta["vocab"].items()}
+        module = LstmLmModule(len(vocab), int(meta["embed_dim"]),
+                              int(meta["hidden_dim"]))
+        template = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32)
+        )["params"]
+        with open(path + ".msgpack", "rb") as fh:
+            params = serialization.from_bytes(template, fh.read())
+        return cls(module, params, vocab, cache_size=cache_size)
+
     # ------------------------------------------------------------ training
     @classmethod
     def train_from_text(

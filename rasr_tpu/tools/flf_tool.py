@@ -45,6 +45,9 @@ class FlfTool(Application):
     ops = ParameterString("ops", default="best")
     posterior_threshold = ParameterFloat("posterior-threshold", default=10.0)
     lm_file = ParameterString("lm-file", default="")
+    #: rescoring LM type: "ngram" = ARPA file, "rnn" = RnnLm image
+    #: (ref: lattice rescoring with the TF RNN LM — natively flax here)
+    lm_type = ParameterString("lm-type", default="ngram")
     lm_scale = ParameterFloat("lm-scale", default=1.0)
     am_scale = ParameterFloat("am-scale", default=1.0)
     nbest = ParameterInt("nbest", default=10)
@@ -60,7 +63,14 @@ class FlfTool(Application):
         if self.corpus_file:
             corpus = CorpusDescription.load(self.corpus_file)
             orths = {s.full_name: s.orth for s in corpus.segments()}
-        rescore_model = NgramLm.read_arpa(self.lm_file) if self.lm_file else None
+        rescore_model = None
+        if self.lm_file:
+            if self.lm_type == "rnn":
+                from ..models.lm.rnn import RnnLm
+
+                rescore_model = RnnLm.load(self.lm_file)
+            else:
+                rescore_model = NgramLm.read_arpa(self.lm_file)
         orth_map = {}
         if self.map_file:
             with open(self.map_file) as f:

@@ -21,10 +21,19 @@ class LmUtilTool(Application):
         "action", ["perplexity", "statistics", "compile-check"], default="statistics"
     )
     lm_file = ParameterString("lm-file")
+    #: "ngram" reads ARPA; "rnn" loads an RnnLm image (<path>.json +
+    #: <path>.msgpack; perplexity only — n-gram-table actions need ARPA)
+    lm_type = ParameterChoice("lm-type", ["ngram", "rnn"], default="ngram")
     corpus_file = ParameterString("corpus-file", default="")
 
     def run(self, args: List[str]) -> int:
-        lm = NgramLm.read_arpa(self.lm_file)
+        if self.lm_type == "rnn":
+            from ..models.lm.rnn import RnnLm
+
+            assert self.action == "perplexity", "rnn LM supports perplexity only"
+            lm = RnnLm.load(self.lm_file)
+        else:
+            lm = NgramLm.read_arpa(self.lm_file)
         if self.action == "statistics":
             by_order = {}
             for g in lm.ngrams:

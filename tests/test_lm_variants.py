@@ -155,3 +155,20 @@ def test_combine_lm_weighted_sum():
     expect2 = (0.7 * lm.score(lm.extended_history(lm.start_history(), comb.vocab["call"]), one)
                + 0.3 * zg.score((), one))
     np.testing.assert_allclose(comb.score(h2, one), expect2, rtol=1e-6)
+
+
+def test_rnn_lm_save_load_roundtrip(tmp_path):
+    """RnnLm image IO: loaded model scores bit-identically."""
+    sents = [["A", "B"], ["B", "A"], ["A", "B"]]
+    lm = RnnLm.train_from_text(sents, epochs=5)
+    path = str(tmp_path / "rnn_lm")
+    lm.save(path)
+    lm2 = RnnLm.load(path)
+    assert lm2.vocab == lm.vocab
+    h = lm.start_history()
+    for w in ("A", "B"):
+        wid = lm.vocab[w]
+        assert lm.score(h, wid) == lm2.score(h, wid)
+        h2 = lm.extended_history(h, wid)
+        assert lm.sentence_end_score(h2) == lm2.sentence_end_score(h2)
+        h = h2

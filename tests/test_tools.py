@@ -597,3 +597,32 @@ def test_fmllr_estimate_and_adapted_recognition(tmp_path_factory):
         "--acoustic-model-trainer.new-mixture-file=sat.mix", *common, cwd=cwd,
     )
     assert (tmp / "sat.mix.npz").exists()
+
+
+def test_rnn_lm_tool_rescoring(workdir):
+    """flf-tool lattice rescoring with an RNN LM image (the reference's
+    NN-LM rescoring path) + lm-util RNN perplexity."""
+    cwd = str(workdir)
+    from rasr_tpu.models.lm.rnn import RnnLm
+
+    texts = [["AB", "BA"], ["BA", "AB"], ["AB", "AB"], ["BA", "BA"]]
+    lm = RnnLm.train_from_text(texts, epochs=40)
+    lm.save(str(workdir / "rnn_lm"))
+    out = run_tool(
+        "rasr_tpu.tools.flf_tool",
+        "--flf-tool.lattice-archive=lat.cache",
+        "--flf-tool.corpus-file=toy.corpus",
+        "--flf-tool.lm-file=rnn_lm",
+        "--flf-tool.lm-type=rnn",
+        "--flf-tool.lm-scale=2.0",
+        "--flf-tool.ops=rescore best evaluate", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
+    out = run_tool(
+        "rasr_tpu.tools.lm_util",
+        "--lm-util.action=perplexity",
+        "--lm-util.lm-file=rnn_lm",
+        "--lm-util.lm-type=rnn",
+        "--lm-util.corpus-file=toy.corpus", cwd=cwd,
+    )
+    assert json.loads(out.splitlines()[-1])["perplexity"] < 4.0
