@@ -72,7 +72,9 @@ class NnTrainerTool(Application):
     description = "hybrid NN acoustic model training"
 
     action = ParameterChoice(
-        "action", ["supervised-training", "estimate-priors"], default="supervised-training"
+        "action",
+        ["supervised-training", "estimate-priors", "sequence-mmi-training"],
+        default="supervised-training",
     )
     #: ffnn = framewise (ref: Nn::FeedForwardTrainer); blstm/conformer =
     #: sequence encoders trained on whole utterances (ref reaches these
@@ -102,8 +104,119 @@ class NnTrainerTool(Application):
     checkpoint_dir = ParameterString("checkpoint-dir", default="")
     checkpoint_every = ParameterInt("checkpoint-every", default=0)  # steps
     resume = ParameterInt("resume", default=1)  # restore latest if present
+    #: sequence-mmi-training inputs: numerator graphs come from corpus
+    #: orths (like the acoustic-model-trainer), denominator is a
+    #: phone-bigram graph over the lexicon (ref: the sequence-
+    #: discriminative training of RASR/NN; train/nn_trainer.py docs)
+    corpus_file = ParameterString("corpus-file", default="")
+    lexicon_file = ParameterString("lexicon-file", default="")
+    states_per_phone = ParameterInt("states-per-phone", default=3)
+    init_params_file = ParameterString("init-params-file", default="")
+    mmi_ce_weight = ParameterFloat("mmi-ce-weight", default=0.1)
+
+    def _sequence_mmi(self) -> int:
+        import math
+
+        from ..align.graph import build_linear_graph
+        from ..corpus.bliss import CorpusDescription
+        from ..corpus.lexicon import Lexicon
+        from ..models.hmm import HmmTopology, TransitionModel
+        from ..models.nn import BlstmEncoderNet, ConformerEncoderNet
+        from ..models.tying import MonophoneStateTying
+        from ..train.lfmmi import build_phone_bigram_den
+        from ..train.nn_trainer import LfMmiSequenceTrainer
+
+        corpus = CorpusDescription.load(self.corpus_file)
+        lexicon = Lexicon.load(self.lexicon_file)
+        topology = HmmTopology(states_per_phone=self.states_per_phone)
+        tying = MonophoneStateTying(lexicon, topology)
+        transitions = TransitionModel()
+        num_classes = self.num_classes or tying.num_classes
+        orths = {s.full_name: s.orth for s in corpus.segments()}
+        rows, labs, graphs = [], {}, []
+        align = None
+        if self.alignment_cache:
+            align = FileArchive(self.alignment_cache, "r")
+        with FileArchive(self.feature_cache, "r") as fc:
+            for name in fc.keys():
+                if name not in orths or not orths[name]:
+                    continue
+                rows.append(unpack_ndarray(fc.read(name)))
+                graphs.append(
+                    build_linear_graph(
+                        orths[name], lexicon, tying, topology, transitions
+                    )
+                )
+                if align is not None and name in align:
+                    labs[len(rows) - 1] = Alignment.unpack(
+                        name, align.read(name)
+                    ).emission_ids
+        if align is not None:
+            align.close()
+        if not rows:
+            raise ValueError("no cached segments with orthography")
+        Tmax = max(r.shape[0] for r in rows)
+        feats = np.zeros((len(rows), Tmax, rows[0].shape[1]), np.float32)
+        labels = np.full((len(rows), Tmax), -1, np.int32)
+        n_frames = np.zeros(len(rows), np.int32)
+        for i, r in enumerate(rows):
+            feats[i, : r.shape[0]] = r
+            n_frames[i] = r.shape[0]
+            if i in labs:
+                n = min(r.shape[0], labs[i].shape[0])
+                labels[i, :n] = labs[i][:n]
+
+        # denominator: phone bigram over the full phoneme inventory,
+        # uniform bigram costs (the standard LF-MMI den-graph shape);
+        # context-independent phones keep their own (fewer) classes
+        phones = list(lexicon.phonemes)
+        P, Q = len(phones), topology.states_per_phone
+
+        def classify(p, q):
+            ph = phones[p]
+            n = topology.silence_states if ph.context_independent else Q
+            return tying._offset[ph.id] + min(q, n - 1)
+
+        den = build_phone_bigram_den(
+            P, Q, classify,
+            bigram_costs=np.full((P, P), math.log(P), np.float32),
+            trans=transitions,
+        )
+        if self.model_type == "conformer":
+            model = ConformerEncoderNet(
+                num_classes=num_classes,
+                d_model=self.hidden[0] if self.hidden else 256,
+                num_blocks=max(len(self.hidden), 1),
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            model = BlstmEncoderNet(
+                num_classes=num_classes, hidden=tuple(self.hidden),
+                compute_dtype=self.compute_dtype,
+            )
+        trainer = LfMmiSequenceTrainer(
+            model, num_classes, den,
+            TrainConfig(
+                learning_rate=self.learning_rate, l2=self.l2,
+                optimizer=self.optimizer, epochs=self.epochs, seed=self.seed,
+            ),
+            ce_weight=self.mmi_ce_weight if labs else 0.0,
+        )
+        params = None
+        if self.init_params_file:
+            template = trainer.init_params(feats.shape[-1])
+            params = NnTrainer.load_params(template, self.init_params_file)
+        params, stats = trainer.train_lfmmi(
+            feats, graphs, n_frames, labels=labels, params=params,
+            log=self.log, batch_size=min(self.batch_size, feats.shape[0]),
+        )
+        trainer.save_params(params, self.params_file)
+        self.log("sequence mmi done", final=stats[-1] if stats else {})
+        return 0
 
     def run(self, args: List[str]) -> int:
+        if self.action == "sequence-mmi-training":
+            return self._sequence_mmi()
         feats, labels, weights = _load_frames(self.feature_cache, self.alignment_cache)
         ds = FrameDataset(feats, labels, weights)
         if not self.num_classes:

@@ -314,3 +314,109 @@ class SequenceTrainer(NnTrainer):
             if log is not None:
                 log("nn sequence epoch", **rec)
         return params, stats
+
+
+class LfMmiSequenceTrainer(SequenceTrainer):
+    """Sequence-discriminative NN training: the LF-MMI objective
+    differentiated through the encoder (ref: the sequence-discriminative
+    MMI/sMBR training of RASR/NN [Wiesler et al., ICASSP 2014] — there
+    lattice-based via the TF bridge; here the lattice-free formulation
+    of train/lfmmi.py composed with the flax encoder, the whole gradient
+    — numerator-minus-denominator occupancies chained through the
+    network — by autodiff end to end, no hand-written backward pass).
+
+    Per utterance: loss = (num_total - den_total) / frames
+                          + ce_weight * framewise CE   (optional anchor)
+    with emissions = -am_scale * log_softmax(logits) — the hybrid
+    scorer's posterior costs (state priors cancel between numerator and
+    denominator). The numerator rides the utterance's banded linear
+    alignment graph (align/graph.py), the denominator the dense phone-LM
+    graph (train/lfmmi.build_phone_bigram_den).
+    """
+
+    def __init__(self, model, num_classes: int, den_fsa,
+                 cfg: TrainConfig = TrainConfig(), am_scale: float = 1.0,
+                 ce_weight: float = 0.0):
+        super().__init__(model, num_classes, cfg)
+        self.den_fsa = den_fsa
+        self.am_scale = am_scale
+        self.ce_weight = ce_weight
+        self._mmi_step = jax.jit(self._mmi_update)
+
+    def _mmi_loss(self, params, x, y, n_frames,
+                  g_cls, g_loop, g_fwd, g_skip, g_init, g_final):
+        from ..ops.viterbi import forward_backward
+        from .lfmmi import dense_forward
+
+        logits = self.model.apply({"params": params}, x, lengths=n_frames)
+        emis = -self.am_scale * jax.nn.log_softmax(logits, axis=-1)
+        num_emis = jnp.take_along_axis(emis, g_cls[:, None, :], axis=2)
+        num_total, _ = forward_backward(
+            num_emis, g_loop, g_fwd, g_skip, g_init, g_final, n_frames
+        )
+        den_total = dense_forward(emis, self.den_fsa, n_frames)
+        frames = jnp.maximum(jnp.sum(n_frames), 1)
+        mmi = jnp.sum(num_total - den_total) / frames
+        loss = mmi
+        if self.ce_weight > 0.0:
+            valid = y >= 0
+            yc = jnp.maximum(y, 0)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, yc)
+            m = valid.astype(jnp.float32)
+            loss = loss + self.ce_weight * (ce * m).sum() / jnp.maximum(m.sum(), 1e-6)
+        return loss, mmi
+
+    def _mmi_update(self, params, opt_state, x, y, n_frames, *graphs):
+        (loss, mmi), grads = jax.value_and_grad(self._mmi_loss, has_aux=True)(
+            params, x, y, n_frames, *graphs
+        )
+        updates, opt_state = self.opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, mmi
+
+    def train_lfmmi(
+        self,
+        feats: np.ndarray,  # [N, T, D] padded utterances
+        graphs,  # numerator alignment graphs (align/graph.LinearGraph)
+        n_frames: np.ndarray,  # [N]
+        labels: Optional[np.ndarray] = None,  # [N, T] for the CE anchor
+        params=None,
+        log=None,
+        batch_size: int = 8,
+    ):
+        from ..align.aligner import _pad_graphs
+
+        feats = np.asarray(feats, np.float32)
+        n_frames = np.asarray(n_frames, np.int32)
+        if labels is None:
+            labels = np.full(feats.shape[:2], -1, np.int32)
+        if params is None:
+            params = self.init_params(feats.shape[-1])
+        opt_state = self.opt.init(params)
+        N = feats.shape[0]
+        g_cls, g_loop, g_fwd, g_skip, g_init, g_final = (
+            jnp.asarray(a) for a in _pad_graphs(graphs)
+        )
+        stats = []
+        for epoch in range(self.cfg.epochs):
+            perm = np.random.default_rng(self.cfg.seed + epoch).permutation(N)
+            losses, mmis = [], []
+            for i in range(0, N, batch_size):
+                sel = perm[i : i + batch_size]
+                params, opt_state, loss, mmi = self._mmi_step(
+                    params, opt_state,
+                    jnp.asarray(feats[sel]), jnp.asarray(labels[sel]),
+                    jnp.asarray(n_frames[sel]),
+                    g_cls[sel], g_loop[sel], g_fwd[sel], g_skip[sel],
+                    g_init[sel], g_final[sel],
+                )
+                losses.append(float(loss))
+                mmis.append(float(mmi))
+            rec = {
+                "epoch": epoch,
+                "loss": float(np.mean(losses)),
+                "mmi_per_frame": float(np.mean(mmis)),
+            }
+            stats.append(rec)
+            if log is not None:
+                log("nn lfmmi epoch", **rec)
+        return params, stats

