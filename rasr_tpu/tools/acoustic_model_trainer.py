@@ -43,7 +43,7 @@ class AcousticModelTrainerTool(Application):
 
     action = ParameterChoice(
         "action",
-        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "estimate-fmllr", "estimate-cart", "train", "train-mmi"],
+        ["align", "accumulate", "combine", "estimate", "split", "estimate-lda", "estimate-vtln", "estimate-fmllr", "estimate-mllr", "estimate-cart", "train", "train-mmi"],
         default="train",
     )
     corpus_file = ParameterString("corpus-file", default="")
@@ -75,6 +75,12 @@ class AcousticModelTrainerTool(Application):
     #: apply existing per-speaker transforms during align/accumulate/
     #: train — the SAT loop (adapted-space statistics stay mergeable)
     fmllr_file = ParameterString("fmllr-file", default="")
+    #: estimate-mllr outputs: per-speaker mean-adapted mixture sets
+    #: "<prefix><speaker>.mix" + a JSON index (model-space MLLR with
+    #: regression classes; ref: MODULE_ADAPT mean adaptation)
+    mllr_output_prefix = ParameterString("mllr-output-prefix", default="mllr-")
+    mllr_regression_classes = ParameterInt("mllr-regression-classes", default=2)
+    mllr_min_count = ParameterFloat("mllr-min-count", default=200.0)
     #: estimate-cart outputs (decision-tree state tying grown from
     #: monophone-alignment examples; consumed by the recognizer's
     #: --cart-file)
@@ -293,6 +299,70 @@ class AcousticModelTrainerTool(Application):
             save_transforms(self.fmllr_output_file, table)
             self.log("fmllr estimated", speakers=len(table),
                      output=self.fmllr_output_file)
+            return 0
+        if action == "estimate-mllr":
+            # per-speaker model-space MLLR: mean transforms over
+            # regression classes, written as adapted mixture sets
+            # (decode a speaker with --mixture-file=<prefix><spk>.mix,
+            # e.g. via the recognizer's --speaker filter)
+            import json as _json
+
+            from ..train.fmllr import FmllrModelTensors
+            from ..train.mllr import (
+                adapt_means, default_regression_classes, estimate_mllr,
+                mllr_stats,
+            )
+
+            model = MixtureSet.load(self.mixture_file)
+            mt = FmllrModelTensors.from_mixture_set(model)
+            classes = default_regression_classes(
+                model, self.mllr_regression_classes
+            )
+            aligner = BatchAligner(GmmFeatureScorer(model, var_floor=self.var_floor))
+            visitor = CorpusVisitor(corpus, self.batch_size)
+            by_speaker: dict = {}
+            for seg in corpus.segments():
+                by_speaker.setdefault(seg.speaker or "*", []).append(seg)
+            index = {}
+            for spk, segs in sorted(by_speaker.items()):
+                g = np.zeros(model.weights.shape)
+                gx = np.zeros(model.means.shape)
+                for lo in range(0, len(segs), self.batch_size):
+                    chunk = segs[lo : lo + self.batch_size]
+                    waves = [visitor._read(s) for s in chunk]
+                    S = max(len(w) for w in waves)
+                    samples = np.zeros((len(waves), S), np.float32)
+                    lengths = np.zeros(len(waves), np.int64)
+                    for j, w in enumerate(waves):
+                        samples[j, : len(w)] = w
+                        lengths[j] = len(w)
+                    feats, nf = frontend(samples, lengths)
+                    feats, nf = np.asarray(feats), np.asarray(nf)
+                    graphs = [
+                        build_linear_graph(s.orth, lexicon, tying, topology, transitions)
+                        for s in chunk
+                    ]
+                    als = aligner.align(feats, graphs, nf)
+                    rows = np.concatenate(
+                        [feats[j, : int(nf[j])] for j in range(len(chunk))]
+                    )
+                    mix = np.concatenate([al.emission_ids for al in als])
+                    gb, gxb = mllr_stats(rows, mix, mt)
+                    g += gb
+                    gx += gxb
+                W = estimate_mllr(
+                    g, gx, model, classes=classes,
+                    min_count=self.mllr_min_count, var_floor=self.var_floor,
+                )
+                adapted = adapt_means(model, W, classes)
+                path = f"{self.mllr_output_prefix}{spk}.mix"
+                adapted.save(path)
+                index[spk] = path
+                self.log("mllr speaker", speaker=spk, frames=float(g.sum()),
+                         classes=len(W), output=path)
+            with open(self.mllr_output_prefix + "index.json", "w") as fh:
+                _json.dump(index, fh)
+            self.log("mllr estimated", speakers=len(index))
             return 0
         if action == "estimate-cart":
             # CART example accumulation + tree growing (ref: the

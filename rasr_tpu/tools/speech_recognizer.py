@@ -76,6 +76,12 @@ class SpeechRecognizerTool(Application):
     #: acoustic-model-trainer's estimate-fmllr action) applied to the
     #: features before scoring (ref: the adaptation pass / MODULE_ADAPT)
     fmllr_file = ParameterString("fmllr-file", default="")
+    #: restrict recognition to one speaker's segments (e.g. decoding
+    #: with that speaker's MLLR-adapted mixture set) — the in-tool form
+    #: of the reference's segment-selection lists
+    speaker = ParameterString("speaker", default="")
+    #: or an explicit segment list file (one full segment name per line)
+    segment_list_file = ParameterString("segment-list-file", default="")
 
     def _network(self, lexicon, tying, topology, transitions):
         """Compiled search network + LM tables, via the image cache."""
@@ -182,9 +188,19 @@ class SpeechRecognizerTool(Application):
             feature_cache=self.feature_cache or None,
             feature_transforms=transforms,
         )
+        segment_list = None
+        if self.segment_list_file:
+            with open(self.segment_list_file) as fh:
+                segment_list = [ln.strip() for ln in fh if ln.strip()]
+        elif self.speaker:
+            segment_list = [
+                s.full_name for s in corpus.segments()
+                if (s.speaker or "*") == self.speaker
+            ]
         rec.run(
             CorpusVisitor(
                 corpus, self.batch_size,
+                segment_list=segment_list,
                 load_audio=not self.feature_cache,
             )
         )

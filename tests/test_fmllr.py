@@ -97,3 +97,73 @@ def test_apply_speaker_transforms_and_io(tmp_path):
     # "*" default applies to unmapped speakers
     out = apply_speaker_transforms(feats, [Seg(None)], {"*": W_a})
     np.testing.assert_allclose(out[0], 3.0)
+
+
+# ----------------------------------------------------------- model-space MLLR
+def test_mllr_recovers_mean_corruption():
+    """Mean-MLLR oracle: data from the true model, model means corrupted
+    by a known affine -> the estimated transform restores the means."""
+    from rasr_tpu.train.mllr import adapt_means, estimate_mllr, mllr_stats
+
+    rng = np.random.default_rng(3)
+    ms = _toy_model(rng, M=6, K=2, D=5)
+    D = ms.dim
+    x, mix = _sample(rng, ms, 4000)
+    A0 = np.eye(D) + 0.1 * rng.normal(size=(D, D))
+    c0 = 0.4 * rng.normal(size=D)
+    bad = MixtureSet((ms.means @ A0.T + c0).astype(np.float32),
+                     ms.variances, ms.weights, ms.num_densities)
+    g, gx = mllr_stats(x, mix, bad)
+    W = estimate_mllr(g, gx, bad, min_count=50.0)
+    adapted = adapt_means(bad, W)
+    # adapted means ~ true means (weighted by how often each density
+    # was actually observed — rarely-hit densities recover less exactly)
+    err = np.abs(adapted.means - ms.means).mean()
+    base = np.abs(bad.means - ms.means).mean()
+    assert err < 0.25 * base
+    # statistics are additive
+    g1, gx1 = mllr_stats(x[:1500], mix[:1500], bad)
+    g2, gx2 = mllr_stats(x[1500:], mix[1500:], bad)
+    np.testing.assert_allclose(g, g1 + g2, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(gx, gx1 + gx2, rtol=1e-4, atol=1e-2)
+
+
+def test_mllr_regression_classes_and_min_count():
+    """Two mixture blocks corrupted by DIFFERENT affines: per-class
+    transforms must beat a single global one; thin classes back off."""
+    from rasr_tpu.train.mllr import adapt_means, estimate_mllr, mllr_stats
+
+    rng = np.random.default_rng(4)
+    ms = _toy_model(rng, M=6, K=2, D=4)
+    D = ms.dim
+    x, mix = _sample(rng, ms, 6000)
+    classes = np.array([0, 0, 0, 1, 1, 1])
+    shifts = {0: 1.5 * np.ones(D), 1: -2.0 * np.ones(D)}
+    bad_means = ms.means.copy()
+    for c, sh in shifts.items():
+        bad_means[classes == c] += sh
+    bad = MixtureSet(bad_means.astype(np.float32), ms.variances,
+                     ms.weights, ms.num_densities)
+    g, gx = mllr_stats(x, mix, bad)
+    W2 = estimate_mllr(g, gx, bad, classes=classes, min_count=50.0)
+    W1 = estimate_mllr(g, gx, bad, min_count=50.0)
+    err2 = np.abs(adapt_means(bad, W2, classes).means - ms.means).mean()
+    err1 = np.abs(adapt_means(bad, W1).means - ms.means).mean()
+    assert err2 < err1  # class-wise beats global under class-wise mismatch
+    assert err2 < 0.3
+    # min-count backoff: huge threshold -> both classes get the SAME
+    # (global) transform
+    Wb = estimate_mllr(g, gx, bad, classes=classes, min_count=1e7)
+    np.testing.assert_array_equal(Wb[0], Wb[1])
+
+
+def test_default_regression_classes():
+    from rasr_tpu.train.mllr import default_regression_classes
+
+    rng = np.random.default_rng(5)
+    ms = _toy_model(rng, M=8, K=2, D=4)
+    # move half the mixtures far away: the 2-class split must find it
+    ms.means[4:] += 50.0
+    cls = default_regression_classes(ms, 2)
+    assert len(set(cls[:4])) == 1 and len(set(cls[4:])) == 1
+    assert cls[0] != cls[4]

@@ -476,17 +476,20 @@ def test_flf_structural_ops(workdir):
     assert (workdir / "lat2.cache").exists()
 
 
-def test_fmllr_estimate_and_adapted_recognition(tmp_path_factory):
-    """fMLLR tool workflow (the SAT surface): estimate per-speaker CMLLR
-    transforms under a trained GMM, then recognize with --fmllr-file.
-    Speaker B's audio has a large gain mismatch vs the training speaker
-    (log-mel offset -> cepstral bias), so its transform must move off
-    identity and report a positive likelihood gain; adapted recognition
-    stays at 0 WER."""
-    tmp = tmp_path_factory.mktemp("fmllr")
-    sys.path.insert(0, REPO)
-    import json as _json
+AMT_COMMON = [
+    "--acoustic-model-trainer.lexicon-file=lex.xml",
+    "--acoustic-model-trainer.states-per-phone=1",
+    "--acoustic-model-trainer.frontend.normalize=none",
+]
 
+
+@pytest.fixture(scope="module")
+def gain_workdir(tmp_path_factory):
+    """Two-speaker corpus with a large gain mismatch for speaker B
+    (log-mel offset -> cepstral bias) + a GMM trained on speaker A only.
+    The adaptation workflows (fMLLR, MLLR) must bridge the mismatch."""
+    tmp = tmp_path_factory.mktemp("adapt")
+    sys.path.insert(0, REPO)
     from rasr_tpu.corpus.audio import write_wav
 
     rng = np.random.default_rng(7)
@@ -532,19 +535,27 @@ def test_fmllr_estimate_and_adapted_recognition(tmp_path_factory):
     from rasr_tpu.models.lm.arpa import NgramLm
 
     NgramLm.train_from_text(texts, order=2).write_arpa(str(tmp / "f.arpa"))
-    cwd = str(tmp)
-    common = [
-        "--acoustic-model-trainer.lexicon-file=lex.xml",
-        "--acoustic-model-trainer.states-per-phone=1",
-        "--acoustic-model-trainer.frontend.normalize=none",
-    ]
     run_tool(
         "rasr_tpu.tools.acoustic_model_trainer",
         "--acoustic-model-trainer.action=train",
         "--acoustic-model-trainer.corpus-file=fA.corpus",
         "--acoustic-model-trainer.iterations=4",
-        "--acoustic-model-trainer.new-mixture-file=f.mix", *common, cwd=cwd,
+        "--acoustic-model-trainer.new-mixture-file=f.mix",
+        *AMT_COMMON, cwd=str(tmp),
     )
+    return tmp
+
+
+def test_fmllr_estimate_and_adapted_recognition(gain_workdir):
+    """fMLLR tool workflow (the SAT surface): estimate per-speaker CMLLR
+    transforms under a trained GMM, then recognize with --fmllr-file.
+    Speaker B's transform must report a much larger likelihood gain than
+    the matched speaker A; adapted recognition stays at 0 WER."""
+    import json as _json
+
+    tmp = gain_workdir
+    cwd = str(tmp)
+    common = AMT_COMMON
     out = run_tool(
         "rasr_tpu.tools.acoustic_model_trainer",
         "--acoustic-model-trainer.action=estimate-fmllr",
@@ -657,3 +668,44 @@ def test_sequence_mmi_training_action(workdir):
 
     mmis = [float(m) for m in _re.findall(r"mmi_per_frame=([-\d.e+]+)", out)]
     assert len(mmis) >= 2 and mmis[-1] < mmis[0]  # the objective improves
+
+
+def test_mllr_estimate_and_speaker_decode(gain_workdir):
+    """Model-space MLLR tool workflow: per-speaker mean-adapted mixture
+    sets + per-speaker decoding via the recognizer's --speaker filter.
+    The mismatched speaker's adapted means must move far more than the
+    matched speaker's, and its adapted decode is at 0 WER."""
+    import json as _json
+
+    tmp = gain_workdir
+    cwd = str(tmp)
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=estimate-mllr",
+        "--acoustic-model-trainer.corpus-file=f.corpus",
+        "--acoustic-model-trainer.mixture-file=f.mix",
+        "--acoustic-model-trainer.mllr-min-count=50",
+        *AMT_COMMON, cwd=cwd,
+    )
+    index = _json.loads((tmp / "mllr-index.json").read_text())
+    assert set(index) == {"spkA", "spkB"}
+    from rasr_tpu.models.gmm import MixtureSet
+
+    base = MixtureSet.load(str(tmp / "f.mix"))
+    shift_a = np.abs(MixtureSet.load(str(tmp / index["spkA"])).means - base.means).mean()
+    shift_b = np.abs(MixtureSet.load(str(tmp / index["spkB"])).means - base.means).mean()
+    assert shift_b > 2.0 * shift_a
+
+    out = run_tool(
+        "rasr_tpu.tools.speech_recognizer",
+        "--speech-recognizer.corpus-file=f.corpus",
+        "--speech-recognizer.lexicon-file=lex.xml",
+        "--speech-recognizer.lm-file=f.arpa",
+        "--speech-recognizer.mixture-file=mllr-spkB.mix",
+        "--speech-recognizer.speaker=spkB",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.frontend.normalize=none", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out and "/ 6 words" in out  # spkB only
