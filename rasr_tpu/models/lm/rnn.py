@@ -96,6 +96,8 @@ class RnnLm(LanguageModel):
         return ()
 
     def extended_history(self, history: History, word: int) -> History:
+        if word not in self.inv_vocab:  # OOV: fixed penalty, no context
+            return tuple(history)
         return tuple(history) + (word,)
 
     def score(self, history: History, word: int) -> float:
@@ -103,6 +105,12 @@ class RnnLm(LanguageModel):
             return 99.0
         logp, _ = self._state_of(tuple(history))
         return float(-logp[word])
+
+    def word_id(self, token: str) -> int:
+        # OOV-safe (there is no trained <unk> embedding): -1 scores as a
+        # fixed penalty and leaves the history unchanged, so generic
+        # consumers (perplexity, rescoring) never crash on unseen words
+        return self.vocab.get(token, -1)
 
     # ------------------------------------------------------------ artifacts
     def save(self, path: str) -> None:

@@ -91,10 +91,20 @@ class OfflineRecognizer:
                 else:
                     feats, n_frames = self.frontend(batch.samples, batch.lengths)
                 if self.feature_transforms:
-                    from ..train.fmllr import apply_speaker_transforms
+                    # applied ON DEVICE: a [B,D,D] batched einsum — no
+                    # host round trip in the decode loop (CLAUDE.md:
+                    # device->host transfers cost ~70ms fixed each)
+                    import jax.numpy as jnp
 
-                    feats = apply_speaker_transforms(
-                        feats, batch.segments, self.feature_transforms
+                    from ..train.fmllr import batch_transform_tensors
+
+                    A, b = batch_transform_tensors(
+                        batch.segments, self.feature_transforms,
+                        int(feats.shape[-1]),
+                    )
+                    feats = (
+                        jnp.einsum("btd,bed->bte", jnp.asarray(feats), jnp.asarray(A))
+                        + jnp.asarray(b)[:, None, :]
                     )
                 emis = self.scorer(feats)  # device array straight into decode
                 batch_results = self.decoder.decode_scores(

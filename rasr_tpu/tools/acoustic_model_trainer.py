@@ -132,6 +132,38 @@ class AcousticModelTrainerTool(Application):
             ]
             yield batch, feats, np.asarray(n_frames), graphs
 
+    def _speaker_aligned_frames(self, corpus, lexicon, tying, topology,
+                                transitions, frontend, aligner):
+        """Yield (speaker, frames [n, D], aligned mixture ids [n]) chunks
+        grouped by speaker — the shared accumulation walk of the
+        adaptation actions (estimate-fmllr / estimate-mllr)."""
+        visitor = CorpusVisitor(corpus, self.batch_size)
+        by_speaker: dict = {}
+        for seg in corpus.segments():
+            by_speaker.setdefault(seg.speaker or "*", []).append(seg)
+        for spk, segs in sorted(by_speaker.items()):
+            for lo in range(0, len(segs), self.batch_size):
+                chunk = segs[lo : lo + self.batch_size]
+                waves = [visitor._read(s) for s in chunk]
+                S = max(len(w) for w in waves)
+                samples = np.zeros((len(waves), S), np.float32)
+                lengths = np.zeros(len(waves), np.int64)
+                for j, w in enumerate(waves):
+                    samples[j, : len(w)] = w
+                    lengths[j] = len(w)
+                feats, nf = frontend(samples, lengths)
+                feats, nf = np.asarray(feats), np.asarray(nf)
+                graphs = [
+                    build_linear_graph(s.orth, lexicon, tying, topology, transitions)
+                    for s in chunk
+                ]
+                als = aligner.align(feats, graphs, nf)
+                rows = np.concatenate(
+                    [feats[j, : int(nf[j])] for j in range(len(chunk))]
+                )
+                mix = np.concatenate([al.emission_ids for al in als])
+                yield spk, rows, mix
+
     # ---------------------------------------------------------------- actions
     def run(self, args: List[str]) -> int:
         action = self.action
@@ -241,56 +273,32 @@ class AcousticModelTrainerTool(Application):
             # current model, accumulate the row statistics (jitted
             # einsums), solve the row-iterative update on the host
             # (ref: the adaptation pass of RASR's SAT recipes)
-            import json as _json
-
             from ..train.fmllr import (
                 FmllrModelTensors, estimate_fmllr, fmllr_auxiliary,
                 fmllr_stats, save_transforms,
             )
 
             model = MixtureSet.load(self.mixture_file)
-            mt = FmllrModelTensors.from_mixture_set(model)
+            mt = FmllrModelTensors.from_mixture_set(model, var_floor=self.var_floor)
             aligner = BatchAligner(GmmFeatureScorer(model, var_floor=self.var_floor))
-            visitor = CorpusVisitor(corpus, self.batch_size)
-            by_speaker: dict = {}
-            for seg in corpus.segments():
-                by_speaker.setdefault(seg.speaker or "*", []).append(seg)
+            D = frontend.output_dim
+            acc: dict = {}
+            for spk, rows, mix in self._speaker_aligned_frames(
+                corpus, lexicon, tying, topology, transitions, frontend, aligner
+            ):
+                G, k, b = fmllr_stats(rows, mix, mt)
+                Gs, ks, beta = acc.setdefault(
+                    spk, [np.zeros((D, D + 1, D + 1)), np.zeros((D, D + 1)), 0.0]
+                )
+                acc[spk] = [Gs + G, ks + k, beta + b]
             table = {}
-            for spk, segs in sorted(by_speaker.items()):
-                D = frontend.output_dim
-                Gs = np.zeros((D, D + 1, D + 1))
-                ks = np.zeros((D, D + 1))
-                beta = 0.0
-                for lo in range(0, len(segs), self.batch_size):
-                    chunk = segs[lo : lo + self.batch_size]
-                    waves = [visitor._read(s) for s in chunk]
-                    S = max(len(w) for w in waves)
-                    samples = np.zeros((len(waves), S), np.float32)
-                    lengths = np.zeros(len(waves), np.int64)
-                    for j, w in enumerate(waves):
-                        samples[j, : len(w)] = w
-                        lengths[j] = len(w)
-                    feats, nf = frontend(samples, lengths)
-                    feats, nf = np.asarray(feats), np.asarray(nf)
-                    graphs = [
-                        build_linear_graph(s.orth, lexicon, tying, topology, transitions)
-                        for s in chunk
-                    ]
-                    als = aligner.align(feats, graphs, nf)
-                    rows = np.concatenate(
-                        [feats[j, : int(nf[j])] for j in range(len(chunk))]
-                    )
-                    mix = np.concatenate([al.emission_ids for al in als])
-                    G, k, b = fmllr_stats(rows, mix, mt)
-                    Gs += G
-                    ks += k
-                    beta += b
+            ident = np.hstack([np.eye(D), np.zeros((D, 1))])
+            for spk, (Gs, ks, beta) in sorted(acc.items()):
                 W = estimate_fmllr(
                     Gs, ks, beta, iterations=self.fmllr_iterations,
                     min_count=self.fmllr_min_count,
                 )
                 table[spk] = W
-                ident = np.hstack([np.eye(D), np.zeros((D, 1))])
                 self.log(
                     "fmllr speaker", speaker=spk, frames=beta,
                     gain=(fmllr_auxiliary(Gs, ks, beta, W)
@@ -314,42 +322,22 @@ class AcousticModelTrainerTool(Application):
             )
 
             model = MixtureSet.load(self.mixture_file)
-            mt = FmllrModelTensors.from_mixture_set(model)
+            mt = FmllrModelTensors.from_mixture_set(model, var_floor=self.var_floor)
             classes = default_regression_classes(
                 model, self.mllr_regression_classes
             )
             aligner = BatchAligner(GmmFeatureScorer(model, var_floor=self.var_floor))
-            visitor = CorpusVisitor(corpus, self.batch_size)
-            by_speaker: dict = {}
-            for seg in corpus.segments():
-                by_speaker.setdefault(seg.speaker or "*", []).append(seg)
+            acc: dict = {}
+            for spk, rows, mix in self._speaker_aligned_frames(
+                corpus, lexicon, tying, topology, transitions, frontend, aligner
+            ):
+                gb, gxb = mllr_stats(rows, mix, mt)
+                g, gx = acc.setdefault(
+                    spk, [np.zeros(model.weights.shape), np.zeros(model.means.shape)]
+                )
+                acc[spk] = [g + gb, gx + gxb]
             index = {}
-            for spk, segs in sorted(by_speaker.items()):
-                g = np.zeros(model.weights.shape)
-                gx = np.zeros(model.means.shape)
-                for lo in range(0, len(segs), self.batch_size):
-                    chunk = segs[lo : lo + self.batch_size]
-                    waves = [visitor._read(s) for s in chunk]
-                    S = max(len(w) for w in waves)
-                    samples = np.zeros((len(waves), S), np.float32)
-                    lengths = np.zeros(len(waves), np.int64)
-                    for j, w in enumerate(waves):
-                        samples[j, : len(w)] = w
-                        lengths[j] = len(w)
-                    feats, nf = frontend(samples, lengths)
-                    feats, nf = np.asarray(feats), np.asarray(nf)
-                    graphs = [
-                        build_linear_graph(s.orth, lexicon, tying, topology, transitions)
-                        for s in chunk
-                    ]
-                    als = aligner.align(feats, graphs, nf)
-                    rows = np.concatenate(
-                        [feats[j, : int(nf[j])] for j in range(len(chunk))]
-                    )
-                    mix = np.concatenate([al.emission_ids for al in als])
-                    gb, gxb = mllr_stats(rows, mix, mt)
-                    g += gb
-                    gx += gxb
+            for spk, (g, gx) in sorted(acc.items()):
                 W = estimate_mllr(
                     g, gx, model, classes=classes,
                     min_count=self.mllr_min_count, var_floor=self.var_floor,

@@ -108,6 +108,7 @@ class FeatureExtractionTool(Application):
                 alpha = table.get(seg.speaker or "", default)
                 groups.setdefault(alpha, []).append(seg.full_name)
             cfg, kwargs = frontend_spec_from_config(self)
+            transforms = self._transforms()
             written = 0
             for alpha in sorted(groups):
                 warp = (
@@ -120,7 +121,7 @@ class FeatureExtractionTool(Application):
                     self.num_partitions, segment_list=groups[alpha],
                 )
                 written += FeatureExtractor(
-                    fe, self.cache, feature_transforms=self._transforms()
+                    fe, self.cache, feature_transforms=transforms
                 ).run(visitor, overwrite=self.overwrite)
                 self.log("vtln group", alpha=alpha, segments=len(groups[alpha]))
             self.log("done", segments_written=written, cache=self.cache)

@@ -31,7 +31,9 @@ from ..lattice.flf import (
 from ..lattice.lattice import Lattice
 from ..models.lm.arpa import NgramLm
 from ..utils.archive import FileArchive, open_archive
-from ..utils.component import ParameterFloat, ParameterInt, ParameterString
+from ..utils.component import (
+    ParameterChoice, ParameterFloat, ParameterInt, ParameterString,
+)
 from .application import Application
 
 
@@ -47,7 +49,7 @@ class FlfTool(Application):
     lm_file = ParameterString("lm-file", default="")
     #: rescoring LM type: "ngram" = ARPA file, "rnn" = RnnLm image
     #: (ref: lattice rescoring with the TF RNN LM — natively flax here)
-    lm_type = ParameterString("lm-type", default="ngram")
+    lm_type = ParameterChoice("lm-type", ["ngram", "rnn"], default="ngram")
     lm_scale = ParameterFloat("lm-scale", default=1.0)
     am_scale = ParameterFloat("am-scale", default=1.0)
     nbest = ParameterInt("nbest", default=10)

@@ -168,20 +168,28 @@ class NnTrainerTool(Application):
 
         # denominator: phone bigram over the full phoneme inventory,
         # uniform bigram costs (the standard LF-MMI den-graph shape);
-        # context-independent phones keep their own (fewer) classes
+        # context-independent phones (silence) keep their own shorter
+        # state chains so den minimum durations match the numerator
         phones = list(lexicon.phonemes)
         P, Q = len(phones), topology.states_per_phone
+        states_of = [
+            topology.silence_states if ph.context_independent else Q
+            for ph in phones
+        ]
 
         def classify(p, q):
-            ph = phones[p]
-            n = topology.silence_states if ph.context_independent else Q
-            return tying._offset[ph.id] + min(q, n - 1)
+            return tying._offset[phones[p].id] + min(q, states_of[p] - 1)
 
         den = build_phone_bigram_den(
             P, Q, classify,
             bigram_costs=np.full((P, P), math.log(P), np.float32),
-            trans=transitions,
+            trans=transitions, states_of=states_of,
         )
+        if self.model_type == "ffnn":
+            raise ValueError(
+                "sequence-mmi-training needs a sequence encoder: "
+                "set --model-type=blstm or conformer"
+            )
         if self.model_type == "conformer":
             model = ConformerEncoderNet(
                 num_classes=num_classes,

@@ -197,6 +197,12 @@ class SpeechRecognizerTool(Application):
                 s.full_name for s in corpus.segments()
                 if (s.speaker or "*") == self.speaker
             ]
+        if segment_list is not None and not segment_list:
+            # decoding nothing would print "WER: 0.0000" — a false pass
+            raise ValueError(
+                f"segment selection matched no segments "
+                f"(speaker={self.speaker!r}, list={self.segment_list_file!r})"
+            )
         rec.run(
             CorpusVisitor(
                 corpus, self.batch_size,

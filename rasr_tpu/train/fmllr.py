@@ -184,6 +184,26 @@ def apply_speaker_transforms(
     return out.astype(np.float32)
 
 
+def batch_transform_tensors(
+    segments, table: Dict[str, np.ndarray], dim: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row (A [B, D, D], b [B, D]) with identity where a segment's
+    speaker has no transform — the device-side application form
+    (feats @ A^T + b as one batched einsum; avoids the host round trip
+    of apply_speaker_transforms inside decode loops)."""
+    B = len(segments)
+    A = np.tile(np.eye(dim, dtype=np.float32), (B, 1, 1))
+    b = np.zeros((B, dim), np.float32)
+    default = table.get("*")
+    for i, seg in enumerate(segments):
+        W = table.get(getattr(seg, "speaker", None) or "", default)
+        if W is None:
+            continue
+        A[i] = W[:, :-1]
+        b[i] = W[:, -1]
+    return A, b
+
+
 def fmllr_auxiliary(G: np.ndarray, k: np.ndarray, beta: float,
                     W: np.ndarray) -> float:
     """The CMLLR auxiliary objective (up to a W-independent constant):

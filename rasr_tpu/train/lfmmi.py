@@ -65,41 +65,51 @@ def build_phone_bigram_den(
     bigram_costs: np.ndarray,  # [P, P] -log p(p1 | p0)
     unigram_costs: Optional[np.ndarray] = None,  # [P] start costs
     trans: TransitionModel = TransitionModel(),
+    states_of=None,  # optional per-phone state count [P] (e.g. 1 for
+    # context-independent silence) — uniform states_per_phone otherwise,
+    # so the den's minimum phone durations match the numerator topology
 ) -> DenseFsa:
     """Denominator graph: all phone sequences under a phone-bigram LM.
 
     States are (phone, hmm_state) chains with the model's loop/forward
     TDPs; leaving a phone's last state applies exit TDP + bigram cost
-    into every next phone's first state. S = P * states_per_phone —
+    into every next phone's first state. S = sum of per-phone states —
     dense and tiny (e.g. 40x3 = 120), so the forward pass is an MXU-
     friendly [S, S] mat-"vec" per frame.
     """
-    P, Q = num_phones, states_per_phone
-    S = P * Q
+    P = num_phones
+    counts = (
+        [int(states_of[p]) for p in range(P)]
+        if states_of is not None else [states_per_phone] * P
+    )
+    offset = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    S = int(offset[-1])
     tdp = trans.speech
     T = np.full((S, S), BIG, np.float32)
     ecls = np.zeros(S, np.int32)
     for p in range(P):
-        for q in range(Q):
-            s = p * Q + q
+        Qp = counts[p]
+        for q in range(Qp):
+            s = int(offset[p]) + q
             ecls[s] = classify(p, q)
             T[s, s] = tdp.loop
-            if q + 1 < Q:
-                T[s, p * Q + q + 1] = tdp.forward
-                if q + 2 < Q and np.isfinite(tdp.skip) and tdp.skip < BIG / 2:
-                    T[s, p * Q + q + 2] = tdp.skip
+            if q + 1 < Qp:
+                T[s, s + 1] = tdp.forward
+                if q + 2 < Qp and np.isfinite(tdp.skip) and tdp.skip < BIG / 2:
+                    T[s, s + 2] = tdp.skip
         # phone end -> next phone starts
-        end = p * Q + (Q - 1)
+        end = int(offset[p]) + Qp - 1
         for p2 in range(P):
-            T[end, p2 * Q] = np.minimum(
-                T[end, p2 * Q], tdp.exit + bigram_costs[p, p2]
+            T[end, int(offset[p2])] = np.minimum(
+                T[end, int(offset[p2])], tdp.exit + bigram_costs[p, p2]
             )
     init = np.full(S, BIG, np.float32)
-    for p in range(P):
-        init[p * Q] = unigram_costs[p] if unigram_costs is not None else 0.0
     final = np.full(S, BIG, np.float32)
     for p in range(P):
-        final[p * Q + (Q - 1)] = tdp.exit
+        init[int(offset[p])] = (
+            unigram_costs[p] if unigram_costs is not None else 0.0
+        )
+        final[int(offset[p]) + counts[p] - 1] = tdp.exit
     return DenseFsa(
         trans=jnp.asarray(T),
         emis_class=jnp.asarray(ecls),

@@ -397,10 +397,13 @@ class LfMmiSequenceTrainer(SequenceTrainer):
             jnp.asarray(a) for a in _pad_graphs(graphs)
         )
         stats = []
+        batch_size = min(batch_size, N)
         for epoch in range(self.cfg.epochs):
             perm = np.random.default_rng(self.cfg.seed + epoch).permutation(N)
             losses, mmis = [], []
-            for i in range(0, N, batch_size):
+            # drop-last keeps every _mmi_step call the same shape (one
+            # jit trace; ragged tails would retrace — see train_sequences)
+            for i in range(0, N - batch_size + 1, batch_size):
                 sel = perm[i : i + batch_size]
                 params, opt_state, loss, mmi = self._mmi_step(
                     params, opt_state,

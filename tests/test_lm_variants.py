@@ -172,3 +172,15 @@ def test_rnn_lm_save_load_roundtrip(tmp_path):
         h2 = lm.extended_history(h, wid)
         assert lm.sentence_end_score(h2) == lm2.sentence_end_score(h2)
         h = h2
+
+
+def test_rnn_lm_oov_safe():
+    """OOV words must not crash perplexity/rescoring: fixed penalty,
+    history unchanged (there is no trained <unk> embedding)."""
+    lm = RnnLm.train_from_text([["A", "B"], ["B", "A"]], epochs=3)
+    assert lm.word_id("ZZZ") == -1
+    h = lm.start_history()
+    assert lm.score(h, -1) == 99.0
+    assert lm.extended_history(h, -1) == h
+    ppl = lm.perplexity(["A", "ZZZ", "B"])
+    assert np.isfinite(ppl)
