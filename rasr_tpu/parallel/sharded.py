@@ -249,3 +249,41 @@ def shard_conformer_params(params, mesh: Mesh):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def dp_fmllr_stats(
+    mesh: Mesh,
+    model: MixtureSet,
+    feats: np.ndarray,  # [N, D] flattened valid frames
+    mix_ids: np.ndarray,  # [N] aligned mixture per frame
+    var_floor: float = 1e-4,
+):
+    """Data-parallel adaptation statistics: frames shard over 'data',
+    (G, k, beta) come back replicated (XLA inserts the psum) — the
+    collective form of the reference's accumulator-file merge for the
+    adaptation pass (train/fmllr.py; same merge semantics as
+    dp_accumulate for the EM statistics)."""
+    from ..train.fmllr import FmllrModelTensors, _fmllr_stats_fn
+
+    mt = FmllrModelTensors.from_mixture_set(model, var_floor)
+    N = feats.shape[0]
+    dn = mesh.shape["data"]
+    pad = (-N) % dn
+    valid = np.ones(N, bool)
+    if pad:
+        feats = np.pad(feats, ((0, pad), (0, 0)))
+        mix_ids = np.pad(mix_ids, (0, pad))
+        valid = np.pad(valid, (0, pad))
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        _fmllr_stats_fn,
+        in_shardings=(dp, dp, dp, rep),
+        out_shardings=(rep, rep, rep),
+    )
+    G, k, beta = fn(
+        jnp.asarray(feats, jnp.float32),
+        jnp.asarray(mix_ids.astype(np.int32)),
+        jnp.asarray(valid), mt,
+    )
+    return np.asarray(G, np.float64), np.asarray(k, np.float64), float(beta)

@@ -75,8 +75,7 @@ jax.tree_util.register_pytree_node(
 )
 
 
-@jax.jit
-def _fmllr_stats_impl(feats, mix, valid, mt: FmllrModelTensors):
+def _fmllr_stats_fn(feats, mix, valid, mt: FmllrModelTensors):
     """[N, D] frames + [N] aligned mixture ids -> (G [D,D+1,D+1], k [D,D+1], beta)."""
     x = feats.astype(jnp.float32)
     mu = mt.means[mix]  # [N, K, D] packed-row gather
@@ -92,6 +91,9 @@ def _fmllr_stats_impl(feats, mix, valid, mt: FmllrModelTensors):
                    precision=jax.lax.Precision.HIGHEST)
     k = jnp.einsum("ni,nd->id", a, xi, precision=jax.lax.Precision.HIGHEST)
     return G, k, jnp.sum(valid.astype(jnp.float32))
+
+
+_fmllr_stats_impl = jax.jit(_fmllr_stats_fn)
 
 
 def fmllr_stats(

@@ -284,3 +284,21 @@ def test_mpe_accumulation_runs(rng):
     assert -1.0 <= expected <= 1.0
     new = ebw_update(model, acc)
     assert np.all(new.variances > 0)
+
+
+def test_profiling_helper(tmp_path):
+    """profile_call traces a jitted fn and parses the hlo_stats table
+    (rows are TPU-only; on the CPU test backend an empty list is the
+    documented result — the call path itself must work everywhere)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rasr_tpu.utils.profiling import profile_call, top_table
+
+    f = jax.jit(lambda x: (x * x).sum())
+    out, rows = profile_call(
+        f, jnp.ones((64, 64)), log_dir=str(tmp_path / "prof")
+    )
+    assert float(out) == 64.0 * 64.0
+    assert isinstance(rows, list)
+    assert isinstance(top_table(rows), str)

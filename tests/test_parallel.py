@@ -226,3 +226,21 @@ def test_conformer_tp_matches_replicated(rng):
             fwd(sp, jax.device_put(jnp.asarray(x), dp), lengths)
         )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dp_fmllr_stats_matches_local(rng):
+    """Adaptation statistics reduce over the data mesh exactly like the
+    single-device path (collective == accumulator-file merge)."""
+    from rasr_tpu.parallel.sharded import dp_fmllr_stats
+    from rasr_tpu.train.fmllr import fmllr_stats
+
+    ms = _mixtures(rng)
+    N = 333  # deliberately not divisible by the mesh
+    feats = rng.normal(size=(N, ms.dim)).astype(np.float32)
+    mix = rng.integers(0, ms.num_mixtures, N)
+    mesh = make_mesh(data=8)
+    G, k, beta = dp_fmllr_stats(mesh, ms, feats, mix)
+    G0, k0, b0 = fmllr_stats(feats, mix, ms)
+    assert beta == b0 == N
+    np.testing.assert_allclose(G, G0, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(k, k0, rtol=1e-4, atol=1e-3)
