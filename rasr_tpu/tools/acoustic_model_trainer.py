@@ -53,6 +53,10 @@ class AcousticModelTrainerTool(Application):
     new_mixture_file = ParameterString("new-mixture-file", default="model.mix")
     accumulator_file = ParameterString("accumulator-file", default="acc")
     alignment_cache = ParameterString("alignment-cache", default="")
+    #: with BOTH caches set, action=accumulate is pure map-reduce over
+    #: cached artifacts — no audio, no frontend, no aligner (ref: the
+    #: reference's accumulate jobs read feature+alignment caches; §3.2)
+    feature_cache = ParameterString("feature-cache", default="")
     batch_size = ParameterInt("batch-size", default=8)
     iterations = ParameterInt("iterations", default=4)
     splits = ParameterInt("splits", default=0)
@@ -192,6 +196,43 @@ class AcousticModelTrainerTool(Application):
             model.save(self.new_mixture_file)
             self.log("split", max_densities=model.max_densities)
             return 0
+
+        if action == "accumulate" and self.feature_cache and self.alignment_cache:
+            # cache-driven map step: statistics straight from the
+            # feature + alignment caches (align once, accumulate many —
+            # the reference's incremental job-graph semantics)
+            from ..align.aligner import Alignment
+            from ..utils.archive import unpack_ndarray
+
+            model = MixtureSet.load(self.mixture_file)
+            acc = GmmAccumulator.zeros(*model.means.shape)
+            rows_list, labels_list = [], []
+            with FileArchive(self.feature_cache, "r") as fc, \
+                    FileArchive(self.alignment_cache, "r") as ac:
+                for name in ac.keys():
+                    if name not in fc:
+                        continue
+                    f = unpack_ndarray(fc.read(name))
+                    al = Alignment.unpack(name, ac.read(name))
+                    n = min(f.shape[0], al.num_frames)
+                    rows_list.append(f[:n])
+                    labels_list.append(al.emission_ids[:n])
+            if not rows_list:
+                raise ValueError("no overlapping segments between caches")
+            rows = np.concatenate(rows_list)
+            labels = np.concatenate(labels_list).astype(np.int32)
+            # fixed-size chunks: one jit trace regardless of corpus size
+            CH = 32768
+            pad = (-rows.shape[0]) % CH
+            rows = np.pad(rows, ((0, pad), (0, 0)))
+            labels = np.pad(labels, (0, pad), constant_values=-1)
+            for lo in range(0, rows.shape[0], CH):
+                accumulate(acc, model, rows[lo : lo + CH], labels[lo : lo + CH])
+            acc.save(self.accumulator_file)
+            self.log("accumulated", frames=float(acc.count.sum()),
+                     source="caches")
+            return 0
+
 
         corpus, lexicon, topology, tying, transitions, frontend = self._setup()
         M = tying.num_classes

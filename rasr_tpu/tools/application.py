@@ -33,12 +33,34 @@ class Application(Component):
         raise NotImplementedError
 
     @classmethod
+    def declared_parameters(cls):
+        """(name, default-with-choices, doc) for every declared typed
+        parameter, in declaration order (ref: the reference prints its
+        Core::Parameter registry in usage/help output)."""
+        from ..utils.component import Parameter
+
+        out, seen = [], set()
+        for klass in reversed(cls.__mro__):
+            for attr, val in vars(klass).items():
+                if isinstance(val, Parameter) and val.name not in seen:
+                    seen.add(val.name)
+                    default = val.default
+                    choices = getattr(val, "choices", None)
+                    if choices:
+                        default = f"{default} ∈ {{{', '.join(map(str, choices))}}}"
+                    out.append((val.name, default, val.doc))
+        return out
+
+    @classmethod
     def main(cls, argv: Optional[Sequence[str]] = None) -> int:
         argv = list(sys.argv[1:] if argv is None else argv)
         if "--help" in argv or "-h" in argv:
             print(f"{cls.name}: {cls.description}")
             print(f"usage: python -m rasr_tpu.tools.{cls.name.replace('-', '_')} "
                   f"[--config=FILE] [--selector.param=value ...]")
+            for pname, default, doc in cls.declared_parameters():
+                d = f" (default: {default!r})" if default not in (None, "") else ""
+                print(f"  --{cls.name}.{pname}{d}{'  ' + doc if doc else ''}")
             return 0
         config = Configuration()
         rest = config.parse_args(argv)

@@ -709,3 +709,36 @@ def test_mllr_estimate_and_speaker_decode(gain_workdir):
         "--speech-recognizer.frontend.normalize=none", cwd=cwd,
     )
     assert "WER: 0.0000" in out and "/ 6 words" in out  # spkB only
+
+
+def test_cache_driven_accumulation(workdir):
+    """action=accumulate with feature+alignment caches is pure
+    map-reduce over artifacts (no audio/frontend/aligner) and matches
+    the audio-driven statistics exactly."""
+    cwd = str(workdir)
+    if not (workdir / "align.cache").exists():
+        test_align_nn_and_util_tools(workdir)
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=accumulate",
+        "--acoustic-model-trainer.feature-cache=feat.cache",
+        "--acoustic-model-trainer.alignment-cache=align.cache",
+        "--acoustic-model-trainer.mixture-file=model.mix",
+        "--acoustic-model-trainer.accumulator-file=cache.acc", cwd=cwd,
+    )
+    run_tool(
+        "rasr_tpu.tools.acoustic_model_trainer",
+        "--acoustic-model-trainer.action=accumulate",
+        "--acoustic-model-trainer.corpus-file=toy.corpus",
+        "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+        "--acoustic-model-trainer.states-per-phone=1",
+        "--acoustic-model-trainer.mixture-file=model.mix",
+        "--acoustic-model-trainer.accumulator-file=audio.acc",
+        "--acoustic-model-trainer.frontend.normalize=none", cwd=cwd,
+    )
+    from rasr_tpu.train.em import GmmAccumulator
+
+    a = GmmAccumulator.load(str(workdir / "cache.acc"))
+    b = GmmAccumulator.load(str(workdir / "audio.acc"))
+    np.testing.assert_allclose(a.count, b.count, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(a.sum, b.sum, rtol=1e-3, atol=0.1)
