@@ -257,8 +257,48 @@ def main() -> None:
                    "--speech-recognizer.frontend.normalize=none", cwd=workdir)
     assert "WER: 0.0000" in out, "fMLLR-adapted recognition regressed"
 
+    # -- stage 10: sequence-discriminative NN training (LF-MMI through a
+    # BLSTM encoder; numerator graphs from the corpus orths, phone-
+    # bigram denominator over the lexicon)
+    run_tool("nn_trainer",
+             "--nn-trainer.action=sequence-mmi-training",
+             "--nn-trainer.model-type=blstm",
+             "--nn-trainer.corpus-file=toy.corpus",
+             "--nn-trainer.lexicon-file=lexicon.xml",
+             "--nn-trainer.states-per-phone=1",
+             "--nn-trainer.feature-cache=feat.cache",
+             "--nn-trainer.alignment-cache=align.cache",
+             "--nn-trainer.hidden-layers=32",
+             "--nn-trainer.epochs=4",
+             "--nn-trainer.learning-rate=0.005",
+             "--nn-trainer.optimizer=adam",
+             "--nn-trainer.params-file=mmi.msgpack", cwd=workdir)
+    assert os.path.exists(os.path.join(workdir, "mmi.msgpack"))
+
+    # -- stage 11: model-space MLLR (per-speaker mean-adapted mixtures;
+    # this corpus has one speaker group, so one adapted model)
+    run_tool("acoustic_model_trainer",
+             "--acoustic-model-trainer.action=estimate-mllr",
+             "--acoustic-model-trainer.corpus-file=toy.corpus",
+             "--acoustic-model-trainer.lexicon-file=lexicon.xml",
+             "--acoustic-model-trainer.states-per-phone=1",
+             "--acoustic-model-trainer.mixture-file=model.mix",
+             "--acoustic-model-trainer.mllr-min-count=50",
+             "--acoustic-model-trainer.frontend.normalize=none", cwd=workdir)
+    out = run_tool("speech_recognizer",
+                   "--speech-recognizer.corpus-file=toy.corpus",
+                   "--speech-recognizer.lexicon-file=lexicon.xml",
+                   "--speech-recognizer.lm-file=lm.arpa",
+                   "--speech-recognizer.mixture-file=mllr-default.mix",
+                   "--speech-recognizer.states-per-phone=1",
+                   "--speech-recognizer.search.lm-scale=2.0",
+                   "--speech-recognizer.search.max-hyps=256",
+                   "--speech-recognizer.frontend.normalize=none", cwd=workdir)
+    assert "WER: 0.0000" in out, "MLLR-adapted recognition regressed"
+
     print("\nrecipe complete: monophone / CART-triphone / hybrid / "
-          f"fMLLR-adapted all at WER 0.0000; artifacts in {workdir}")
+          f"fMLLR- and MLLR-adapted all at WER 0.0000 (+ LF-MMI sequence-"
+          f"trained BLSTM); artifacts in {workdir}")
 
 
 if __name__ == "__main__":

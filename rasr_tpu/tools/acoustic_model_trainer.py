@@ -384,7 +384,8 @@ class AcousticModelTrainerTool(Application):
                     min_count=self.mllr_min_count, var_floor=self.var_floor,
                 )
                 adapted = adapt_means(model, W, classes)
-                path = f"{self.mllr_output_prefix}{spk}.mix"
+                # "*" is the no-speaker group; keep filenames glob-safe
+                path = f"{self.mllr_output_prefix}{spk if spk != '*' else 'default'}.mix"
                 adapted.save(path)
                 index[spk] = path
                 self.log("mllr speaker", speaker=spk, frames=float(g.sum()),
