@@ -177,16 +177,67 @@ def build_setup(
             root_select=int(os.environ.get("BENCH_ROOT_SELECT", "512")),
             # survivors-only emission gather (pre-emission top-K)
             deferred_emission=bool(int(os.environ.get("BENCH_DEFER", "1"))),
+            # frame-loop unroll (cross-frame fusion of dispatch/layout slop)
+            scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
             lm_scale=10.0,
         ),
     )
     return fe, scorer, dec, tree
 
 
+def correctness_canary():
+    """Tiny planted decode asserted ON THE REAL DEVICE before timing.
+
+    The CPU test suite cannot catch TPU-only corruption (the hardware
+    flushes denormal/NaN bit patterns in fused f32 relayouts — see
+    docs/PERF.md "Bit-pattern transport"; exactly such a bug silently
+    corrupted the decoder beam on-chip while 240+ CPU tests passed).
+    The driver runs bench.py on real hardware every round, so this
+    canary is the standing on-chip correctness gate."""
+    import numpy as np
+
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.models.hmm import HmmTopology, TransitionModel
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+    from rasr_tpu.search.tree import build_prefix_tree
+
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    lm = NgramLm.train_from_text([["AB", "BA"], ["BA", "AB"]], order=2)
+    tree = build_prefix_tree(lex, tying, topo, TransitionModel(), lm_vocab=lm.vocab)
+    dec = TreeDecoder(
+        tree, compile_ngram(lm),
+        BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.5),
+    )
+    # plant: sil sil a a b b  -> [SILENCE] AB
+    from rasr_tpu.models.allophone import Allophone, AllophoneState
+
+    cls_of = lambda sym: tying.classify(
+        AllophoneState(Allophone(lex.phonemes[sym].id), 0)
+    )
+    seq = [cls_of("si")] * 2 + [cls_of("a")] * 2 + [cls_of("b")] * 2
+    emis = np.full((1, len(seq), tying.num_classes), 50.0, np.float32)
+    for t, c in enumerate(seq):
+        emis[0, t, c] = 0.0
+    (res,) = dec.decode_scores(emis, np.array([len(seq)]))
+    got = [l.primary_orth for l in res.lemmas]
+    assert got == ["[SILENCE]", "AB"], f"ON-DEVICE CANARY FAILED: {got}"
+    assert res.word_ends == [1, 5], f"ON-DEVICE CANARY FAILED: {res.word_ends}"
+    sys.stderr.write("canary ok: [SILENCE] AB @ [1, 5]\n")
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    correctness_canary()
     t_setup = time.time()
     fe, scorer, dec, tree = build_setup(
         num_words=int(os.environ.get("BENCH_WORDS", "5000")),

@@ -83,7 +83,20 @@ def build_linear_graph(
     optional_silence: bool = True,
     pronunciation_index: int = 0,
     allow_unknown: bool = True,
+    across_word: bool = False,
 ) -> LinearGraph:
+    """``across_word=True`` expands word-boundary phones with their true
+    cross-word triphone contexts (the neighboring word's edge phone; ci
+    neighbors such as silence break context to ``#`` as always). Only
+    valid with ``optional_silence=False``: with optional silences the
+    junction context would depend on the alignment path, which a linear
+    chain cannot represent — put silence in the orthography explicitly
+    (matching the across-word search network's committed contexts)."""
+    if across_word and optional_silence:
+        raise ValueError(
+            "across_word requires optional_silence=False "
+            "(junction contexts must be path-independent)"
+        )
     lemmas = orth_to_lemmas(orth, lexicon, allow_unknown)
     if not lemmas:
         raise OrthographyError(f"empty orthography {orth!r}")
@@ -107,12 +120,28 @@ def build_linear_graph(
             word_end.append(k == len(states) - 1)
             lemma_idx.append(-1)
 
-    push_silence()
-    for w, lemma in enumerate(lemmas):
+    def pron_of(lemma: Lemma) -> Pronunciation:
         if not lemma.pronunciations:
             raise OrthographyError(f"lemma {lemma.primary_orth!r} has no pronunciation")
-        pron = lemma.pronunciations[min(pronunciation_index, len(lemma.pronunciations) - 1)]
-        states = alphabet.phone_sequence_states(pron.phonemes, topology)
+        return lemma.pronunciations[
+            min(pronunciation_index, len(lemma.pronunciations) - 1)
+        ]
+
+    push_silence()
+    for w, lemma in enumerate(lemmas):
+        pron = pron_of(lemma)
+        left = right = 0
+        if across_word:
+            # true junction contexts: the neighbor's edge phone (ci
+            # neighbors break to # inside phone_sequence_states)
+            if w > 0:
+                left = pron_of(lemmas[w - 1]).phonemes[-1]
+            if w + 1 < len(lemmas):
+                right = pron_of(lemmas[w + 1]).phonemes[0]
+        states = alphabet.phone_sequence_states(
+            pron.phonemes, topology,
+            across_word_left=left, across_word_right=right,
+        )
         for k, st in enumerate(states):
             chain.append(st)
             is_sil.append(False)

@@ -124,6 +124,7 @@ def lattice_from_records(
     finals: Tuple[np.ndarray, ...],
     n_frames: int,
     lm_end_scores: Optional[Dict[int, float]] = None,
+    num_final_states: int = 1,
 ) -> Lattice:
     """Assemble the word lattice of utterance ``b`` from decoder records.
 
@@ -141,7 +142,7 @@ def lattice_from_records(
     stack = []
     final_bps: List[Tuple[int, float, int]] = []  # (bp, end_cost, lm_state)
     for k in range(fstate.shape[1]):
-        if fstate[b, k] == 0 and fscore[b, k] < BIG / 2 and fbp[b, k] >= 0:
+        if fstate[b, k] < num_final_states and fscore[b, k] < BIG / 2 and fbp[b, k] >= 0:
             final_bps.append((int(fbp[b, k]), float(fend[b, k]), int(flm[b, k])))
             stack.append(int(fbp[b, k]))
     while stack:
@@ -216,6 +217,7 @@ def decoder_lattice(decoder, b: int = 0) -> Lattice:
     return lattice_from_records(
         decoder._last_records, b, R, decoder.tree.lemmas,
         decoder._last_finals, int(np.asarray(decoder._last_n_frames_dev)[b]),
+        num_final_states=getattr(decoder.tree, "num_final_states", 1),
     )
 
 

@@ -91,6 +91,30 @@ class AllophoneAlphabet:
         return ((self.num_phonemes + 1) ** 3) * 4 * self.max_states
 
     # ------------------------------------------------------------- expansion
+    def phone_states(
+        self, pid: int, left: int, right: int, topology, boundary: int = 0
+    ) -> List[AllophoneState]:
+        """States of ONE phone occurrence with explicit raw neighbors.
+
+        Applies the same context rules as :meth:`phone_sequence_states`
+        (ci centers take empty context; ci neighbors break context) —
+        used by the across-word search-network compiler, which expands
+        edge phones per (left, right) context variant."""
+        lex = self.lexicon
+        ph = lex.phonemes.by_id(pid)
+        if ph.context_independent:
+            left = right = NO_CONTEXT
+        else:
+            if left and lex.phonemes.by_id(left).context_independent:
+                left = NO_CONTEXT
+            if right and lex.phonemes.by_id(right).context_independent:
+                right = NO_CONTEXT
+        allo = Allophone(pid, left, right, boundary)
+        return [
+            AllophoneState(allo, topology.emitting_state_index(s))
+            for s in range(topology.num_states(ph.context_independent))
+        ]
+
     def phone_sequence_states(
         self,
         phonemes: Sequence[int],

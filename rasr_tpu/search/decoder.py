@@ -319,6 +319,11 @@ class BeamConfig:
     #: potential shaping — path scores are unchanged, pruning becomes
     #: LM-aware (ref: LM lookahead fold-in). 0 disables.
     lookahead_scale: float = 1.0
+    #: lax.scan unroll factor for the frame loop. >1 duplicates the step
+    #: body, letting XLA fuse/overlap across consecutive frames
+    #: (dispatch + layout-copy slop); results are identical. Costs
+    #: compile time and HLO size.
+    scan_unroll: int = 1
 
 
 def _bc_f(a):  # int32 -> f32 bits
@@ -332,11 +337,20 @@ def _bc_i(a):  # f32 bits -> int32
 def _build_state_pack(tree: TreeTables, cfg: BeamConfig):
     """Packed per-state row table for the beam's per-hyp gather.
 
-    Returns ``(state_pack [S+1, 8|9] f32, fold_bh, deg_bits)``. Shared
+    Returns ``(state_pack [S+1, 8|9] int32, fold_bh, deg_bits)``. Shared
     by ``_make_step`` (trace-time constant) and ``init_carry`` (the
     beam carry rides the selected rows across frames — see step()).
+
+    CARRIER DTYPE: int32, with the f32 cost columns BITCAST IN (ids
+    native). The TPU vector unit flushes denormals and canonicalizes
+    NaNs whenever an f32 tensor passes through a fused copy/relayout/
+    select, so f32 tensors DESTROY int bit patterns smuggled in by
+    bitcast (small ids are denormal patterns, -1 is a NaN pattern) —
+    measured on hardware, see docs/PERF.md "bit-pattern transport".
+    Int tensors are bit-exact carriers (same convention as the LM
+    tables, models/lm/ngram_tpu.py), and bitcasts cost no ALU.
     """
-    bc_f = _bc_f
+    bc_i = _bc_i
     use_la = tree.has_lookahead and cfg.lookahead_scale != 0.0
     la_coeff = cfg.lm_scale * cfg.lookahead_scale
     # own class (loop emission) with the has-branch flag folded into its
@@ -350,17 +364,17 @@ def _build_state_pack(tree: TreeTables, cfg: BeamConfig):
     # land in VMEM, which the allocator did not do here)
     state_pack = jnp.stack(
         [
-            tree.loop_cost,  # 0
-            bc_f(tree.dense1_dst),  # 1
-            tree.dense1_cost + (la_coeff * tree.dense1_dla if use_la else 0.0),  # 2
-            bc_f(tree.dense1_cls),  # 3
-            bc_f(tree.dense2_dst),  # 4
-            tree.dense2_cost + (la_coeff * tree.dense2_dla if use_la else 0.0),  # 5
-            bc_f(tree.dense2_cls),  # 6
-            bc_f(ecls_flag),  # 7 (sign bit = has branch arcs)
+            bc_i(tree.loop_cost),  # 0 (f32 bits)
+            tree.dense1_dst,  # 1
+            bc_i(tree.dense1_cost + (la_coeff * tree.dense1_dla if use_la else 0.0)),  # 2
+            tree.dense1_cls,  # 3
+            tree.dense2_dst,  # 4
+            bc_i(tree.dense2_cost + (la_coeff * tree.dense2_dla if use_la else 0.0)),  # 5
+            tree.dense2_cls,  # 6
+            ecls_flag,  # 7 (sign bit = has branch arcs)
         ],
         axis=1,
-    )  # [S+1, 8]
+    )  # [S+1, 8] int32
     # branch CSR head (ptr, deg) folded into the state row when it fits
     # one int32: the separate [S+1,2] table gathers from HBM at
     # ~15ns/row (251us/frame profiled) while state_pack rides along
@@ -373,7 +387,7 @@ def _build_state_pack(tree: TreeTables, cfg: BeamConfig):
         state_pack = jnp.concatenate(
             [
                 state_pack,
-                bc_f((tree.branch_ptr[:-1] << deg_bits) | tree.branch_deg)[
+                ((tree.branch_ptr[:-1] << deg_bits) | tree.branch_deg)[
                     :, None
                 ],
             ],
@@ -449,32 +463,32 @@ def _make_step(
         branch_head = jnp.stack(
             [tree.branch_ptr[:-1], tree.branch_deg], axis=1
         )  # [S+1, 2]: one row gather replaces two element gathers
+    # int32 carrier rows (cost columns bitcast in): see _build_state_pack
+    # — f32 tensors destroy smuggled int bit patterns on the TPU VPU
     branch_pack = jnp.stack(
         [
-            bc_f(tree.branch_dst),
-            tree.branch_cost + (la_coeff * tree.branch_dla if use_la else 0.0),
-            bc_f(tree.branch_cls),
+            tree.branch_dst,
+            bc_i(tree.branch_cost + (la_coeff * tree.branch_dla if use_la else 0.0)),
+            tree.branch_cls,
         ],
         axis=1,
-    )  # [A', 3]
+    )  # [A', 3] int32
     we_pack = jnp.stack(
         [
-            bc_f(tree.we_word),
-            tree.we_cost,
-            bc_f(tree.we_lemma),
-            bc_f(tree.we_next),
-            jnp.broadcast_to(tree.la[:, None], tree.we_word.shape),
+            tree.we_word,
+            bc_i(tree.we_cost),
+            tree.we_lemma,
+            tree.we_next,
+            bc_i(jnp.broadcast_to(tree.la[:, None], tree.we_word.shape)),
             # own emission class (per state, broadcast over word slots):
             # lets deferred_emission fetch the survivors' emission index
             # on the word-end gather it already pays for
-            bc_f(
-                jnp.broadcast_to(
-                    tree.emission_class[:, None], tree.we_word.shape
-                )
+            jnp.broadcast_to(
+                tree.emission_class[:, None], tree.we_word.shape
             ),
         ],
         axis=2,
-    )  # [S+1, W, 6]
+    )  # [S+1, W, 6] int32
 
     # ride-along state rows (single-device only): the word-end gather
     # fetches the we columns AND the state_pack row in ONE row gather;
@@ -576,23 +590,24 @@ def _make_step(
         if ride_pk:
             pk = pk_c
         else:
-            pk = state_pack[state_e]  # [B,K_loc,8|9]
-        cls_raw = bc_i(pk[..., 7])
-        p_loop = score_e + pk[..., 0]
-        d1 = bc_i(pk[..., 1])
-        d1_cls = bc_i(pk[..., 3])
-        p_d1 = score_e + pk[..., 2]
-        d2 = bc_i(pk[..., 4])
-        d2_cls = bc_i(pk[..., 6])
-        p_d2 = score_e + pk[..., 5]
+            pk = state_pack[state_e]  # [B,K_loc,8|9] int32
+        cls_raw = pk[..., 7]
+        p_loop = score_e + bc_f(pk[..., 0])
+        d1 = pk[..., 1]
+        d1_cls = pk[..., 3]
+        p_d1 = score_e + bc_f(pk[..., 2])
+        d2 = pk[..., 4]
+        d2_cls = pk[..., 6]
+        p_d2 = score_e + bc_f(pk[..., 5])
         own_cls = jnp.where(cls_raw < 0, -cls_raw - 1, cls_raw)
 
-        # packed beam rows: every downstream selection gathers all four
-        # beam columns (+ folded branch head) with ONE row gather
-        beam_cols = [bc_f(state_e), bc_f(lms_e), score_e, bc_f(bp_e)]
+        # packed beam rows (int32 carrier; score bits bitcast in): every
+        # downstream selection gathers all four beam columns (+ folded
+        # branch head) with ONE row gather
+        beam_cols = [state_e, lms_e, bc_i(score_e), bp_e]
         if fold_bh:
             beam_cols.append(pk[..., 8])
-        beam_rows = jnp.stack(beam_cols, axis=-1)  # [B,K_loc,4(+1)]
+        beam_rows = jnp.stack(beam_cols, axis=-1)  # [B,K_loc,4(+1)] int32
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
         has_branch = cls_raw < 0
@@ -600,11 +615,11 @@ def _make_step(
         negb, bidx = jax.lax.top_k(-br_sel_score, kbranch)
         b_score = -negb
         b_rows = rowsel(beam_rows, bidx)  # [B,Kb,4(+1)]
-        b_state = bc_i(b_rows[..., 0])
-        b_lm = bc_i(b_rows[..., 1])
-        b_bp = bc_i(b_rows[..., 3])
+        b_state = b_rows[..., 0]
+        b_lm = b_rows[..., 1]
+        b_bp = b_rows[..., 3]
         if fold_bh:
-            bhp = bc_i(b_rows[..., 4])
+            bhp = b_rows[..., 4]
             bptr = bhp >> deg_bits
             deg = bhp & ((1 << deg_bits) - 1)
         else:
@@ -616,9 +631,9 @@ def _make_step(
         ok = dslots < deg[..., None]
         bi = jnp.where(ok, bi, 0)
         bpk = branch_pack[bi]  # [B,Kb,Db,3] (1 gather for dst/cost/cls)
-        b_dst = jnp.where(ok, bc_i(bpk[..., 0]), SENT)
-        b_cls = jnp.where(ok, bc_i(bpk[..., 2]), 0)
-        b_cost = jnp.where(ok, bpk[..., 1], BIG)
+        b_dst = jnp.where(ok, bpk[..., 0], SENT)
+        b_cls = jnp.where(ok, bpk[..., 2], 0)
+        b_cost = jnp.where(ok, bc_f(bpk[..., 1]), BIG)
         p_br = b_score[..., None] + b_cost  # [B,Kb,Db]
 
         # root re-entry: top-H root hyps. The best history expands every
@@ -627,9 +642,9 @@ def _make_step(
         root_score = jnp.where(state_e == 0, score_e, BIG)
         negH, hidx = jax.lax.top_k(-root_score, hroot)
         h_score = -negH  # ascending: h=0 is the best root hypothesis
-        h_rows = rowsel(beam_rows, hidx)  # [B,H,4]
-        h_lm = bc_i(h_rows[..., 1])
-        h_bp = bc_i(h_rows[..., 3])
+        h_rows = rowsel(beam_rows, hidx)  # [B,H,4] int32
+        h_lm = h_rows[..., 1]
+        h_bp = h_rows[..., 3]
         root_arc_cost = tree.root_cost
         if use_la:
             root_arc_cost = root_arc_cost + la_coeff * tree.root_dla
@@ -857,23 +872,25 @@ def _make_step(
             # local top-K, re-sort + dedup (a hypothesis reachable on two
             # slices recombines here), keep the global top-K — replicated,
             # so word-end/LM processing below runs identically everywhere
+            # int32 carrier for the collective payload (score bits
+            # bitcast in): f32 relayouts flush smuggled int patterns
             if pack_keys:
-                pay = jnp.stack([bc_f(n_key), n_score, bc_f(n_bp)], axis=-1)
+                pay = jnp.stack([n_key, bc_i(n_score), n_bp], axis=-1)
             else:
                 pay = jnp.stack(
-                    [bc_f(n_state), bc_f(n_lm), n_score, bc_f(n_bp)], axis=-1
+                    [n_state, n_lm, bc_i(n_score), n_bp], axis=-1
                 )
             gath = jax.lax.all_gather(pay, beam_axis, axis=1, tiled=True)
-            g_score = gath[..., -2]
-            g_bp = bc_i(gath[..., -1])
+            g_score = bc_f(gath[..., -2])
+            g_bp = gath[..., -1]
             if pack_keys:
                 keys, n_score, n_bp = recombine_topk(
-                    (bc_i(gath[..., 0]),), g_score, g_bp, K
+                    (gath[..., 0],), g_score, g_bp, K
                 )
                 n_key = keys[0][:, :K]
             else:
                 keys, n_score, n_bp = recombine_topk(
-                    (bc_i(gath[..., 0]), bc_i(gath[..., 1])), g_score, g_bp, K
+                    (gath[..., 0], gath[..., 1]), g_score, g_bp, K
                 )
                 n_state, n_lm = keys[0][:, :K], keys[1][:, :K]
         if pack_keys:
@@ -897,7 +914,7 @@ def _make_step(
         # ------------------------------------------------- word ends
         if ride_pk:
             # one row gather for we columns AND next frame's state rows
-            combo = combo_pack[w_state]  # [B,KW,W*6+C_sp]
+            combo = combo_pack[w_state]  # [B,KW,W*6+C_sp] int32
             wpk = combo[..., : wmax * 6].reshape(B, KW, wmax, 6)
             spk_w = combo[..., wmax * 6 :]  # [B,KW,C_sp]
         else:
@@ -905,25 +922,25 @@ def _make_step(
         if use_defer:
             # survivors' current-frame emission (cls rides the word-end
             # gather; one KW-row fsel replaces the candidate-wide ones)
-            w_cls = jax.lax.bitcast_convert_type(wpk[..., 0, 5], jnp.int32)
+            w_cls = wpk[..., 0, 5]
             w_score = jnp.where(
                 w_score < BIG / 2, w_score + fsel(emis_t, w_cls), BIG
             )
-        ww = jax.lax.bitcast_convert_type(wpk[..., 0], jnp.int32)
-        wc = wpk[..., 1]
+        ww = wpk[..., 0]
+        wc = bc_f(wpk[..., 1])
         we_base = w_score
         if use_la:
             # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
-            we_base = w_score - la_coeff * (wpk[..., 0, 4] - la0)
+            we_base = w_score - la_coeff * (bc_f(wpk[..., 0, 4]) - la0)
         pre = jnp.where(ww != WORD_NONE, we_base[..., None] + wc, BIG).reshape(B, KW * wmax)
         neg_r, ridx = jax.lax.top_k(-pre, R)
         r_pre = -neg_r  # [B,R]
         # flat row gather of the selected word-end records (fast path)
         roff = jnp.asarray(np.arange(B, dtype=np.int32)[:, None] * (KW * wmax))
         rsel = wpk.reshape(B * KW * wmax, 6)[ridx + roff]  # [B,R,6]
-        r_word = jax.lax.bitcast_convert_type(rsel[..., 0], jnp.int32)
-        r_lemma = jax.lax.bitcast_convert_type(rsel[..., 2], jnp.int32)
-        r_next = jax.lax.bitcast_convert_type(rsel[..., 3], jnp.int32)
+        r_word = rsel[..., 0]
+        r_lemma = rsel[..., 2]
+        r_next = rsel[..., 3]
         src = ridx // wmax
         # (two quarter-row fsels instead of this packed row gather
         # measured 331 vs 333 audio-s/s — the interleave copy the stack
@@ -964,35 +981,34 @@ def _make_step(
                 jnp.concatenate([w_bp, root_bp], axis=1),
             ],
             axis=-1,
-        )  # [B,KW+R,3]
+        )  # [B,KW+R,3] int32
         if ride_pk:
             # append the state rows so the merge delivers next frame's
-            # pk directly (word-end re-entries get a tiny [B,R] gather)
-            spk_root = state_pack[root_state]  # [B,R,C_sp]
+            # pk directly (word-end re-entries get a tiny [B,R] gather);
+            # everything is an int32 carrier — this relayout is exactly
+            # where an f32 carrier got its smuggled ids flushed on TPU
+            spk_root = state_pack[root_state]  # [B,R,C_sp] int32
             m_rows = jnp.concatenate(
                 [
-                    bc_f(m_core),
+                    m_core,
                     jnp.concatenate([spk_w, spk_root], axis=1),
                 ],
                 axis=2,
-            )  # [B,KW+R,3+C_sp] f32
+            )  # [B,KW+R,3+C_sp] int32
         else:
             m_rows = m_core
         neg2, idx2 = jax.lax.top_k(-m_score, K)
         f2 = rowsel(m_rows, idx2)
         f2_score = -neg2
+        f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2[..., 0])
+        f2_lm = f2[..., 1]
+        f2_bp = f2[..., 2]
         if ride_pk:
-            f2_state = jnp.where(f2_score >= BIG / 2, SENT, bc_i(f2[..., 0]))
-            f2_lm = bc_i(f2[..., 1])
-            f2_bp = bc_i(f2[..., 2])
             # a SENT-forced slot keeps whatever row rode along: its
             # score is BIG, so every expansion it seeds stays BIG and
             # loses recombination — same guarantees as the sentinel row
             f2_pk = f2[..., 3:]
         else:
-            f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2[..., 0])
-            f2_lm = f2[..., 1]
-            f2_bp = f2[..., 2]
             f2_pk = pk_c
 
         # ----------------------------------------------- freeze inactive
@@ -1040,9 +1056,14 @@ def init_carry(B: int, cfg: BeamConfig, lm: NgramTables, state_pack):
     return (state0, lm0, score0, bp0, pk0, state0, lm0, score0, bp0)
 
 
-def _best_and_records(lm, lm_prep, recs, finals, cfg: BeamConfig, T: int):
+def _best_and_records(
+    lm, lm_prep, recs, finals, cfg: BeamConfig, T: int, nfinal: int = 1
+):
     """Final best-hypothesis selection + device traceback walk (the tail
-    shared by the offline scan and the streaming finalize)."""
+    shared by the offline scan and the streaming finalize).
+
+    ``nfinal``: states [0, nfinal) accept complete hypotheses (the
+    within-word tree has one root; the across-word network two)."""
     fstate, flm, fscore, fbp = finals
     B = fstate.shape[0]
     R = cfg.word_end_limit
@@ -1059,7 +1080,7 @@ def _best_and_records(lm, lm_prep, recs, finals, cfg: BeamConfig, T: int):
     # tensors ship only when lattices are requested (lazy), while the
     # best path walks here and returns [MAXW, B] words/times.
     r_lemma, r_score, r_prev, r_lmcost, r_word, r_lm = recs
-    final_total = jnp.where(fstate == 0, fscore + end_cost, BIG)
+    final_total = jnp.where(fstate < nfinal, fscore + end_cost, BIG)
     best_idx = jnp.argmin(final_total, axis=1)
     best_score = jnp.take_along_axis(final_total, best_idx[:, None], axis=1)[:, 0]
     best_bp = jnp.take_along_axis(fbp, best_idx[:, None], axis=1)[:, 0]
@@ -1111,7 +1132,9 @@ def _best_and_records(lm, lm_prep, recs, finals, cfg: BeamConfig, T: int):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "wmax", "hroot", "kbranch", "beam_axis", "beam_par"),
+    static_argnames=(
+        "cfg", "wmax", "hroot", "kbranch", "beam_axis", "beam_par", "nfinal",
+    ),
 )
 def _decode_scan(
     tree: TreeTables,
@@ -1125,6 +1148,7 @@ def _decode_scan(
     kbranch: int,
     beam_axis: Optional[str] = None,
     beam_par: int = 1,
+    nfinal: int = 1,
 ):
     """Whole-utterance batched decode: scan + final selection/traceback."""
     B, T, M = emissions.shape
@@ -1133,10 +1157,13 @@ def _decode_scan(
         beam_axis, beam_par,
     )
     ts = jnp.arange(T, dtype=jnp.int32)
-    carry, recs = jax.lax.scan(step, carry0, (jnp.swapaxes(emissions, 0, 1), ts))
+    carry, recs = jax.lax.scan(
+        step, carry0, (jnp.swapaxes(emissions, 0, 1), ts),
+        unroll=cfg.scan_unroll,
+    )
     _, _, _, _, _, fstate, flm, fscore, fbp = carry
     return _best_and_records(
-        lm, lm_prep, recs, (fstate, flm, fscore, fbp), cfg, T
+        lm, lm_prep, recs, (fstate, flm, fscore, fbp), cfg, T, nfinal
     )
 
 
@@ -1164,7 +1191,7 @@ def _decode_block(
     return jax.lax.scan(step, carry, (jnp.swapaxes(emissions, 0, 1), ts))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "nfinal"))
 def _finalize_stream(
     lm: NgramTables,
     lm_prep,
@@ -1172,6 +1199,7 @@ def _finalize_stream(
     carry,
     captured: jnp.ndarray,  # [B] bool: n_frames was reached during feeds
     cfg: BeamConfig,
+    nfinal: int = 1,
 ):
     """Streaming finalize: utterances whose declared length was reached
     use the frozen finals captured in the scan; still-live utterances
@@ -1185,7 +1213,9 @@ def _finalize_stream(
         jnp.where(c, fscore, score),
         jnp.where(c, fbp, bp),
     )
-    return _best_and_records(lm, lm_prep, recs, finals, cfg, recs[0].shape[0])
+    return _best_and_records(
+        lm, lm_prep, recs, finals, cfg, recs[0].shape[0], nfinal
+    )
 
 
 @dataclasses.dataclass
@@ -1267,6 +1297,7 @@ class TreeDecoder:
             min(kbranch, K_loc),
             beam_axis,
             beam_par,
+            self.tree.num_final_states,
         )
         if mesh is None:
             assert beam_axis is None, "beam_axis requires a mesh"

@@ -130,6 +130,7 @@ class StreamingDecoder:
             self._carry,
             captured,
             self.dec.cfg,
+            self.dec.tree.num_final_states,
         )
         self.dec._last_device_records = records
         self.dec._last_n_frames_dev = np.minimum(self._n_frames, self._t)

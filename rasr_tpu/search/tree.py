@@ -60,8 +60,14 @@ class PrefixTree:
     lookahead: Optional[np.ndarray] = None
     #: word-end re-entry state per (state, word-end slot). None = all 0
     #: (the prefix tree's root). Generic WFST networks re-enter at
-    #: non-emitting junction states instead (search/wfst.py).
+    #: non-emitting junction states instead (search/wfst.py), and the
+    #: across-word network re-enters at context-conditioned roots.
     we_next: Optional[np.ndarray] = None
+    #: states [0, num_final_states) accept complete hypotheses (utterance
+    #: may end there). The within-word tree has exactly one such state
+    #: (the root); the across-word network also accepts its
+    #: boundary-committed root (state 1).
+    num_final_states: int = 1
 
     @property
     def num_states(self) -> int:
@@ -93,6 +99,7 @@ def build_prefix_tree(
     lm_vocab: Optional[Dict[str, int]] = None,
     within_phone_skip: bool = True,
     lm_unigrams: Optional[Dict[int, float]] = None,
+    across_word: bool = False,
 ) -> PrefixTree:
     """Compile the decoding network from the lexicon.
 
@@ -100,7 +107,18 @@ def build_prefix_tree(
     synt token is missing from it decode via <unk> if present, else are
     scored as no-LM words. ``lm_unigrams`` (LM word id -> unscaled -log
     unigram cost) enables the lookahead potential.
+
+    ``across_word=True`` builds the across-word network instead: word-
+    boundary triphone contexts are modeled exactly (context-conditioned
+    roots + word-end right-context fan-out) rather than approximated with
+    ``#`` (ref: the word-conditioned/advanced tree searches' across-word
+    model support, src/Am/ClassicAcousticModel.* transducer contexts).
     """
+    if across_word:
+        return _build_across_word_tree(
+            lexicon, tying, topology, transitions, lm_vocab,
+            within_phone_skip, lm_unigrams,
+        )
     alphabet = AllophoneAlphabet(
         lexicon, max_states=max(topology.states_per_phone, topology.silence_states)
     )
@@ -180,11 +198,27 @@ def build_prefix_tree(
             final_ph = lexicon.phonemes.by_id(pron.phonemes[-1])
             final_tdp = transitions.for_class(final_ph.context_independent)
             we_cost = min(final_tdp.exit + pron.score, BIG)
-            word_ends[prev_last_state].append((lm_word, we_cost, lemma_idx))
+            word_ends[prev_last_state].append((lm_word, we_cost, lemma_idx, 0))
 
-    # ---- flatten ---------------------------------------------------------
+    tree = _flatten_tree(emission_class, loop_cost, out_arcs, word_ends, lemma_list)
+    if lm_unigrams is not None:
+        tree.lookahead = compute_lookahead(tree, lm_unigrams)
+    return tree
+
+
+def _flatten_tree(
+    emission_class: List[int],
+    loop_cost: List[float],
+    out_arcs: List[List[Tuple[int, float]]],
+    word_ends: List[List[Tuple[int, float, int, int]]],
+    lemma_list: List,
+    num_final_states: int = 1,
+) -> PrefixTree:
+    """Host lists -> dense decode arrays (shared by both network builders).
+
+    Word-end entries are (lm_word, cost, lemma_idx, re-entry state); arcs
+    with the same destination dedup to the min cost."""
     S = len(emission_class)
-    # dedup arcs (same dst keep min cost)
     arc_ptr = np.zeros(S + 1, np.int32)
     flat_dst: List[int] = []
     flat_cost: List[float] = []
@@ -205,18 +239,24 @@ def build_prefix_tree(
     we_word = np.full((S, w_max), WORD_NONE, np.int32)
     we_cost_arr = np.full((S, w_max), np.float32(BIG), np.float32)
     we_lemma = np.full((S, w_max), -1, np.int32)
+    we_next = np.zeros((S, w_max), np.int32)
+    any_next = False
     for s, ws in enumerate(word_ends):
-        # dedup identical (word, lemma) keeping best cost
-        seen: Dict[Tuple[int, int], float] = {}
-        for w, c, l in ws:
-            if (w, l) not in seen or c < seen[(w, l)]:
-                seen[(w, l)] = c
-        for k, ((w, l), c) in enumerate(sorted(seen.items(), key=lambda kv: kv[1])):
+        # dedup identical (word, lemma, re-entry) keeping best cost
+        seen: Dict[Tuple[int, int, int], float] = {}
+        for w, c, l, nx in ws:
+            if (w, l, nx) not in seen or c < seen[(w, l, nx)]:
+                seen[(w, l, nx)] = c
+        for k, ((w, l, nx), c) in enumerate(
+            sorted(seen.items(), key=lambda kv: kv[1])
+        ):
             we_word[s, k] = w
             we_cost_arr[s, k] = c
             we_lemma[s, k] = l
+            we_next[s, k] = nx
+            any_next = any_next or nx != 0
 
-    tree = PrefixTree(
+    return PrefixTree(
         emission_class=np.asarray(emission_class, np.int32),
         loop_cost=np.asarray(loop_cost, np.float32),
         arc_ptr=arc_ptr,
@@ -227,9 +267,191 @@ def build_prefix_tree(
         we_lemma=we_lemma,
         lemmas=lemma_list,
         max_out_degree=max_deg,
+        we_next=we_next if any_next else None,
+        num_final_states=num_final_states,
+    )
+
+
+def _lm_word_of(lemma, lm_vocab, unk_id) -> int:
+    synt = lemma.synt_tokens()
+    if not synt:
+        return WORD_SILENCE
+    if lm_vocab is None:
+        return WORD_SILENCE if lemma.special == "silence" else 0
+    return lm_vocab.get(synt[0], unk_id if unk_id is not None else WORD_SILENCE)
+
+
+def _build_across_word_tree(
+    lexicon: Lexicon,
+    tying: StateTying,
+    topology: HmmTopology,
+    transitions: TransitionModel,
+    lm_vocab: Optional[Dict[str, int]],
+    within_phone_skip: bool,
+    lm_unigrams: Optional[Dict[int, float]],
+) -> PrefixTree:
+    """Across-word search network: exact word-boundary triphone contexts.
+
+    Structure (the TPU-dense form of the reference's across-word model —
+    context-conditioned tree copies in Search::WordConditionedTreeSearch /
+    AdvancedTreeSearch):
+
+    * **state 0** (``root``): left context ``#`` and an unconstrained
+      successor — utterance start and the state after any context-
+      breaking (ci-final) word such as silence. FINAL.
+    * **state 1** (``root#``): reached by committing right context ``#``
+      at a word end — only context-breaking (ci-initial) words (silence)
+      may follow, or the utterance ends. FINAL.
+    * **root(f, r)** for every non-ci final phone f x non-ci initial
+      phone r: reached by ending a word on f having committed the
+      successor's initial phone r; fans out to words starting with r,
+      whose first-phone allophones take left context f. NOT final.
+    * word ends of a word with non-ci final phone pn fan out per
+      committed right context: one copy per r (re-entering root(pn, r))
+      plus the ``#`` copy (re-entering root#). ci-final words re-enter
+      state 0 (context break). Copies whose tied-class signatures
+      coincide share their final-phone states via the arc map and simply
+      stack word-end slots with different re-entry states.
+    * arcs are shared by tied-class signature exactly as in the
+      within-word tree (first-phone arcs share across roots, so suffixes
+      are built once per signature, not once per left context).
+
+    Pruning semantics, exactness contract, and the decoder are unchanged:
+    re-entry at non-0 roots rides the generic ``we_next`` machinery the
+    WFST networks already use; the only decoder-visible addition is
+    ``num_final_states = 2``.
+    """
+    alphabet = AllophoneAlphabet(
+        lexicon, max_states=max(topology.states_per_phone, topology.silence_states)
+    )
+    unk_id = lm_vocab.get("<unk>") if lm_vocab else None
+
+    def is_ci(pid: int) -> bool:
+        return lexicon.phonemes.by_id(pid).context_independent
+
+    # ---- pass 1: pronunciation inventory + boundary-context sets ---------
+    lemma_list: List = []
+    prons: List[Tuple[int, int, object]] = []  # (lemma_idx, lm_word, pron)
+    for lemma in lexicon.lemmata:
+        if not lemma.pronunciations:
+            continue
+        lm_word = _lm_word_of(lemma, lm_vocab, unk_id)
+        lemma_idx = len(lemma_list)
+        lemma_list.append(lemma)
+        for pron in lemma.pronunciations:
+            prons.append((lemma_idx, lm_word, pron))
+
+    F = sorted({p.phonemes[-1] for _, _, p in prons if not is_ci(p.phonemes[-1])})
+    R = sorted({p.phonemes[0] for _, _, p in prons if not is_ci(p.phonemes[0])})
+
+    # ---- states -----------------------------------------------------------
+    emission_class: List[int] = [0, 0]  # root, root#
+    loop_cost: List[float] = [BIG, BIG]
+    out_arcs: List[List[Tuple[int, float]]] = [[], []]
+    word_ends: List[List[Tuple[int, float, int, int]]] = [[], []]
+    ROOT0, ROOTH = 0, 1
+
+    def new_state(cls: int, loop: float) -> int:
+        emission_class.append(cls)
+        loop_cost.append(min(loop, BIG))
+        out_arcs.append([])
+        word_ends.append([])
+        return len(emission_class) - 1
+
+    # context-conditioned roots, allocated up front so every arc runs from
+    # a lower to a higher state id (keeps compute_lookahead's single
+    # reverse sweep a valid reverse-topological relaxation)
+    root_id: Dict[Tuple[int, int], int] = {}
+    for f in F:
+        for r in R:
+            root_id[(f, r)] = new_state(0, BIG)
+
+    # arc sharing: key -> (first_state, last_state). First-phone arcs key
+    # on the phone itself (shared across all roots with equal signatures);
+    # later arcs key on the previous arc's last state (= the shared
+    # prefix), exactly the within-word discipline.
+    arc_map: Dict[Tuple, Tuple[int, int]] = {}
+
+    def build_arc(parent_key, pid, left, right, boundary):
+        tdp = transitions.for_class(is_ci(pid))
+        sts = alphabet.phone_states(pid, left, right, topology, boundary)
+        classes = tuple(tying.classify(st) for st in sts)
+        key = (parent_key, classes)
+        if key in arc_map:
+            return arc_map[key]
+        sids = [new_state(c, tdp.loop) for c in classes]
+        for j in range(len(sids) - 1):
+            out_arcs[sids[j]].append((sids[j + 1], min(tdp.forward, BIG)))
+        if within_phone_skip and tdp.skip < BIG:
+            for j in range(len(sids) - 2):
+                out_arcs[sids[j]].append((sids[j + 2], tdp.skip))
+        arc_map[key] = (sids[0], sids[-1])
+        return arc_map[key]
+
+    from ..models.allophone import FLAG_FINAL, FLAG_INITIAL, NO_CONTEXT
+
+    for lemma_idx, lm_word, pron in prons:
+        ph = pron.phonemes
+        n = len(ph)
+        final_tdp = transitions.for_class(is_ci(ph[-1]))
+        we_cost = min(final_tdp.exit + pron.score, BIG)
+
+        # committed right contexts at the word end -> re-entry roots
+        if is_ci(ph[-1]):
+            rhos = [(NO_CONTEXT, ROOT0)]  # context break: successor free
+        else:
+            rhos = [(NO_CONTEXT, ROOTH)] + [
+                (r, root_id[(ph[-1], r)]) for r in R
+            ]
+        # left-context entry roots
+        if is_ci(ph[0]):
+            lams = [(NO_CONTEXT, (ROOT0, ROOTH))]
+        else:
+            lams = [(NO_CONTEXT, (ROOT0,))] + [
+                (f, (root_id[(f, ph[0])],)) for f in F
+            ]
+
+        for lam, entry_roots in lams:
+            if n == 1:
+                for rho, next_root in rhos:
+                    first, last = build_arc(
+                        ("a1", ph[0], FLAG_INITIAL | FLAG_FINAL),
+                        ph[0], lam, rho, FLAG_INITIAL | FLAG_FINAL,
+                    )
+                    for er in entry_roots:
+                        out_arcs[er].append((first, 0.0))
+                    word_ends[last].append((lm_word, we_cost, lemma_idx, next_root))
+                continue
+            first, prev_last = build_arc(
+                ("a1", ph[0], FLAG_INITIAL), ph[0], lam, ph[1], FLAG_INITIAL
+            )
+            for er in entry_roots:
+                out_arcs[er].append((first, 0.0))
+            for i in range(1, n - 1):
+                fwd = min(transitions.for_class(is_ci(ph[i - 1])).forward, BIG)
+                head, tail = build_arc(prev_last, ph[i], ph[i - 1], ph[i + 1], 0)
+                out_arcs[prev_last].append((head, fwd))
+                prev_last = tail
+            fwd = min(transitions.for_class(is_ci(ph[n - 2])).forward, BIG)
+            for rho, next_root in rhos:
+                head, tail = build_arc(
+                    prev_last, ph[n - 1], ph[n - 2], rho, FLAG_FINAL
+                )
+                out_arcs[prev_last].append((head, fwd))
+                word_ends[tail].append((lm_word, we_cost, lemma_idx, next_root))
+
+    tree = _flatten_tree(
+        emission_class, loop_cost, out_arcs, word_ends, lemma_list,
+        num_final_states=2,
     )
     if lm_unigrams is not None:
         tree.lookahead = compute_lookahead(tree, lm_unigrams)
+        # the decoder's word-end undo subtracts (la[state] - la[root 0]);
+        # with many roots the shaping telescope stays exact only if every
+        # re-entry root carries the SAME potential — pin them all to
+        # la[0] (any consistent potential is exact; this one just shapes
+        # within words)
+        tree.lookahead[: 2 + len(root_id)] = tree.lookahead[0]
     return tree
 
 
@@ -278,6 +500,7 @@ def save_tree(tree: PrefixTree, path: str) -> None:
         we_cost=tree.we_cost,
         we_lemma=tree.we_lemma,
         max_out_degree=np.int64(tree.max_out_degree),
+        num_final_states=np.int64(tree.num_final_states),
         lookahead=(
             tree.lookahead if tree.lookahead is not None else np.zeros(0, np.float32)
         ),
@@ -317,4 +540,7 @@ def load_tree(path: str, lexicon) -> PrefixTree:
         max_out_degree=int(data["max_out_degree"]),
         lookahead=la if la.size else None,
         we_next=wn if wn.size else None,
+        num_final_states=(
+            int(data["num_final_states"]) if "num_final_states" in data else 1
+        ),
     )

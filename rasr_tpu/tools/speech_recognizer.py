@@ -37,7 +37,12 @@ from ..pipeline.recognizer import OfflineRecognizer
 from ..pipeline.visitor import CorpusVisitor
 from ..search.decoder import BeamConfig, TreeDecoder
 from ..search.tree import build_prefix_tree, load_tree, save_tree
-from ..utils.component import ParameterFloat, ParameterInt, ParameterString
+from ..utils.component import (
+    ParameterBool,
+    ParameterFloat,
+    ParameterInt,
+    ParameterString,
+)
 from .application import Application
 from .feature_extraction import frontend_from_config
 
@@ -82,6 +87,11 @@ class SpeechRecognizerTool(Application):
     speaker = ParameterString("speaker", default="")
     #: or an explicit segment list file (one full segment name per line)
     segment_list_file = ParameterString("segment-list-file", default="")
+    #: model word-boundary triphone contexts exactly (across-word search
+    #: network: context-conditioned roots + word-end right-context
+    #: fan-out) instead of the within-word # approximation (ref: the
+    #: reference decoders' across-word model support)
+    across_word = ParameterBool("across-word", default=False)
 
     def _network(self, lexicon, tying, topology, transitions):
         """Compiled search network + LM tables, via the image cache."""
@@ -96,6 +106,7 @@ class SpeechRecognizerTool(Application):
                     with open(f, "rb") as fh:
                         h.update(fh.read())
             h.update(str(self.states_per_phone).encode())
+            h.update(str(bool(self.across_word)).encode())
             # the TDPs are baked into the tree's loop/arc/word-end costs
             h.update(repr(transitions).encode())
             key = h.hexdigest()
@@ -117,7 +128,7 @@ class SpeechRecognizerTool(Application):
         unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
         tree = build_prefix_tree(
             lexicon, tying, topology, transitions, lm_vocab=lm.vocab,
-            lm_unigrams=unigrams,
+            lm_unigrams=unigrams, across_word=bool(self.across_word),
         )
         if cache:
             save_tree(tree, cache + ".tree.npz")

@@ -1,0 +1,259 @@
+"""Across-word triphone search: exactness vs brute force.
+
+The across-word network (search/tree.py::_build_across_word_tree) models
+word-boundary triphone contexts exactly — context-conditioned roots plus
+word-end right-context fan-out — instead of the within-word tree's ``#``
+approximation (ref: across-word model support in the reference's
+word-conditioned/advanced tree searches).
+
+Properties tested:
+* pruning off -> decoder score over the across-word network equals an
+  exhaustive minimum over word sequences, each scored by forced
+  alignment with TRUE cross-word contexts (align/graph.py across_word)
+  plus the LM;
+* with a context-INsensitive tying the across-word network must decode
+  identically to the within-word tree (the contexts collapse);
+* unigram-lookahead potential shaping stays exact on the multi-root
+  network (root potentials are pinned — see tree.py);
+* lattices and streaming work against multi-root finality.
+"""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rasr_tpu.align.graph import build_linear_graph
+from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+from rasr_tpu.models.allophone import AllophoneState
+from rasr_tpu.models.hmm import HmmTopology, Tdp, TransitionModel
+from rasr_tpu.models.lm.arpa import NgramLm
+from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+from rasr_tpu.models.tying import MonophoneStateTying, StateTying
+from rasr_tpu.ops.viterbi import BIG, viterbi_align
+from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+from rasr_tpu.search.tree import build_prefix_tree
+
+
+class InterningTriphoneTying(StateTying):
+    """Context-SENSITIVE identity tying: every distinct
+    (center, left, right, boundary, hmm-state) gets its own class."""
+
+    def __init__(self):
+        self.table = {}
+
+    def classify(self, state: AllophoneState) -> int:
+        a = state.allophone
+        key = (a.center, a.left, a.right, a.boundary, state.state)
+        return self.table.setdefault(key, len(self.table))
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.table)
+
+
+@pytest.fixture(scope="module")
+def xw_setup():
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    lex.add_lemma(["A"], [(["a"], 0.0)])  # single-phone: both contexts vary
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    trans = TransitionModel(
+        speech=Tdp(loop=1.0, forward=0.0, skip=math.inf, exit=0.5),
+        silence=Tdp(loop=0.2, forward=0.5, skip=math.inf, exit=0.3),
+    )
+    lm = NgramLm.train_from_text(
+        [["AB", "BA"], ["AB", "A"], ["BA", "AB"], ["A", "BA"], ["AB", "BA"]],
+        order=2,
+    )
+    tables = compile_ngram(lm)
+    tying = InterningTriphoneTying()
+    tree = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm.vocab, across_word=True
+    )
+    return lex, topo, tying, trans, lm, tables, tree
+
+
+def _oracle_best(lex, topo, tying, trans, lm, emissions, T, lm_scale, max_words=4):
+    """Brute force: min over word sequences (with explicit silences) of
+    cross-word forced-alignment cost + scaled LM cost + </s>."""
+    words = ["AB", "BA", "A"]
+    eos = lm.vocab["</s>"]
+    best = (np.inf, None)
+    items = words + ["[SILENCE]"]
+
+    def lm_cost_of(seq):
+        h = lm.start_history()
+        c = 0.0
+        for w in seq:
+            if w == "[SILENCE]":
+                continue
+            wid = lm.vocab[w]
+            c += lm_scale * lm.score(h, wid)
+            h = lm.extended_history(h, wid)
+        return c + lm_scale * lm.score(h, eos)
+
+    for n in range(1, max_words + 1):
+        for seq in itertools.product(items, repeat=n):
+            g = build_linear_graph(
+                " ".join(seq), lex, tying, topo, trans,
+                optional_silence=False, across_word=True,
+            )
+            if g.num_states > T:
+                continue
+            e = emissions[:, :, g.emission_ids]  # [1,T,S]
+            cost, _ = viterbi_align(
+                jnp.asarray(e), jnp.asarray(g.loop[None]), jnp.asarray(g.fwd[None]),
+                jnp.asarray(g.skip[None]), jnp.asarray(g.init[None]),
+                jnp.asarray(g.final[None]), jnp.asarray([T]),
+            )
+            total = float(np.asarray(cost)[0]) + lm_cost_of(seq)
+            if total < best[0]:
+                best = (total, seq)
+    return best
+
+
+def test_structure(xw_setup):
+    lex, topo, tying, trans, lm, tables, tree = xw_setup
+    assert tree.num_final_states == 2
+    assert tree.we_next is not None
+    # word ends re-enter context roots beyond the two final roots
+    assert int(tree.we_next.max()) > 1
+    # roots: 2 boundary + |F={a,b}| x |R={a,b}| context roots, non-emitting
+    assert np.all(tree.loop_cost[:6] >= BIG / 2)
+
+
+def test_crossword_context_graph(xw_setup):
+    """Alignment graphs carry true junction contexts in across mode."""
+    lex, topo, tying, trans, lm, tables, tree = xw_setup
+    g = build_linear_graph(
+        "AB BA", lex, tying, topo, trans,
+        optional_silence=False, across_word=True,
+    )
+    # AB's final b sees right context b (BA's first); BA's first b sees
+    # left context b (AB's final)
+    a_b = g.states[1].allophone  # b of AB
+    b_b = g.states[2].allophone  # b of BA
+    pid_b = lex.phonemes["b"].id
+    assert a_b.right == pid_b
+    assert b_b.left == pid_b
+    # within-word mode keeps # at the junction
+    g0 = build_linear_graph(
+        "AB BA", lex, tying, topo, trans, optional_silence=False
+    )
+    assert g0.states[1].allophone.right == 0
+
+
+def test_crossword_exact_vs_oracle(xw_setup, rng=np.random.default_rng(7)):
+    lex, topo, tying, trans, lm, tables, tree = xw_setup
+    M = tying.num_classes
+    T = 6
+    lm_scale = 0.7
+    dec = TreeDecoder(
+        tree, tables,
+        BeamConfig(max_hyps=512, beam=1e9, word_end_limit=128,
+                   root_hyps=512, lm_scale=lm_scale),
+    )
+    for trial in range(3):
+        emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
+        (res,) = dec.decode_scores(emis, np.array([T]))
+        oracle_score, oracle_seq = _oracle_best(
+            lex, topo, tying, trans, lm, emis, T, lm_scale
+        )
+        assert oracle_seq is not None
+        np.testing.assert_allclose(res.score, oracle_score, rtol=1e-4, atol=1e-3)
+        got = [l.primary_orth for l in res.lemmas]
+        assert got == list(oracle_seq), (got, oracle_seq, trial)
+
+
+def test_monophone_collapse_equals_within_word(xw_setup):
+    """With context-insensitive tying the across-word network must decode
+    exactly like the within-word tree."""
+    lex, topo, _, trans, lm, tables, _ = xw_setup
+    mono = MonophoneStateTying(lex, topo)
+    t_in = build_prefix_tree(lex, mono, topo, trans, lm_vocab=lm.vocab)
+    t_xw = build_prefix_tree(
+        lex, mono, topo, trans, lm_vocab=lm.vocab, across_word=True
+    )
+    cfg = BeamConfig(max_hyps=512, beam=1e9, word_end_limit=128,
+                     root_hyps=512, lm_scale=0.7)
+    d_in = TreeDecoder(t_in, tables, cfg)
+    d_xw = TreeDecoder(t_xw, tables, cfg)
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        emis = rng.uniform(0.0, 6.0, size=(1, 7, mono.num_classes)).astype(np.float32)
+        (a,) = d_in.decode_scores(emis, np.array([7]))
+        (b,) = d_xw.decode_scores(emis, np.array([7]))
+        np.testing.assert_allclose(a.score, b.score, rtol=1e-4, atol=1e-3)
+        assert [l.primary_orth for l in a.lemmas] == [
+            l.primary_orth for l in b.lemmas
+        ]
+
+
+def test_crossword_lookahead_exact(xw_setup):
+    lex, topo, tying, trans, lm, tables, tree = xw_setup
+    unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
+    tree_la = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm.vocab,
+        lm_unigrams=unigrams, across_word=True,
+    )
+    assert tree_la.lookahead is not None and np.any(tree_la.lookahead != 0)
+    # all root potentials pinned equal (multi-root telescoping)
+    nroots = int((tree_la.loop_cost >= BIG / 2).nonzero()[0].max()) + 1
+    assert np.all(tree_la.lookahead[:6] == tree_la.lookahead[0])
+    cfg = BeamConfig(max_hyps=512, beam=1e9, word_end_limit=128,
+                     root_hyps=512, lm_scale=0.7)
+    d0 = TreeDecoder(tree, tables, cfg)
+    d1 = TreeDecoder(tree_la, tables, cfg)
+    rng = np.random.default_rng(11)
+    M = tying.num_classes
+    for _ in range(2):
+        emis = rng.uniform(0.0, 6.0, size=(1, 6, M)).astype(np.float32)
+        (a,) = d0.decode_scores(emis, np.array([6]))
+        (b,) = d1.decode_scores(emis, np.array([6]))
+        np.testing.assert_allclose(a.score, b.score, rtol=1e-4, atol=1e-3)
+        assert [l.primary_orth for l in a.lemmas] == [l.primary_orth for l in b.lemmas]
+
+
+def test_crossword_lattice_and_streaming(xw_setup):
+    from rasr_tpu.lattice.lattice import decoder_lattice
+    from rasr_tpu.search.streaming import StreamingDecoder
+
+    lex, topo, tying, trans, lm, tables, tree = xw_setup
+    M = tying.num_classes
+    rng = np.random.default_rng(5)
+    emis = rng.uniform(0.0, 6.0, size=(1, 6, M)).astype(np.float32)
+    cfg = BeamConfig(max_hyps=512, beam=1e9, word_end_limit=128,
+                     root_hyps=512, lm_scale=0.7)
+    dec = TreeDecoder(tree, tables, cfg)
+    (off,) = dec.decode_scores(emis, np.array([6]))
+    lat = decoder_lattice(dec, 0)
+    # the decoded best path exists in the lattice with the same score
+    assert lat.final_scores, "lattice must have final nodes"
+    # streaming in two blocks == offline
+    sd = StreamingDecoder(dec)
+    sd.restart(batch_size=1, n_frames=np.array([6]))
+    sd.feed(emis[:, :3])
+    sd.feed(emis[:, 3:])
+    (st,) = sd.finalize()
+    np.testing.assert_allclose(st.score, off.score, rtol=1e-4)
+    assert [l.primary_orth for l in st.lemmas] == [
+        l.primary_orth for l in off.lemmas
+    ]
+
+
+def test_tree_image_roundtrip_crossword(xw_setup, tmp_path):
+    from rasr_tpu.search.tree import load_tree, save_tree
+
+    lex, topo, tying, trans, lm, tables, tree = xw_setup
+    p = str(tmp_path / "xw_tree.npz")
+    save_tree(tree, p)
+    t2 = load_tree(p, lex)
+    assert t2.num_final_states == 2
+    np.testing.assert_array_equal(t2.we_next, tree.we_next)
+    np.testing.assert_array_equal(t2.emission_class, tree.emission_class)

@@ -122,6 +122,22 @@ def test_full_tool_chain(workdir):
     )
     assert "WER: 0.0000" in out
 
+    # across-word search network (exact word-boundary contexts); with
+    # monophone tying it must collapse to the same 0-WER result
+    out = run_tool(
+        "rasr_tpu.tools.speech_recognizer",
+        "--speech-recognizer.corpus-file=toy.corpus",
+        "--speech-recognizer.lexicon-file=lexicon.xml",
+        "--speech-recognizer.lm-file=lm.arpa",
+        "--speech-recognizer.mixture-file=model.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.across-word=true",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.frontend.normalize=none", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
+
     out = run_tool(
         "rasr_tpu.tools.flf_tool",
         "--flf-tool.lattice-archive=lat.cache",
