@@ -212,10 +212,7 @@ def correctness_canary():
     tying = MonophoneStateTying(lex, topo)
     lm = NgramLm.train_from_text([["AB", "BA"], ["BA", "AB"]], order=2)
     tree = build_prefix_tree(lex, tying, topo, TransitionModel(), lm_vocab=lm.vocab)
-    dec = TreeDecoder(
-        tree, compile_ngram(lm),
-        BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.5),
-    )
+    tables = compile_ngram(lm)
     # plant: sil sil a a b b  -> [SILENCE] AB
     from rasr_tpu.models.allophone import Allophone, AllophoneState
 
@@ -226,11 +223,21 @@ def correctness_canary():
     emis = np.full((1, len(seq), tying.num_classes), 50.0, np.float32)
     for t, c in enumerate(seq):
         emis[0, t, c] = 0.0
-    (res,) = dec.decode_scores(emis, np.array([len(seq)]))
-    got = [l.primary_orth for l in res.lemmas]
-    assert got == ["[SILENCE]", "AB"], f"ON-DEVICE CANARY FAILED: {got}"
-    assert res.word_ends == [1, 5], f"ON-DEVICE CANARY FAILED: {res.word_ends}"
-    sys.stderr.write("canary ok: [SILENCE] AB @ [1, 5]\n")
+    # plain config AND the production pruning paths the timed bench uses
+    # (root_select + deferred_emission + branch/root caps) must both
+    # produce the planted answer on-chip
+    for cfg in (
+        BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.5),
+        BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.5,
+                   root_hyps=4, root_select=8, root_arc_limit=2,
+                   branch_hyps=16, deferred_emission=True),
+    ):
+        dec = TreeDecoder(tree, tables, cfg)
+        (res,) = dec.decode_scores(emis, np.array([len(seq)]))
+        got = [l.primary_orth for l in res.lemmas]
+        assert got == ["[SILENCE]", "AB"], f"ON-DEVICE CANARY FAILED: {got}"
+        assert res.word_ends == [1, 5], f"ON-DEVICE CANARY FAILED: {res.word_ends}"
+    sys.stderr.write("canary ok: [SILENCE] AB @ [1, 5] (plain + rsel/defer)\n")
 
 
 def main():

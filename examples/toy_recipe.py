@@ -181,6 +181,22 @@ def main() -> None:
                    "--speech-recognizer.frontend.normalize=none", cwd=workdir)
     assert "WER: 0.0000" in out, "triphone recognition should nail the toy corpus"
 
+    # -- stage 4c: across-word triphone decoding — exact word-boundary
+    # contexts (context-conditioned roots + word-end fan-out) with the
+    # same CART triphone model
+    out = run_tool("speech_recognizer",
+                   "--speech-recognizer.corpus-file=toy.corpus",
+                   "--speech-recognizer.lexicon-file=lexicon.xml",
+                   "--speech-recognizer.lm-file=lm.arpa",
+                   "--speech-recognizer.mixture-file=tri.mix",
+                   "--speech-recognizer.states-per-phone=1",
+                   "--speech-recognizer.cart-file=cart.json",
+                   "--speech-recognizer.across-word=true",
+                   "--speech-recognizer.search.lm-scale=2.0",
+                   "--speech-recognizer.search.max-hyps=256",
+                   "--speech-recognizer.frontend.normalize=none", cwd=workdir)
+    assert "WER: 0.0000" in out, "across-word recognition should nail the toy corpus"
+
     # -- stage 5: forced alignment cache for NN training
     run_tool("acoustic_model_trainer",
              "--acoustic-model-trainer.action=align",

@@ -324,6 +324,11 @@ class BeamConfig:
     #: (dispatch + layout-copy slop); results are identical. Costs
     #: compile time and HLO size.
     scan_unroll: int = 1
+    #: force the two-key (state, lm) recombination sort even when the
+    #: packed int32 key would fit — the path production 4-gram decodes
+    #: take ((S+1)*L >= 2^31). Results must be identical either way;
+    #: exists so tests can exercise the big-LM path on small setups.
+    force_unpacked_keys: bool = False
 
 
 def _bc_f(a):  # int32 -> f32 bits
@@ -442,7 +447,7 @@ def _make_step(
     # packed (state, lm) recombination key when it fits int32; sentinel
     # state included so pruned slots pack too
     L = lm.num_states
-    pack_keys = (SENT + 1) * L < 2**31
+    pack_keys = (SENT + 1) * L < 2**31 and not cfg.force_unpacked_keys
     cand_width = 3 * K_loc + kbranch * Db + (0 if use_rsel else Wr)
     use_defer = cfg.deferred_emission
     E = cfg.expansion_limit

@@ -195,6 +195,30 @@ def test_monophone_collapse_equals_within_word(xw_setup):
         ]
 
 
+def test_two_key_recombination_identical(xw_setup):
+    """The two-key (state, lm) sort path — what production 4-gram
+    decodes take when the packed int32 key overflows — must produce
+    identical results to the packed-key path."""
+    lex, topo, tying, trans, lm, tables, tree = xw_setup
+    M = tying.num_classes
+    rng = np.random.default_rng(21)
+    base = dict(max_hyps=512, beam=1e9, word_end_limit=128,
+                root_hyps=512, lm_scale=0.7)
+    d_packed = TreeDecoder(tree, tables, BeamConfig(**base))
+    d_twokey = TreeDecoder(
+        tree, tables, BeamConfig(**base, force_unpacked_keys=True)
+    )
+    for _ in range(2):
+        emis = rng.uniform(0.0, 6.0, size=(2, 7, M)).astype(np.float32)
+        ra = d_packed.decode_scores(emis, np.array([7, 6]))
+        rb = d_twokey.decode_scores(emis, np.array([7, 6]))
+        for a, b in zip(ra, rb):
+            np.testing.assert_allclose(a.score, b.score, rtol=1e-5)
+            assert [l.primary_orth for l in a.lemmas] == [
+                l.primary_orth for l in b.lemmas
+            ]
+
+
 def test_crossword_lookahead_exact(xw_setup):
     lex, topo, tying, trans, lm, tables, tree = xw_setup
     unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
