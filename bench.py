@@ -119,6 +119,9 @@ def build_setup(
     tree = build_prefix_tree(
         lex, tying, topology, TransitionModel(), lm_vocab=vocab,
         lm_unigrams=unigrams,
+        # BENCH_ACROSS=1: the across-word network (exact word-boundary
+        # triphone contexts; context roots + word-end fan-out)
+        across_word=bool(int(os.environ.get("BENCH_ACROSS", "0"))),
     )
 
     if os.environ.get("BENCH_SCORER", "gmm") == "conformer":
