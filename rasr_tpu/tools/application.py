@@ -28,6 +28,28 @@ class Application(Component):
         super().__init__(config, self.name)
         if self.log_file:
             LogManager.get().open_jsonl(self.log_file)
+            self.log("system-information", **self._system_information())
+
+    @staticmethod
+    def _system_information():
+        """Host/runtime facts logged at startup (ref: the reference's
+        <system-information> element in every XML log)."""
+        import os
+        import platform
+
+        info = {
+            "hostname": platform.node(),
+            "python": platform.python_version(),
+            "pid": os.getpid(),
+            "machine": platform.machine(),
+        }
+        try:  # devices only if jax is already initialized elsewhere
+            import jax
+
+            info["jax"] = jax.__version__
+        except Exception:  # pragma: no cover
+            pass
+        return info
 
     def run(self, args: List[str]) -> int:  # pragma: no cover - interface
         raise NotImplementedError
@@ -64,6 +86,12 @@ class Application(Component):
             return 0
         config = Configuration()
         rest = config.parse_args(argv)
+        if "--dump-config" in rest:
+            # resolved-configuration dump channel (ref: the reference's
+            # config dump: every rule with its source, for debugging
+            # selector precedence)
+            rest.remove("--dump-config")
+            print(config.dump())
         app = cls(config)
         try:
             rc = app.run(rest)

@@ -161,6 +161,28 @@ def test_tool_help_and_bad_config(workdir):
     assert bad.returncode != 0  # invalid choice rejected
 
 
+def test_dump_config_and_system_information(workdir):
+    """--dump-config prints resolved rules with sources; a log-file run
+    starts with the system-information record (ref: the reference's
+    config dump channel and <system-information> log element)."""
+    out = run_tool(
+        "rasr_tpu.tools.corpus_statistics",
+        "--corpus-statistics.corpus-file=toy.corpus",
+        "--dump-config", cwd=str(workdir),
+    )
+    assert "corpus-statistics.corpus-file = toy.corpus" in out
+    assert "<cmdline>" in out
+    run_tool(
+        "rasr_tpu.tools.corpus_statistics",
+        "--corpus-statistics.corpus-file=toy.corpus",
+        "--corpus-statistics.log-file=stats.jsonl", cwd=str(workdir),
+    )
+    import json as _json
+
+    first = _json.loads((workdir / "stats.jsonl").read_text().splitlines()[0])
+    assert first["msg"] == "system-information" and "hostname" in first
+
+
 def test_align_nn_and_util_tools(workdir):
     """Second half of the tool chain: alignment cache -> nn-trainer
     (supervised + priors), plus lm-util, fsa, lattice-processor."""
