@@ -72,17 +72,29 @@ def build_setup(
 
     class HashTying(StateTying):
         """Pseudo-CART: deterministic hash of (allophone, state) to
-        num_classes tied classes (same compute shape as CART tying)."""
+        num_classes tied classes (same compute shape as CART tying).
 
-        def __init__(self, n):
+        ``ctx_groups`` quantizes left/right context phones into that
+        many groups before hashing — a realistic CART collapses most
+        contexts this way. 0 = fully context-distinct (the worst case
+        for the across-word network's size: BENCH_CTX_GROUPS knob)."""
+
+        def __init__(self, n, ctx_groups=0):
             self.num_classes = n
+            self.g = ctx_groups
+
+        def _ctx(self, p):
+            return (1 + p % self.g) if (self.g and p) else p
 
         def classify(self, state):
             al = state.allophone
-            h = (al.center * 73856093) ^ (al.left * 19349663) ^ (al.right * 83492791) ^ (state.state * 2971215073)
+            left, right = self._ctx(al.left), self._ctx(al.right)
+            h = (al.center * 73856093) ^ (left * 19349663) ^ (right * 83492791) ^ (state.state * 2971215073)
             return 1 + (h % (self.num_classes - 1))
 
-    tying = HashTying(num_classes)
+    tying = HashTying(
+        num_classes, ctx_groups=int(os.environ.get("BENCH_CTX_GROUPS", "0"))
+    )
 
     # n-gram LM over the word vocab (BENCH_LM_ORDER: 2 = classic bigram
     # decode; 4 = production 4-gram shape — the LM state space outgrows

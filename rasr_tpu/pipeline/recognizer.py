@@ -38,6 +38,7 @@ class OfflineRecognizer:
         prefetch: bool = True,
         feature_cache: Optional[str] = None,
         feature_transforms=None,
+        ctm_file: Optional[str] = None,
     ):
         self.frontend = frontend
         self.scorer = scorer
@@ -61,6 +62,11 @@ class OfflineRecognizer:
         #: applied after the frontend (ref: the adaptation pass of the
         #: reference's recognizer; train/fmllr.py)
         self.feature_transforms = feature_transforms
+        #: optional CTM (time-marked conversation) output: one
+        #: ``<recording> <channel> <begin_s> <dur_s> <word>`` line per
+        #: recognized word, absolute times (segment start + frame
+        #: boundaries from the decoder's word ends)
+        self.ctm_file = ctm_file
 
     def _cached_features(self, batch):
         from .feature_extractor import load_features
@@ -75,11 +81,30 @@ class OfflineRecognizer:
             n_frames[i] = r.shape[0]
         return feats, n_frames
 
+    def _ctm_lines(self, seg, res) -> List[str]:
+        lines = []
+        prev_end = -1
+        for lemma, end in zip(res.lemmas, res.word_ends):
+            tokens = lemma.eval_tokens()
+            begin_f, dur_f = prev_end + 1, max(end - prev_end, 1)
+            prev_end = end
+            if not tokens:  # silence / non-scored lemma
+                continue
+            tdur = dur_f * self.frame_shift_s / len(tokens)
+            for k, tok in enumerate(tokens):
+                t0 = seg.start + (begin_f * self.frame_shift_s) + k * tdur
+                lines.append(
+                    f"{seg.recording.name} {1 + seg.track} "
+                    f"{t0:.3f} {tdur:.3f} {tok}"
+                )
+        return lines
+
     def run(self, visitor: CorpusVisitor) -> List[DecodeResult]:
         results: List[DecodeResult] = []
         archive = (
             FileArchive(self.lattice_archive, "a") if self.lattice_archive else None
         )
+        ctm = open(self.ctm_file, "w", encoding="utf-8") if self.ctm_file else None
         try:
             batches = (
                 prefetch_batches(visitor) if self.prefetch else visitor.batches()
@@ -131,9 +156,14 @@ class OfflineRecognizer:
                     if archive is not None:
                         lat = decoder_lattice(self.decoder, i)
                         archive.write(seg.full_name, lat.pack())
+                    if ctm is not None:
+                        for line in self._ctm_lines(seg, res):
+                            ctm.write(line + "\n")
         finally:
             if archive is not None:
                 archive.close()
+            if ctm is not None:
+                ctm.close()
         report = self.evaluator.report()
         self.log("corpus done", **report, mean_rtf=self.rtf.mean)
         return results

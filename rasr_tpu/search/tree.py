@@ -302,16 +302,22 @@ def _build_across_word_tree(
     * **state 1** (``root#``): reached by committing right context ``#``
       at a word end — only context-breaking (ci-initial) words (silence)
       may follow, or the utterance ends. FINAL.
-    * **root(f, r)** for every non-ci final phone f x non-ci initial
-      phone r: reached by ending a word on f having committed the
-      successor's initial phone r; fans out to words starting with r,
-      whose first-phone allophones take left context f. NOT final.
-    * word ends of a word with non-ci final phone pn fan out per
-      committed right context: one copy per r (re-entering root(pn, r))
-      plus the ``#`` copy (re-entering root#). ci-final words re-enter
-      state 0 (context break). Copies whose tied-class signatures
-      coincide share their final-phone states via the arc map and simply
-      stack word-end slots with different re-entry states.
+    * **root(f, G)** for every non-ci final phone f x right-context
+      GROUP G: reached by ending a word on f having committed that the
+      successor starts with some phone in G; fans out to words starting
+      with any r in G, whose first-phone allophones take left context f.
+      NOT final. Right contexts group by the tying: for a given word
+      end, all successors r whose final-phone class signatures coincide
+      are acoustically indistinguishable, so ONE word-end copy
+      re-entering the grouped root covers them all — exact, and it
+      keeps the word-end slot count at the tying's context RESOLUTION
+      instead of the phone-set size (a collapsing tying otherwise
+      stacked ~|R| slots per shared word-end state, ballooning the
+      decoder's word-end scan width: measured 25.7 vs ~200 audio-s/s).
+    * word ends of a word with non-ci final phone pn therefore fan out
+      one copy per signature group (re-entering root(pn, G)) plus the
+      ``#`` copy (re-entering root#). ci-final words re-enter state 0
+      (context break).
     * arcs are shared by tied-class signature exactly as in the
       within-word tree (first-phone arcs share across roots, so suffixes
       are built once per signature, not once per left context).
@@ -344,6 +350,47 @@ def _build_across_word_tree(
     F = sorted({p.phonemes[-1] for _, _, p in prons if not is_ci(p.phonemes[-1])})
     R = sorted({p.phonemes[0] for _, _, p in prons if not is_ci(p.phonemes[0])})
 
+    from ..models.allophone import FLAG_FINAL, FLAG_INITIAL, NO_CONTEXT
+
+    # ---- pass A: right-context signature groups per word end -------------
+    # Successor phones r whose final-phone class signatures coincide are
+    # acoustically indistinguishable at this word end: one word-end copy
+    # + one grouped root covers them exactly. Groups (and therefore the
+    # roots) depend on the tying's context resolution.
+    def signature(pid, left, right, boundary):
+        sts = alphabet.phone_states(pid, left, right, topology, boundary)
+        return tuple(tying.classify(st) for st in sts)
+
+    # memo: (pron identity, lam-or-None) -> {classes: sorted [r...]}
+    group_memo: Dict[Tuple, Dict[Tuple, List[int]]] = {}
+    root_keys = set()
+
+    def groups_for(pron, lam):
+        """Signature groups of the final phone over successors r in R.
+        ``lam`` only matters for single-phone pronunciations."""
+        ph = pron.phonemes
+        n = len(ph)
+        key = (id(pron), lam if n == 1 else None)
+        if key not in group_memo:
+            left = lam if n == 1 else ph[n - 2]
+            bnd = (FLAG_INITIAL | FLAG_FINAL) if n == 1 else FLAG_FINAL
+            g: Dict[Tuple, List[int]] = {}
+            for r in R:
+                g.setdefault(signature(ph[-1], left, r, bnd), []).append(r)
+            group_memo[key] = g
+        return group_memo[key]
+
+    for _, _, pron in prons:
+        ph = pron.phonemes
+        if is_ci(ph[-1]):
+            continue
+        lams_a = (
+            ([NO_CONTEXT] + F) if len(ph) == 1 and not is_ci(ph[0]) else [None]
+        )
+        for lam in lams_a:
+            for G in groups_for(pron, lam).values():
+                root_keys.add((ph[-1], tuple(G)))
+
     # ---- states -----------------------------------------------------------
     emission_class: List[int] = [0, 0]  # root, root#
     loop_cost: List[float] = [BIG, BIG]
@@ -361,10 +408,14 @@ def _build_across_word_tree(
     # context-conditioned roots, allocated up front so every arc runs from
     # a lower to a higher state id (keeps compute_lookahead's single
     # reverse sweep a valid reverse-topological relaxation)
-    root_id: Dict[Tuple[int, int], int] = {}
-    for f in F:
-        for r in R:
-            root_id[(f, r)] = new_state(0, BIG)
+    root_id: Dict[Tuple[int, Tuple[int, ...]], int] = {}
+    for fk in sorted(root_keys):
+        root_id[fk] = new_state(0, BIG)
+    # entry lookup: (left context f, first phone p0) -> roots to enter from
+    roots_by_entry: Dict[Tuple[int, int], List[int]] = {}
+    for (f, G), rid in root_id.items():
+        for r in G:
+            roots_by_entry.setdefault((f, r), []).append(rid)
 
     # arc sharing: key -> (first_state, last_state). First-phone arcs key
     # on the phone itself (shared across all roots with equal signatures);
@@ -388,32 +439,33 @@ def _build_across_word_tree(
         arc_map[key] = (sids[0], sids[-1])
         return arc_map[key]
 
-    from ..models.allophone import FLAG_FINAL, FLAG_INITIAL, NO_CONTEXT
-
     for lemma_idx, lm_word, pron in prons:
         ph = pron.phonemes
         n = len(ph)
         final_tdp = transitions.for_class(is_ci(ph[-1]))
         we_cost = min(final_tdp.exit + pron.score, BIG)
 
-        # committed right contexts at the word end -> re-entry roots
-        if is_ci(ph[-1]):
-            rhos = [(NO_CONTEXT, ROOT0)]  # context break: successor free
-        else:
-            rhos = [(NO_CONTEXT, ROOTH)] + [
-                (r, root_id[(ph[-1], r)]) for r in R
+        def rhos_for(lam):
+            """Committed right contexts -> (representative r, re-entry
+            root), one per signature group (+ the # copy)."""
+            if is_ci(ph[-1]):
+                return [(NO_CONTEXT, ROOT0)]  # context break: successor free
+            return [(NO_CONTEXT, ROOTH)] + [
+                (G[0], root_id[(ph[-1], tuple(G))])
+                for G in groups_for(pron, lam).values()
             ]
+
         # left-context entry roots
         if is_ci(ph[0]):
             lams = [(NO_CONTEXT, (ROOT0, ROOTH))]
         else:
             lams = [(NO_CONTEXT, (ROOT0,))] + [
-                (f, (root_id[(f, ph[0])],)) for f in F
+                (f, tuple(roots_by_entry.get((f, ph[0]), ()))) for f in F
             ]
 
         for lam, entry_roots in lams:
             if n == 1:
-                for rho, next_root in rhos:
+                for rho, next_root in rhos_for(lam):
                     first, last = build_arc(
                         ("a1", ph[0], FLAG_INITIAL | FLAG_FINAL),
                         ph[0], lam, rho, FLAG_INITIAL | FLAG_FINAL,
@@ -433,7 +485,7 @@ def _build_across_word_tree(
                 out_arcs[prev_last].append((head, fwd))
                 prev_last = tail
             fwd = min(transitions.for_class(is_ci(ph[n - 2])).forward, BIG)
-            for rho, next_root in rhos:
+            for rho, next_root in rhos_for(None):
                 head, tail = build_arc(
                     prev_last, ph[n - 1], ph[n - 2], rho, FLAG_FINAL
                 )

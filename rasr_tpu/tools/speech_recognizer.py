@@ -87,6 +87,10 @@ class SpeechRecognizerTool(Application):
     speaker = ParameterString("speaker", default="")
     #: or an explicit segment list file (one full segment name per line)
     segment_list_file = ParameterString("segment-list-file", default="")
+    #: CTM output: one "<recording> <channel> <begin_s> <dur_s> <word>"
+    #: line per recognized word (absolute times from the decoder's
+    #: word-end frames — the standard scoring-tool interchange format)
+    ctm_file = ParameterString("ctm-file", default="")
     #: model word-boundary triphone contexts exactly (across-word search
     #: network: context-conditioned roots + word-end right-context
     #: fan-out) instead of the within-word # approximation (ref: the
@@ -198,6 +202,7 @@ class SpeechRecognizerTool(Application):
             lattice_archive=self.lattice_archive or None,
             feature_cache=self.feature_cache or None,
             feature_transforms=transforms,
+            ctm_file=self.ctm_file or None,
         )
         segment_list = None
         if self.segment_list_file:

@@ -116,11 +116,19 @@ def test_full_tool_chain(workdir):
         "--speech-recognizer.mixture-file=model.mix",
         "--speech-recognizer.states-per-phone=1",
         "--speech-recognizer.lattice-archive=lat.cache",
+        "--speech-recognizer.ctm-file=out.ctm",
         "--speech-recognizer.search.lm-scale=2.0",
         "--speech-recognizer.search.max-hyps=128",
         "--speech-recognizer.frontend.normalize=none", cwd=cwd,
     )
     assert "WER: 0.0000" in out
+    # CTM: "<recording> <channel> <begin> <dur> <word>" per word, with
+    # 2 words per utterance x 8 utterances at 0 WER
+    ctm = (workdir / "out.ctm").read_text().splitlines()
+    assert len(ctm) == 16
+    rec0, ch, t0, dur, word = ctm[0].split()
+    assert rec0 == "rec0" and ch == "1" and word in ("AB", "BA")
+    assert float(dur) > 0 and float(t0) >= 0
 
     # across-word search network (exact word-boundary contexts); with
     # monophone tying it must collapse to the same 0-WER result
