@@ -244,6 +244,38 @@ def test_crossword_lookahead_exact(xw_setup):
         assert [l.primary_orth for l in a.lemmas] == [l.primary_orth for l in b.lemmas]
 
 
+def test_crossword_production_paths_exact(xw_setup):
+    """root_select + deferred_emission + lookahead (the production
+    pruning machinery) on the multi-root across-word network: with caps
+    covering every candidate the result must equal the plain config."""
+    lex, topo, tying, trans, lm, tables, tree = xw_setup
+    unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
+    tree_la = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm.vocab,
+        lm_unigrams=unigrams, across_word=True,
+    )
+    base = dict(max_hyps=512, beam=1e9, word_end_limit=128, lm_scale=0.7)
+    d_plain = TreeDecoder(tree, tables, BeamConfig(**base, root_hyps=512))
+    G = int(tree_la.arc_ptr[1] - tree_la.arc_ptr[0])
+    d_prod = TreeDecoder(
+        tree_la, tables,
+        BeamConfig(
+            **base, root_hyps=16, root_arc_limit=G, root_select=G + 15 * G,
+            deferred_emission=True,
+        ),
+    )
+    rng = np.random.default_rng(31)
+    M = tying.num_classes
+    for _ in range(2):
+        emis = rng.uniform(0.0, 6.0, size=(1, 6, M)).astype(np.float32)
+        (a,) = d_plain.decode_scores(emis, np.array([6]))
+        (b,) = d_prod.decode_scores(emis, np.array([6]))
+        np.testing.assert_allclose(a.score, b.score, rtol=1e-4, atol=1e-3)
+        assert [l.primary_orth for l in a.lemmas] == [
+            l.primary_orth for l in b.lemmas
+        ]
+
+
 def test_crossword_lattice_and_streaming(xw_setup):
     from rasr_tpu.lattice.lattice import decoder_lattice
     from rasr_tpu.search.streaming import StreamingDecoder
