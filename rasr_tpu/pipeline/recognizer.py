@@ -39,6 +39,8 @@ class OfflineRecognizer:
         feature_cache: Optional[str] = None,
         feature_transforms=None,
         ctm_file: Optional[str] = None,
+        nbest_file: Optional[str] = None,
+        nbest: int = 10,
     ):
         self.frontend = frontend
         self.scorer = scorer
@@ -67,6 +69,11 @@ class OfflineRecognizer:
         #: recognized word, absolute times (segment start + frame
         #: boundaries from the decoder's word ends)
         self.ctm_file = ctm_file
+        #: optional n-best output: ``<segment> <rank> <score> <words>``
+        #: lines from the decode lattice (ref: Flf n-best extraction,
+        #: here inline at recognition time)
+        self.nbest_file = nbest_file
+        self.nbest = nbest
 
     def _cached_features(self, batch):
         from .feature_extractor import load_features
@@ -105,6 +112,10 @@ class OfflineRecognizer:
             FileArchive(self.lattice_archive, "a") if self.lattice_archive else None
         )
         ctm = open(self.ctm_file, "w", encoding="utf-8") if self.ctm_file else None
+        nbf = (
+            open(self.nbest_file, "w", encoding="utf-8")
+            if self.nbest_file else None
+        )
         try:
             batches = (
                 prefetch_batches(visitor) if self.prefetch else visitor.batches()
@@ -153,9 +164,25 @@ class OfflineRecognizer:
                         frames=int(np.asarray(n_frames)[i]),
                         rtf=rtf,
                     )
-                    if archive is not None:
+                    if archive is not None or nbf is not None:
                         lat = decoder_lattice(self.decoder, i)
-                        archive.write(seg.full_name, lat.pack())
+                        if archive is not None:
+                            archive.write(seg.full_name, lat.pack())
+                        if nbf is not None:
+                            from ..lattice.flf import n_best
+
+                            for rank, (score, path) in enumerate(
+                                n_best(lat, self.nbest)
+                            ):
+                                words = " ".join(
+                                    lat.lemma_orths[a.lemma]
+                                    for a in path
+                                    if a.lemma >= 0
+                                    and not lat.lemma_orths[a.lemma].startswith("[")
+                                )
+                                nbf.write(
+                                    f"{seg.full_name} {rank} {score:.4f} {words}\n"
+                                )
                     if ctm is not None:
                         for line in self._ctm_lines(seg, res):
                             ctm.write(line + "\n")
@@ -164,6 +191,8 @@ class OfflineRecognizer:
                 archive.close()
             if ctm is not None:
                 ctm.close()
+            if nbf is not None:
+                nbf.close()
         report = self.evaluator.report()
         self.log("corpus done", **report, mean_rtf=self.rtf.mean)
         return results

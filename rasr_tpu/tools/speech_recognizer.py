@@ -91,6 +91,10 @@ class SpeechRecognizerTool(Application):
     #: line per recognized word (absolute times from the decoder's
     #: word-end frames — the standard scoring-tool interchange format)
     ctm_file = ParameterString("ctm-file", default="")
+    #: n-best list output from the decode lattices:
+    #: "<segment> <rank> <score> <words>" per hypothesis
+    nbest_file = ParameterString("nbest-file", default="")
+    nbest = ParameterInt("nbest", default=10)
     #: model word-boundary triphone contexts exactly (across-word search
     #: network: context-conditioned roots + word-end right-context
     #: fan-out) instead of the within-word # approximation (ref: the
@@ -203,6 +207,8 @@ class SpeechRecognizerTool(Application):
             feature_cache=self.feature_cache or None,
             feature_transforms=transforms,
             ctm_file=self.ctm_file or None,
+            nbest_file=self.nbest_file or None,
+            nbest=self.nbest,
         )
         segment_list = None
         if self.segment_list_file:

@@ -117,6 +117,8 @@ def test_full_tool_chain(workdir):
         "--speech-recognizer.states-per-phone=1",
         "--speech-recognizer.lattice-archive=lat.cache",
         "--speech-recognizer.ctm-file=out.ctm",
+        "--speech-recognizer.nbest-file=out.nbest",
+        "--speech-recognizer.nbest=3",
         "--speech-recognizer.search.lm-scale=2.0",
         "--speech-recognizer.search.max-hyps=128",
         "--speech-recognizer.frontend.normalize=none", cwd=cwd,
@@ -129,6 +131,17 @@ def test_full_tool_chain(workdir):
     rec0, ch, t0, dur, word = ctm[0].split()
     assert rec0 == "rec0" and ch == "1" and word in ("AB", "BA")
     assert float(dur) > 0 and float(t0) >= 0
+    # n-best: rank-0 lines carry the 0-WER best hypothesis; scores
+    # non-decreasing with rank within a segment
+    nb = (workdir / "out.nbest").read_text().splitlines()
+    per_seg = {}
+    for line in nb:
+        seg, rank, score, *words = line.split()
+        per_seg.setdefault(seg, []).append((int(rank), float(score), words))
+    assert len(per_seg) == 8
+    for entries in per_seg.values():
+        scores = [s for _, s, _ in sorted(entries)]
+        assert scores == sorted(scores)
 
     # across-word search network (exact word-boundary contexts); with
     # monophone tying it must collapse to the same 0-WER result
