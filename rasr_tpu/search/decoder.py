@@ -932,21 +932,59 @@ def _make_step(
                 w_score < BIG / 2, w_score + fsel(emis_t, w_cls), BIG
             )
         ww = wpk[..., 0]
-        wc = bc_f(wpk[..., 1])
         we_base = w_score
         if use_la:
             # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
             we_base = w_score - la_coeff * (bc_f(wpk[..., 0, 4]) - la0)
-        pre = jnp.where(ww != WORD_NONE, we_base[..., None] + wc, BIG).reshape(B, KW * wmax)
-        neg_r, ridx = jax.lax.top_k(-pre, R)
-        r_pre = -neg_r  # [B,R]
-        # flat row gather of the selected word-end records (fast path)
-        roff = jnp.asarray(np.arange(B, dtype=np.int32)[:, None] * (KW * wmax))
-        rsel = wpk.reshape(B * KW * wmax, 6)[ridx + roff]  # [B,R,6]
+        if wmax > 1:
+            # two-stage EXACT top-R. Per-state word-end slots are
+            # COST-SORTED at flatten time (slot j >= slot 0 for the same
+            # hypothesis), so any hypothesis whose slot-0 candidate
+            # misses the top R of the slot-0 column bounds ALL its slots
+            # above the column's R-th best — which itself bounds the
+            # global R-th best. Stage 1 ranks the [B, KW] slot-0 column;
+            # stage 2 ranks the survivors' [B, R*wmax] slot fan:
+            # KW + R*wmax sorted instead of KW*wmax. Word-end-slot
+            # stacking (homophones, grouped across-word re-entries)
+            # otherwise multiplies the dominant selection width
+            # (docs/PERF.md across-word table: 119 -> see bench).
+            pre0 = jnp.where(
+                ww[..., 0] != WORD_NONE, we_base + bc_f(wpk[..., 0, 1]), BIG
+            )
+            negh, hsel = jax.lax.top_k(-pre0, min(R, KW))  # [B, Rh]
+            Rh = hsel.shape[1]
+            wpk_r = rowsel(wpk.reshape(B, KW, wmax * 6), hsel).reshape(
+                B, Rh, wmax, 6
+            )
+            base_r = rowsel(we_base[..., None], hsel)[..., 0]  # [B, Rh]
+            pre = jnp.where(
+                wpk_r[..., 0] != WORD_NONE,
+                base_r[..., None] + bc_f(wpk_r[..., 1]),
+                BIG,
+            ).reshape(B, Rh * wmax)
+            neg_r, ridx = jax.lax.top_k(-pre, R)
+            r_pre = -neg_r  # [B,R]
+            roff = jnp.asarray(
+                np.arange(B, dtype=np.int32)[:, None] * (Rh * wmax)
+            )
+            rsel = wpk_r.reshape(B * Rh * wmax, 6)[ridx + roff]  # [B,R,6]
+            src = rowsel(hsel[..., None], ridx // wmax)[..., 0]
+        else:
+            wc = bc_f(wpk[..., 1])
+            pre = jnp.where(
+                ww != WORD_NONE, we_base[..., None] + wc, BIG
+            ).reshape(B, KW * wmax)
+            neg_r, ridx = jax.lax.top_k(-pre, R)
+            r_pre = -neg_r  # [B,R]
+            # flat row gather of the selected word-end records (fast path)
+            roff = jnp.asarray(
+                np.arange(B, dtype=np.int32)[:, None] * (KW * wmax)
+            )
+            rsel = wpk.reshape(B * KW * wmax, 6)[ridx + roff]  # [B,R,6]
+            src = ridx // wmax
         r_word = rsel[..., 0]
         r_lemma = rsel[..., 2]
         r_next = rsel[..., 3]
-        src = ridx // wmax
         # (two quarter-row fsels instead of this packed row gather
         # measured 331 vs 333 audio-s/s — the interleave copy the stack
         # pays here overlaps with other work; don't redo)

@@ -247,6 +247,9 @@ def _flatten_tree(
         for w, c, l, nx in ws:
             if (w, l, nx) not in seen or c < seen[(w, l, nx)]:
                 seen[(w, l, nx)] = c
+        # INVARIANT: slots sorted by cost ascending — the decoder's
+        # two-stage word-end top-R (search/decoder.py, wmax > 1 path)
+        # is exact ONLY under this ordering (slot 0 bounds the rest)
         for k, ((w, l, nx), c) in enumerate(
             sorted(seen.items(), key=lambda kv: kv[1])
         ):

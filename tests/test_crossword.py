@@ -426,6 +426,78 @@ def test_across_word_improves_wer_on_coarticulated_corpus():
     assert wer_across < wer_within * 0.65, (wer_across, wer_within)
 
 
+def test_homophones_stack_word_ends_exactly():
+    """Homophone lemmas (identical pronunciation) stack word-end slots
+    on one state (wmax > 1) — exercising the decoder's two-stage
+    word-end selection — and must decode exactly: every homophone's LM
+    score is considered and the best-scoring one wins."""
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["AB2"], [(["a", "b"], 0.0)])  # homophone of AB
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    trans = TransitionModel(
+        speech=Tdp(loop=1.0, forward=0.0, skip=math.inf, exit=0.5),
+        silence=Tdp(loop=0.2, forward=0.5, skip=math.inf, exit=0.3),
+    )
+    tying = MonophoneStateTying(lex, topo)
+    # LM strongly prefers AB2 over AB
+    lm = NgramLm.train_from_text(
+        [["AB2", "BA"]] * 6 + [["AB", "BA"]], order=2
+    )
+    tables = compile_ngram(lm)
+    tree = build_prefix_tree(lex, tying, topo, trans, lm_vocab=lm.vocab)
+    assert tree.max_word_ends >= 2  # the homophones stack
+    dec = TreeDecoder(
+        tree, tables,
+        BeamConfig(max_hyps=256, beam=1e9, word_end_limit=64,
+                   root_hyps=256, lm_scale=2.0),
+    )
+    rng = np.random.default_rng(2)
+    M = tying.num_classes
+    # brute force over word sequences incl. BOTH homophones
+    from rasr_tpu.align.graph import build_linear_graph as _blg
+
+    def oracle(emis, T):
+        best = (np.inf, None)
+        words = ["AB", "AB2", "BA"]
+        eos = lm.vocab["</s>"]
+        for n in range(1, 4):
+            for seq in itertools.product(words + ["[SILENCE]"], repeat=n):
+                g = _blg(" ".join(seq), lex, tying, topo, trans,
+                         optional_silence=False)
+                if g.num_states > T:
+                    continue
+                e = emis[:, :, g.emission_ids]
+                cost, _ = viterbi_align(
+                    jnp.asarray(e), jnp.asarray(g.loop[None]),
+                    jnp.asarray(g.fwd[None]), jnp.asarray(g.skip[None]),
+                    jnp.asarray(g.init[None]), jnp.asarray(g.final[None]),
+                    jnp.asarray([T]),
+                )
+                h = lm.start_history()
+                c = 0.0
+                for w in seq:
+                    if w == "[SILENCE]":
+                        continue
+                    wid = lm.vocab[w]
+                    c += 2.0 * lm.score(h, wid)
+                    h = lm.extended_history(h, wid)
+                c += 2.0 * lm.score(h, eos)
+                total = float(np.asarray(cost)[0]) + c
+                if total < best[0]:
+                    best = (total, seq)
+        return best
+
+    for trial in range(3):
+        emis = rng.uniform(0.0, 6.0, size=(1, 6, M)).astype(np.float32)
+        (res,) = dec.decode_scores(emis, np.array([6]))
+        oscore, oseq = oracle(emis, 6)
+        np.testing.assert_allclose(res.score, oscore, rtol=1e-4, atol=1e-3)
+        assert [l.primary_orth for l in res.lemmas] == list(oseq), trial
+
+
 def test_tree_image_roundtrip_crossword(xw_setup, tmp_path):
     from rasr_tpu.search.tree import load_tree, save_tree
 
