@@ -158,6 +158,7 @@ class OfflineRecognizer:
                     self.stats(
                         "recognized",
                         segment=seg.full_name,
+                        speaker=seg.speaker or "",
                         recognized=res.orth,
                         reference=seg.orth,
                         score=res.score,

@@ -22,6 +22,7 @@ TOOLS = [
     "corpus_statistics",
     "lm_util",
     "fsa_tool",
+    "log_analysis",
 ]
 
 

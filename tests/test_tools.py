@@ -121,9 +121,20 @@ def test_full_tool_chain(workdir):
         "--speech-recognizer.nbest=3",
         "--speech-recognizer.search.lm-scale=2.0",
         "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.log-file=rec.log",
         "--speech-recognizer.frontend.normalize=none", cwd=cwd,
     )
     assert "WER: 0.0000" in out
+    # log-analysis (the in-tree "analog"): re-derives the corpus WER from
+    # the recognizer's JSONL log records
+    out_an = run_tool(
+        "rasr_tpu.tools.log_analysis",
+        "--log-analysis.json=true", "rec.log", cwd=cwd,
+    )
+    summary = json.loads(out_an)
+    assert summary["segments"] == 8
+    assert summary["total"]["wer"] == 0.0 and summary["total"]["ref_len"] == 16
+    assert summary["audio_seconds"] > 0 and summary["mean_rtf"] > 0
     # CTM: "<recording> <channel> <begin> <dur> <word>" per word, with
     # 2 words per utterance x 8 utterances at 0 WER
     ctm = (workdir / "out.ctm").read_text().splitlines()
@@ -166,6 +177,38 @@ def test_full_tool_chain(workdir):
         "--flf-tool.ops=prune best evaluate oracle", cwd=cwd,
     )
     assert "WER: 0.0000" in out and "oracle WER: 0.0000" in out
+
+
+def test_log_analysis_aggregation(tmp_path):
+    """analyze(): multi-log merge, per-speaker split, unscored segments."""
+    from rasr_tpu.tools.log_analysis import _parse_records, analyze
+
+    recs = [
+        {"msg": "recognized", "channel": "statistics", "segment": "c/r0/s",
+         "speaker": "spk1", "reference": "A B", "recognized": "A B",
+         "score": 10.0, "frames": 100, "rtf": 0.02},
+        {"msg": "recognized", "segment": "c/r1/s", "speaker": "spk2",
+         "reference": "A B C", "recognized": "A X",  # 1 sub + 1 del
+         "score": 20.0, "frames": 200, "rtf": 0.04},
+        # unscored segment (no reference orth): counted but not in WER
+        {"msg": "recognized", "segment": "c/r2/s", "speaker": "",
+         "reference": "", "recognized": "B", "score": 5.0, "frames": 50,
+         "rtf": 0.01},
+        {"msg": "not recognition", "channel": "log"},
+    ]
+    log1, log2 = tmp_path / "a.log", tmp_path / "b.log"
+    log1.write_text("\n".join(json.dumps(r) for r in recs[:2]) + "\n")
+    log2.write_text("\n".join(json.dumps(r) for r in recs[2:]) + "\n{bad json")
+    report = analyze(_parse_records([str(log1), str(log2)]))
+    assert report["segments"] == 3 and report["scored_segments"] == 2
+    t = report["total"]
+    assert t["ref_len"] == 5 and t["sub"] == 1 and t["del"] == 1 and t["ins"] == 0
+    assert abs(t["wer"] - 2 / 5) < 1e-9
+    assert report["by_speaker"]["spk1"]["errors"] == 0
+    assert report["by_speaker"]["spk2"]["errors"] == 2
+    assert report["worst"][0]["segment"] == "c/r1/s"
+    assert abs(report["audio_seconds"] - 3.5) < 1e-9
+    assert abs(report["max_rtf"] - 0.04) < 1e-12
 
 
 def test_tool_help_and_bad_config(workdir):
