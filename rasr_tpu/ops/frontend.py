@@ -316,6 +316,27 @@ def sliding_cmvn(
     return out
 
 
+def edge_fill(feats: jnp.ndarray, n_frames: jnp.ndarray) -> jnp.ndarray:
+    """Replace padding frames with each row's LAST VALID frame.
+
+    ``feats [B, T, D]``, ``n_frames [B]``. With the padding pre-filled,
+    the buffer-edge index clipping of :func:`splice`/:func:`deltas`
+    realizes per-SEGMENT edge replication — the reference's per-segment
+    boundary semantics (its Flow nodes stream one segment at a time, so
+    regression/splicing always replicates the true segment edge). Without
+    it, batch padding zeros leak into the context windows of the last
+    frames of every shorter-than-buffer utterance, making features depend
+    on batch packing. Rows with ``n == 0`` fill from frame 0 (masked to
+    zero downstream)."""
+    B, T = feats.shape[0], feats.shape[-2]
+    tidx = jnp.minimum(
+        jnp.arange(T, dtype=jnp.int32)[None, :],
+        jnp.maximum(n_frames.astype(jnp.int32) - 1, 0)[:, None],
+    )  # [B, T]
+    off = jnp.asarray((np.arange(B, dtype=np.int32) * T)[:, None])
+    return feats.reshape((B * T,) + feats.shape[2:])[tidx + off]
+
+
 def splice(feats: jnp.ndarray, context: int) -> jnp.ndarray:
     """[..., T, D] -> [..., T, (2*context+1)*D] with edge replication.
 
@@ -329,8 +350,17 @@ def splice(feats: jnp.ndarray, context: int) -> jnp.ndarray:
     return jnp.concatenate(pieces, axis=-1)
 
 
-def deltas(feats: jnp.ndarray, order: int = 2, window: int = 2) -> jnp.ndarray:
-    """Append regression-based delta features (ref: Signal::Regression)."""
+def deltas(
+    feats: jnp.ndarray, order: int = 2, window: int = 2,
+    n_frames: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Append regression-based delta features (ref: Signal::Regression).
+
+    With ``n_frames`` (requires ``[B, T, D]`` input), each order's output
+    is re-filled past every row's segment end (:func:`edge_fill`) so the
+    next order's clipped window reads the true per-segment edge value —
+    matching the reference's per-segment streaming exactly; the caller is
+    expected to have edge-filled the input likewise."""
     out = [feats]
     cur = feats
     denom = 2.0 * sum(i * i for i in range(1, window + 1))
@@ -342,6 +372,8 @@ def deltas(feats: jnp.ndarray, order: int = 2, window: int = 2) -> jnp.ndarray:
             bwd = cur[..., np.clip(np.arange(T) - i, 0, T - 1), :]
             acc = acc + i * (fwd - bwd)
         cur = acc / denom
+        if n_frames is not None:
+            cur = edge_fill(cur, n_frames)
         out.append(cur)
     return jnp.concatenate(out, axis=-1)
 
@@ -426,8 +458,13 @@ class FeatureFrontend:
             feats = cmvn(feats, mask, cfg.norm_variance)
         elif cfg.normalize == "sliding":
             feats = sliding_cmvn(feats, mask, cfg.norm_window, cfg.norm_variance)
+        if self.delta_order or self.splice_context:
+            # per-segment edge replication: context windows near each
+            # row's segment end must read the true edge frame, not batch
+            # padding — otherwise features depend on batch packing
+            feats = edge_fill(feats, n_frames)
         if self.delta_order:
-            feats = deltas(feats, self.delta_order)
+            feats = deltas(feats, self.delta_order, n_frames=n_frames)
         if self.splice_context:
             feats = splice(feats, self.splice_context)
         if self.lda is not None:

@@ -56,21 +56,22 @@ def _halo(x: jnp.ndarray, h: int, axis: str, P_: int):
     return left, right
 
 
-def _reclip(ext: jnp.ndarray, base, H: int, t_glob: int) -> jnp.ndarray:
-    """Re-apply global edge replication on an extended buffer.
+def _reclip(ext: jnp.ndarray, base, H: int, n: jnp.ndarray) -> jnp.ndarray:
+    """Re-apply per-SEGMENT edge replication on an extended buffer.
 
     ``ext`` [B, W, D] covers global frames ``base - H .. base - H + W``;
-    positions outside ``[0, t_glob)`` are replaced by the true edge
-    frame (which is inside the buffer whenever this shard is adjacent
-    to the edge — guaranteed by the T_loc >= H requirement). Matches
-    the ``np.clip(idx, 0, T-1)`` semantics of ops.frontend.splice/deltas.
-    """
-    W = ext.shape[1]
+    positions outside row b's ``[0, n[b])`` are replaced by the true edge
+    frame. For every shard holding (or within a halo of) a row's valid
+    frames, the edge frame is inside the buffer (``T_loc >= H``); shards
+    wholly past a row's end produce clamped junk that the output mask
+    zeroes. Matches ops.frontend.edge_fill + buffer-edge clipping."""
+    B, W = ext.shape[0], ext.shape[1]
     j = jnp.arange(W, dtype=jnp.int32)
-    g = base + j - H
-    tgt = jnp.clip(g, 0, t_glob - 1)
+    g = base + j - H  # [W] global frame ids
+    tgt = jnp.clip(g[None, :], 0, jnp.maximum(n[:, None] - 1, 0))  # [B, W]
     jj = jnp.clip(tgt - base + H, 0, W - 1)
-    return ext[:, jj]
+    off = jnp.asarray((np.arange(B, dtype=np.int32) * W)[:, None])
+    return ext.reshape((B * W,) + ext.shape[2:])[jj + off]
 
 
 def _delta_shift(ext: jnp.ndarray, window: int) -> jnp.ndarray:
@@ -239,12 +240,12 @@ class SpFrontend:
             h = self._h_ctx
             xl, xr = _halo(feats, h, axis, Pn)
             ext = jnp.concatenate([xl, feats, xr], axis=1)
-            ext = _reclip(ext, base, h, t_glob)
+            ext = _reclip(ext, base, h, n)
             if fe.delta_order:
                 pieces = [ext]
                 cur = ext
                 for _ in range(fe.delta_order):
-                    cur = _reclip(_delta_shift(cur, 2), base, h, t_glob)
+                    cur = _reclip(_delta_shift(cur, 2), base, h, n)
                     pieces.append(cur)
                 ext = jnp.concatenate(pieces, axis=-1)
             if fe.splice_context:

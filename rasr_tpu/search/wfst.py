@@ -133,6 +133,10 @@ def compile_wfst(
     we_lemma = np.full((S, w_max), -1, np.int32)
     we_next = np.zeros((S, w_max), np.int32)
     for s, ws in enumerate(word_ends):
+        # INVARIANT (shared with tree._flatten_tree): slots sorted by
+        # cost ascending — the decoder's two-stage word-end top-R
+        # (search/decoder.py, wmax > 1) is exact only under this ordering
+        ws = sorted(ws, key=lambda w: w[1])
         for k, (lm_w, cost, lemma, nxt) in enumerate(ws[:w_max]):
             we_word[s, k] = lm_w
             we_cost[s, k] = min(cost, BIG)

@@ -192,6 +192,30 @@ def test_batch_equals_single(rng):
         )
 
 
+def test_batch_padding_invariance_with_context(rng):
+    """Features must not depend on batch packing: a short utterance in a
+    longer padded buffer == the same utterance at its exact length, even
+    with delta/splice context windows at the segment tail (per-segment
+    edge replication — the reference streams per segment, so its
+    regression/splice always replicate the true segment edge)."""
+    from rasr_tpu.ops.frontend import FeatureFrontend, FrontendConfig
+
+    x = _signal(rng, 12000)
+    fe = FeatureFrontend(FrontendConfig(), splice_context=4, delta_order=2)
+    f_exact, n_exact = fe(x[None, :], np.array([12000]))
+    pad = np.zeros((1, 16000), np.float32)
+    pad[0, : len(x)] = x
+    f_padded, n_padded = fe(pad, np.array([12000]))
+    n = int(n_exact[0])
+    assert n == int(n_padded[0])
+    np.testing.assert_allclose(
+        np.asarray(f_exact)[0, :n], np.asarray(f_padded)[0, :n],
+        rtol=1e-5, atol=1e-5,
+    )
+    # padding rows beyond each segment stay exactly zero
+    assert np.all(np.asarray(f_padded)[0, n:] == 0.0)
+
+
 def test_sliding_cmvn(rng):
     from rasr_tpu.ops.frontend import sliding_cmvn
 
