@@ -230,13 +230,15 @@ def compile_packed(lm: PackedNgramLm, max_probe: int = 16):
             return np.zeros(0, bool), np.zeros(0, np.int64)
         V = lm._V
         if lm._radix_ok[k - 1]:
+            keys = lm._keys[k - 1]
+            if keys.shape[0] == 0:  # empty order (sparse ARPA section)
+                return np.zeros(rows.shape[0], bool), np.zeros(rows.shape[0], np.int64)
             key = np.zeros(rows.shape[0], np.int64)
             for c in range(k):
                 key = key * V + rows[:, c]
-            keys = lm._keys[k - 1]
             pos = np.searchsorted(keys, key)
-            pos_c = np.minimum(pos, max(keys.shape[0] - 1, 0))
-            found = (keys.shape[0] > 0) & (keys[pos_c] == key)
+            pos_c = np.minimum(pos, keys.shape[0] - 1)
+            found = keys[pos_c] == key
             return found, pos_c
         found = np.zeros(rows.shape[0], bool)
         pos = np.zeros(rows.shape[0], np.int64)

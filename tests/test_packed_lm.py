@@ -118,3 +118,23 @@ def test_native_rtar_matches_python(tmp_path):
     assert rtar_read(path, off, flags, raw, comp) == b"updated"
     off, flags, raw, comp = index["y"]
     assert rtar_read(path, off, flags, raw, comp) == b"\x01\x02\x03"
+
+
+def test_compile_packed_empty_middle_order(toy_lm):
+    """A sparse model with an EMPTY gram order must still compile (the
+    vectorized row search used to index into the empty key array)."""
+    packed = PackedNgramLm.from_ngram_lm(toy_lm)
+    # blank out the bigram level entirely: 1-gram + 3-gram only
+    packed.ids[1] = np.zeros((0, 2), np.int32)
+    packed.cost[1] = np.zeros(0, np.float32)
+    packed.backoff[1] = np.zeros(0, np.float32)
+    packed._keys[1] = packed._keys[1][:0]
+    tables = compile_packed(packed)
+    # every lookup backs off to the unigram level (no bigram states/probes)
+    states = jnp.zeros(4, jnp.int32)
+    words = jnp.asarray([toy_lm.vocab["a"], toy_lm.vocab["b"],
+                         toy_lm.vocab["c"], toy_lm.vocab["a"]], jnp.int32)
+    costs, _ = score_batch(tables, states, words)
+    for w, c in zip(["a", "b", "c", "a"], np.asarray(costs)):
+        np.testing.assert_allclose(c, toy_lm.ngrams[(toy_lm.vocab[w],)][0],
+                                   rtol=1e-5, atol=1e-6)
