@@ -74,6 +74,23 @@ class FileArchive:
         self._fh.seek(0)
         if self._fh.read(len(MAGIC)) != MAGIC:
             raise IOError(f"{self.path}: not a RTAR1 archive")
+        try:  # native scan fast path (multi-GB caches with many entries)
+            from .native import rtar_scan
+
+            native = rtar_scan(self.path)
+        except Exception:
+            native = None
+        if native is not None:
+            # the native index carries PAYLOAD offsets; the internal
+            # index (and the .idx sidecar) key RECORD starts — convert
+            self._index = {
+                name: (
+                    off - _REC.size - len(name.encode("utf-8")) - _HDR.size,
+                    flags, raw, comp,
+                )
+                for name, (off, flags, raw, comp) in native.items()
+            }
+            return
         while True:
             pos = self._fh.tell()
             head = self._fh.read(_HDR.size)

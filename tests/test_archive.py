@@ -80,3 +80,42 @@ def test_ndarray_packing():
     out = unpack_ndarray(data)
     np.testing.assert_array_equal(arr, out)
     assert out.dtype == np.float32
+
+
+def test_native_scan_matches_python(tmp_path):
+    """FileArchive's native index scan == the pure-python record walk
+    (shadowing + tombstones included), so either path may serve opens."""
+    import rasr_tpu.utils.native as native_mod
+    from rasr_tpu.utils.archive import FileArchive
+
+    path = str(tmp_path / "scan.cache")
+    with FileArchive(path, "w") as ar:
+        ar.write("a", b"first")
+        ar.write("b", b"\x00" * 1000)  # compressible
+        ar.write("a", b"second")      # shadows the first record
+        ar.write("c", b"gone")
+        ar.delete("c")                # tombstone
+    import os
+    os.remove(path + ".idx")  # force a scan on reopen
+
+    ar = FileArchive(path, "r")
+    native_index = dict(ar._index)
+    ar.close()
+
+    orig = native_mod.rtar_scan
+    native_mod.rtar_scan = lambda p: None  # force the python fallback
+    try:
+        ar = FileArchive(path, "r")
+        py_index = dict(ar._index)
+        assert ar.read("a") == b"second"
+        assert ar.read("b") == b"\x00" * 1000
+        assert "c" not in ar
+        ar.close()
+    finally:
+        native_mod.rtar_scan = orig
+
+    if native_mod.load_native() is not None:
+        assert native_index == py_index
+        ar = FileArchive(path, "r")
+        assert ar.read("a") == b"second"
+        ar.close()
