@@ -4,9 +4,13 @@ The reference checkpoints only per-iteration artifacts (mixture sets,
 weight files, caches; SURVEY §5) — resumable at stage granularity. Here
 stage artifacts keep that role (each trainer writes its own files), and
 this module adds full training-state checkpoints (params + optimizer +
-step + data-iterator seed) via orbax when available, with an npz/msgpack
-fallback, so NN epochs can resume mid-schedule on preemption — the
-elastic behavior a TPU pod job needs.
+step + data-iterator cursor) as flax-msgpack + JSON metadata, so NN
+epochs can resume mid-schedule on preemption — the elastic behavior a
+TPU pod job needs. The format is deliberately plain (one msgpack blob
+per step, replicated params): swap in orbax.checkpoint when training
+states grow beyond one host's params (sharded/async saves); the manager
+API (save/restore/latest_step) is the orbax CheckpointManager subset so
+the swap is local to this file.
 """
 
 from __future__ import annotations
@@ -15,16 +19,7 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
-import numpy as np
 from flax import serialization
-
-try:  # orbax is in the image; gate anyway
-    import orbax.checkpoint as ocp
-
-    _HAVE_ORBAX = True
-except Exception:  # pragma: no cover
-    _HAVE_ORBAX = False
 
 
 class CheckpointManager:
