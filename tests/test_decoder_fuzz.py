@@ -1,0 +1,170 @@
+"""Randomized exactness fuzz: decoder == brute force on random systems.
+
+test_decoder.py proves the exactness contract on one fixed setup; this
+fuzzes it across random lexica (word/phone inventories, pronunciation
+lengths), topologies (1-2 states/phone), transition models (incl.
+finite skips), bigram LMs from random text, and the decoder's
+exactness-preserving config variants (deferred_emission,
+force_unpacked_keys). With pruning off, the decoder's best score and
+word sequence must equal an exhaustive minimum over word sequences —
+computed as ONE batched banded-Viterbi call over all candidate
+alignment graphs (padded to a common state count) plus host LM scoring.
+"""
+
+import itertools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rasr_tpu.align.graph import build_linear_graph
+from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+from rasr_tpu.models.hmm import HmmTopology, Tdp, TransitionModel
+from rasr_tpu.models.lm.arpa import NgramLm
+from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+from rasr_tpu.models.tying import MonophoneStateTying
+from rasr_tpu.ops.viterbi import BIG, viterbi_align
+from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+from rasr_tpu.search.tree import build_prefix_tree
+
+
+def _oracle(lex, topo, tying, trans, lm, emissions, T, lm_scale, max_tokens):
+    """Exhaustive min over token sequences, batched into one DP call."""
+    words = [l.primary_orth for l in lex.lemmata if l.special != "silence"]
+    items = words + ["[SILENCE]"]
+    eos = lm.vocab["</s>"]
+
+    pron_score = {
+        l.primary_orth: l.pronunciations[0].score for l in lex.lemmata
+    }
+
+    def lm_cost_of(seq):
+        # scaled LM cost + pronunciation scores (the alignment graph
+        # carries only TDPs; the decoder folds pron scores into its
+        # word-end costs, so the oracle adds them here)
+        h = lm.start_history()
+        c = sum(pron_score[w] for w in seq)
+        for w in seq:
+            if w == "[SILENCE]":
+                continue
+            wid = lm.vocab[w]
+            c += lm_scale * lm.score(h, wid)
+            h = lm.extended_history(h, wid)
+        return c + lm_scale * lm.score(h, eos)
+
+    # minimum frames a token consumes (no skips here: graphs below are
+    # loop/forward only, so min frames == states); prunes the enumeration
+    min_len = {}
+    for it in items:
+        g1 = build_linear_graph(it, lex, tying, topo, trans, optional_silence=False)
+        min_len[it] = g1.num_states
+
+    seqs, graphs = [], []
+    for n in range(1, max_tokens + 1):
+        for seq in itertools.product(items, repeat=n):
+            if sum(min_len[w] for w in seq) > T:
+                continue
+            g = build_linear_graph(
+                " ".join(seq), lex, tying, topo, trans, optional_silence=False
+            )
+            if g.num_states > T:
+                continue
+            seqs.append(seq)
+            graphs.append(g)
+    assert graphs, "oracle found no feasible sequence"
+    S = max(g.num_states for g in graphs)
+    N = len(graphs)
+    emis = np.full((N, T, S), BIG, np.float32)
+    loop = np.full((N, S), BIG, np.float32)
+    fwd = np.full((N, S), BIG, np.float32)
+    skip = np.full((N, S), BIG, np.float32)
+    init = np.full((N, S), BIG, np.float32)
+    final = np.full((N, S), BIG, np.float32)
+    for i, g in enumerate(graphs):
+        n = g.num_states
+        emis[i, :, :n] = emissions[0][:, g.emission_ids]
+        loop[i, :n] = g.loop
+        fwd[i, :n] = g.fwd
+        skip[i, :n] = g.skip
+        init[i, :n] = g.init
+        final[i, :n] = g.final
+    cost, _ = viterbi_align(
+        jnp.asarray(emis), jnp.asarray(loop), jnp.asarray(fwd),
+        jnp.asarray(skip), jnp.asarray(init), jnp.asarray(final),
+        jnp.asarray(np.full(N, T, np.int32)),
+    )
+    cost = np.asarray(cost)
+    best = (np.inf, None)
+    for i, seq in enumerate(seqs):
+        total = float(cost[i]) + lm_cost_of(seq)
+        if total < best[0]:
+            best = (total, seq)
+    return best
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88])
+def test_decoder_fuzz_exact(seed):
+    rng = np.random.default_rng(seed)
+    # ---- random system ----------------------------------------------
+    phones = ["p", "q", "r"][: int(rng.integers(2, 4))]
+    lex = Lexicon()
+    build_default_silence(lex)
+    n_words = int(rng.integers(2, 4))
+    orths = []
+    for i in range(n_words):
+        length = int(rng.integers(1, 3))
+        pron = [phones[int(rng.integers(len(phones)))] for _ in range(length)]
+        orth = f"W{i}_" + "".join(pron).upper()
+        lex.add_lemma([orth], [(pron, float(rng.uniform(0, 0.5)))])
+        orths.append(orth)
+    spp = int(rng.integers(1, 3))
+    topo = HmmTopology(states_per_phone=spp, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    # skips stay off: alignment graphs allow within-word cross-phone
+    # skips while the search network skips only within phones, so the
+    # two models are only score-comparable with skip = inf
+    trans = TransitionModel(
+        speech=Tdp(
+            loop=float(rng.uniform(0.1, 1.5)),
+            forward=float(rng.uniform(0.0, 0.5)),
+            skip=math.inf,
+            exit=float(rng.uniform(0.0, 1.0)),
+        ),
+        silence=Tdp(
+            loop=float(rng.uniform(0.1, 0.5)),
+            forward=float(rng.uniform(0.0, 0.8)),
+            skip=math.inf,
+            exit=float(rng.uniform(0.0, 0.5)),
+        ),
+    )
+    sents = [
+        [orths[int(rng.integers(n_words))] for _ in range(int(rng.integers(1, 4)))]
+        for _ in range(6)
+    ]
+    lm = NgramLm.train_from_text(sents, order=2)
+    tables = compile_ngram(lm)
+    tree = build_prefix_tree(lex, tying, topo, trans, lm_vocab=lm.vocab)
+
+    # ---- pruning-off decode vs exhaustive minimum --------------------
+    M = tying.num_classes
+    T = int(rng.integers(5, 8))
+    lm_scale = float(rng.uniform(0.3, 1.5))
+    emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
+    variant = dict(
+        deferred_emission=bool(rng.integers(2)),
+        force_unpacked_keys=bool(rng.integers(2)),
+    )
+    dec = TreeDecoder(
+        tree, tables,
+        BeamConfig(max_hyps=512, beam=1e9, word_end_limit=128,
+                   root_hyps=512, lm_scale=lm_scale, **variant),
+    )
+    (res,) = dec.decode_scores(emis, np.array([T]))
+    # horizon T covers every decodable sequence: each token uses >=1 frame
+    oracle_score, oracle_seq = _oracle(
+        lex, topo, tying, trans, lm, emis, T, lm_scale, max_tokens=T
+    )
+    got = [l.primary_orth for l in res.lemmas]
+    np.testing.assert_allclose(res.score, oracle_score, rtol=1e-4, atol=1e-3)
+    assert got == list(oracle_seq), (got, oracle_seq, variant, seed)
