@@ -508,3 +508,147 @@ def test_tree_image_roundtrip_crossword(xw_setup, tmp_path):
     assert t2.num_final_states == 2
     np.testing.assert_array_equal(t2.we_next, tree.we_next)
     np.testing.assert_array_equal(t2.emission_class, tree.emission_class)
+
+
+class _RandomGroupTying(StateTying):
+    """CART-like random context resolution: left/right contexts collapse
+    into a random small number of groups per side (1 group == context-
+    insensitive on that side), boundary flags kept. Exercises the
+    across-word builder's right-context signature GROUPING (one word-end
+    copy per group, grouped re-entry roots) at resolutions between the
+    identity tying and monophone collapse."""
+
+    def __init__(self, rng, num_phones: int):
+        self.table = {}
+        # phone id 0 is the no-context marker; group it alone
+        self.lgroup = {0: 0}
+        self.rgroup = {0: 0}
+        nl = int(rng.integers(1, 3))
+        nr = int(rng.integers(1, 3))
+        for p in range(1, num_phones + 2):
+            self.lgroup[p] = 1 + int(rng.integers(nl))
+            self.rgroup[p] = 1 + int(rng.integers(nr))
+
+    def classify(self, state: AllophoneState) -> int:
+        a = state.allophone
+        key = (a.center, self.lgroup.get(a.left, 0), self.rgroup.get(a.right, 0),
+               a.boundary, state.state)
+        return self.table.setdefault(key, len(self.table))
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.table)
+
+
+@pytest.mark.parametrize("seed", [3, 14, 25, 36])
+def test_crossword_fuzz_exact(seed):
+    """Randomized across-word exactness: random lexicon/TDPs/LM and a
+    random context-resolution tying; pruning-off decode over the
+    across-word network == exhaustive minimum over token sequences with
+    TRUE cross-word contexts (batched banded-Viterbi oracle)."""
+    rng = np.random.default_rng(seed)
+    phones = ["p", "q", "r"][: int(rng.integers(2, 4))]
+    lex = Lexicon()
+    build_default_silence(lex)
+    n_words = int(rng.integers(2, 4))
+    orths = []
+    for i in range(n_words):
+        length = int(rng.integers(1, 3))
+        pron = [phones[int(rng.integers(len(phones)))] for _ in range(length)]
+        orth = f"W{i}_" + "".join(pron).upper()
+        lex.add_lemma([orth], [(pron, float(rng.uniform(0, 0.5)))])
+        orths.append(orth)
+    spp = int(rng.integers(1, 3))
+    topo = HmmTopology(states_per_phone=spp, silence_states=1)
+    trans = TransitionModel(
+        speech=Tdp(loop=float(rng.uniform(0.1, 1.5)),
+                   forward=float(rng.uniform(0.0, 0.5)),
+                   skip=math.inf, exit=float(rng.uniform(0.0, 1.0))),
+        silence=Tdp(loop=float(rng.uniform(0.1, 0.5)),
+                    forward=float(rng.uniform(0.0, 0.8)),
+                    skip=math.inf, exit=float(rng.uniform(0.0, 0.5))),
+    )
+    sents = [
+        [orths[int(rng.integers(n_words))] for _ in range(int(rng.integers(1, 4)))]
+        for _ in range(6)
+    ]
+    lm = NgramLm.train_from_text(sents, order=2)
+    tables = compile_ngram(lm)
+    tying = (
+        InterningTriphoneTying() if rng.uniform() < 0.5
+        else _RandomGroupTying(rng, len(lex.phonemes))
+    )
+    tree = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm.vocab, across_word=True
+    )
+
+    M = tying.num_classes
+    T = int(rng.integers(5, 7))
+    lm_scale = float(rng.uniform(0.3, 1.5))
+    emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
+    dec = TreeDecoder(
+        tree, tables,
+        BeamConfig(max_hyps=1024, beam=1e9, word_end_limit=256,
+                   root_hyps=1024, lm_scale=lm_scale,
+                   deferred_emission=bool(rng.integers(2))),
+    )
+    (res,) = dec.decode_scores(emis, np.array([T]))
+
+    # ---- batched oracle over all sequences reachable in T frames
+    items = orths + ["[SILENCE]"]
+    eos = lm.vocab["</s>"]
+    pron_score = {l.primary_orth: l.pronunciations[0].score for l in lex.lemmata}
+    min_len = {
+        it: build_linear_graph(it, lex, tying, topo, trans,
+                               optional_silence=False).num_states
+        for it in items
+    }
+
+    def lm_cost_of(seq):
+        h = lm.start_history()
+        c = sum(pron_score[w] for w in seq)
+        for w in seq:
+            if w == "[SILENCE]":
+                continue
+            wid = lm.vocab[w]
+            c += lm_scale * lm.score(h, wid)
+            h = lm.extended_history(h, wid)
+        return c + lm_scale * lm.score(h, eos)
+
+    seqs, graphs = [], []
+    for n in range(1, T + 1):
+        for seq in itertools.product(items, repeat=n):
+            if sum(min_len[w] for w in seq) > T:
+                continue
+            g = build_linear_graph(
+                " ".join(seq), lex, tying, topo, trans,
+                optional_silence=False, across_word=True,
+            )
+            if g.num_states > T:
+                continue
+            seqs.append(seq)
+            graphs.append(g)
+    S = max(g.num_states for g in graphs)
+    N = len(graphs)
+    oemis = np.full((N, T, S), BIG, np.float32)
+    arrs = {k: np.full((N, S), BIG, np.float32)
+            for k in ("loop", "fwd", "skip", "init", "final")}
+    for i, g in enumerate(graphs):
+        n = g.num_states
+        oemis[i, :, :n] = emis[0][:, g.emission_ids]
+        for k in arrs:
+            arrs[k][i, :n] = getattr(g, k)
+    cost, _ = viterbi_align(
+        jnp.asarray(oemis), jnp.asarray(arrs["loop"]), jnp.asarray(arrs["fwd"]),
+        jnp.asarray(arrs["skip"]), jnp.asarray(arrs["init"]),
+        jnp.asarray(arrs["final"]), jnp.asarray(np.full(N, T, np.int32)),
+    )
+    cost = np.asarray(cost)
+    best = (np.inf, None)
+    for i, seq in enumerate(seqs):
+        total = float(cost[i]) + lm_cost_of(seq)
+        if total < best[0]:
+            best = (total, seq)
+    got = [l.primary_orth for l in res.lemmas]
+    np.testing.assert_allclose(res.score, best[0], rtol=1e-4, atol=1e-3)
+    assert got == list(best[1]), (got, best[1], seed)
