@@ -134,6 +134,13 @@ def build_setup(
         # BENCH_ACROSS=1: the across-word network (exact word-boundary
         # triphone contexts; context roots + word-end fan-out)
         across_word=bool(int(os.environ.get("BENCH_ACROSS", "0"))),
+        # "phone" pins the historical benchmark network (skips within
+        # phones only) so headline numbers stay comparable across rounds;
+        # skip_scope="word" additionally realizes the default TDPs'
+        # finite cross-phone skips (the faithful production topology —
+        # junction fan-out grows, widening the branch sections; measured
+        # numbers for both scopes are in docs/PERF.md)
+        skip_scope=os.environ.get("BENCH_SKIP_SCOPE", "phone"),
     )
 
     if os.environ.get("BENCH_SCORER", "gmm") == "conformer":

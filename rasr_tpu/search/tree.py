@@ -100,6 +100,7 @@ def build_prefix_tree(
     within_phone_skip: bool = True,
     lm_unigrams: Optional[Dict[int, float]] = None,
     across_word: bool = False,
+    skip_scope: str = "word",
 ) -> PrefixTree:
     """Compile the decoding network from the lexicon.
 
@@ -113,11 +114,26 @@ def build_prefix_tree(
     roots + word-end right-context fan-out) rather than approximated with
     ``#`` (ref: the word-conditioned/advanced tree searches' across-word
     model support, src/Am/ClassicAcousticModel.* transducer contexts).
+
+    ``skip_scope`` controls which finite-skip TDP transitions the network
+    realizes (``within_phone_skip=False`` disables skips entirely):
+
+    * ``"word"`` (default): skips connect state j-2 -> j over each WORD's
+      whole state chain, crossing phone boundaries — the reference's
+      topology (its transducers apply TDPs over the expanded
+      pronunciation state sequence) and exactly what the alignment
+      graphs do (align/graph.py), so alignment and decode scores agree.
+    * ``"phone"``: skips stay within each phone's states (the leaner
+      historical network of this repo's benchmarks: boundary skip arcs
+      roughly double junction fan-out, which widens the decoder's
+      branch-overflow sections; with skip = inf both scopes coincide).
     """
+    if skip_scope not in ("word", "phone"):
+        raise ValueError(f"unknown skip_scope {skip_scope!r}")
     if across_word:
         return _build_across_word_tree(
             lexicon, tying, topology, transitions, lm_vocab,
-            within_phone_skip, lm_unigrams,
+            within_phone_skip, lm_unigrams, skip_scope,
         )
     alphabet = AllophoneAlphabet(
         lexicon, max_states=max(topology.states_per_phone, topology.silence_states)
@@ -137,8 +153,8 @@ def build_prefix_tree(
         word_ends.append([])
         return len(emission_class) - 1
 
-    # arc sharing: (parent_node, signature) -> (child_node, first_state, last_state)
-    arc_map: Dict[Tuple[int, Tuple], Tuple[int, int, int]] = {}
+    # arc sharing: (parent_node, signature) -> (child_node, state ids)
+    arc_map: Dict[Tuple[int, Tuple], Tuple[int, List[int]]] = {}
     next_node = [1]  # node ids (root=0); nodes are virtual (arcs carry states)
 
     lemma_list: List = []
@@ -170,30 +186,41 @@ def build_prefix_tree(
             cur_node = 0
             prev_last_state = 0  # root
             prev_leave_cost = 0.0  # cost of arc from prev into this arc's head
+            chain: List[Tuple[int, float]] = []  # (state, skip cost of its phone)
             for i, phone_states in enumerate(per_phone):
                 ph = lexicon.phonemes.by_id(pron.phonemes[i])
                 tdp = transitions.for_class(ph.context_independent)
                 classes = tuple(tying.classify(st) for st in phone_states)
                 key = (cur_node, classes)
                 if key in arc_map:
-                    child_node, first_state, last_state = arc_map[key]
+                    child_node, sids = arc_map[key]
                 else:
                     sids = [new_state(c, tdp.loop) for c in classes]
-                    # chain + skips within the phone
+                    # chain transitions within the phone
                     for j in range(len(sids) - 1):
                         out_arcs[sids[j]].append((sids[j + 1], min(tdp.forward, BIG)))
-                    if within_phone_skip and tdp.skip < BIG:
+                    if skip_scope == "phone" and within_phone_skip and tdp.skip < BIG:
                         for j in range(len(sids) - 2):
                             out_arcs[sids[j]].append((sids[j + 2], tdp.skip))
                     child_node = next_node[0]
                     next_node[0] += 1
-                    first_state, last_state = sids[0], sids[-1]
-                    arc_map[key] = (child_node, first_state, last_state)
+                    arc_map[key] = (child_node, sids)
                 # connect parent tail to this arc's head (flatten dedups)
-                out_arcs[prev_last_state].append((first_state, min(prev_leave_cost, BIG)))
+                out_arcs[prev_last_state].append((sids[0], min(prev_leave_cost, BIG)))
                 cur_node = child_node
-                prev_last_state = last_state
+                prev_last_state = sids[-1]
                 prev_leave_cost = tdp.forward
+                chain.extend((s, tdp.skip) for s in sids)
+
+            if skip_scope == "word" and within_phone_skip:
+                # skip transitions over the WHOLE word state chain (j-2 -> j,
+                # crossing phone boundaries — matching the alignment graphs
+                # and the reference's transducer topology); shared arcs
+                # re-add identical skips, the flatten dedups them
+                for j in range(2, len(chain)):
+                    src, skip_cost = chain[j - 2]
+                    if skip_cost < BIG:
+                        out_arcs[src].append((chain[j][0], skip_cost))
 
             final_ph = lexicon.phonemes.by_id(pron.phonemes[-1])
             final_tdp = transitions.for_class(final_ph.context_independent)
@@ -292,6 +319,7 @@ def _build_across_word_tree(
     lm_vocab: Optional[Dict[str, int]],
     within_phone_skip: bool,
     lm_unigrams: Optional[Dict[int, float]],
+    skip_scope: str = "word",
 ) -> PrefixTree:
     """Across-word search network: exact word-boundary triphone contexts.
 
@@ -420,11 +448,11 @@ def _build_across_word_tree(
         for r in G:
             roots_by_entry.setdefault((f, r), []).append(rid)
 
-    # arc sharing: key -> (first_state, last_state). First-phone arcs key
-    # on the phone itself (shared across all roots with equal signatures);
-    # later arcs key on the previous arc's last state (= the shared
-    # prefix), exactly the within-word discipline.
-    arc_map: Dict[Tuple, Tuple[int, int]] = {}
+    # arc sharing: key -> state ids. First-phone arcs key on the phone
+    # itself (shared across all roots with equal signatures); later arcs
+    # key on the previous arc's last state (= the shared prefix), exactly
+    # the within-word discipline.
+    arc_map: Dict[Tuple, List[int]] = {}
 
     def build_arc(parent_key, pid, left, right, boundary):
         tdp = transitions.for_class(is_ci(pid))
@@ -436,11 +464,22 @@ def _build_across_word_tree(
         sids = [new_state(c, tdp.loop) for c in classes]
         for j in range(len(sids) - 1):
             out_arcs[sids[j]].append((sids[j + 1], min(tdp.forward, BIG)))
-        if within_phone_skip and tdp.skip < BIG:
+        if skip_scope == "phone" and within_phone_skip and tdp.skip < BIG:
             for j in range(len(sids) - 2):
                 out_arcs[sids[j]].append((sids[j + 2], tdp.skip))
-        arc_map[key] = (sids[0], sids[-1])
+        arc_map[key] = sids
         return arc_map[key]
+
+    def wire_chain_skips(chain: List[Tuple[int, float]]) -> None:
+        """Word-scope skip transitions j-2 -> j over a word's state chain
+        (chain entries are (state, its phone's skip cost); duplicates from
+        shared arcs dedup at flatten)."""
+        if skip_scope != "word" or not within_phone_skip:
+            return
+        for j in range(2, len(chain)):
+            src, skip_cost = chain[j - 2]
+            if skip_cost < BIG:
+                out_arcs[src].append((chain[j][0], skip_cost))
 
     for lemma_idx, lm_word, pron in prons:
         ph = pron.phonemes
@@ -466,34 +505,48 @@ def _build_across_word_tree(
                 (f, tuple(roots_by_entry.get((f, ph[0]), ()))) for f in F
             ]
 
+        def skip_of(pid):
+            return transitions.for_class(is_ci(pid)).skip
+
         for lam, entry_roots in lams:
             if n == 1:
                 for rho, next_root in rhos_for(lam):
-                    first, last = build_arc(
+                    sids = build_arc(
                         ("a1", ph[0], FLAG_INITIAL | FLAG_FINAL),
                         ph[0], lam, rho, FLAG_INITIAL | FLAG_FINAL,
                     )
                     for er in entry_roots:
-                        out_arcs[er].append((first, 0.0))
-                    word_ends[last].append((lm_word, we_cost, lemma_idx, next_root))
+                        out_arcs[er].append((sids[0], 0.0))
+                    wire_chain_skips([(s, skip_of(ph[0])) for s in sids])
+                    word_ends[sids[-1]].append(
+                        (lm_word, we_cost, lemma_idx, next_root)
+                    )
                 continue
-            first, prev_last = build_arc(
+            sids = build_arc(
                 ("a1", ph[0], FLAG_INITIAL), ph[0], lam, ph[1], FLAG_INITIAL
             )
             for er in entry_roots:
-                out_arcs[er].append((first, 0.0))
+                out_arcs[er].append((sids[0], 0.0))
+            chain = [(s, skip_of(ph[0])) for s in sids]
+            prev_last = sids[-1]
             for i in range(1, n - 1):
                 fwd = min(transitions.for_class(is_ci(ph[i - 1])).forward, BIG)
-                head, tail = build_arc(prev_last, ph[i], ph[i - 1], ph[i + 1], 0)
-                out_arcs[prev_last].append((head, fwd))
-                prev_last = tail
+                sids = build_arc(prev_last, ph[i], ph[i - 1], ph[i + 1], 0)
+                out_arcs[prev_last].append((sids[0], fwd))
+                chain.extend((s, skip_of(ph[i])) for s in sids)
+                prev_last = sids[-1]
             fwd = min(transitions.for_class(is_ci(ph[n - 2])).forward, BIG)
             for rho, next_root in rhos_for(None):
-                head, tail = build_arc(
+                sids = build_arc(
                     prev_last, ph[n - 1], ph[n - 2], rho, FLAG_FINAL
                 )
-                out_arcs[prev_last].append((head, fwd))
-                word_ends[tail].append((lm_word, we_cost, lemma_idx, next_root))
+                out_arcs[prev_last].append((sids[0], fwd))
+                wire_chain_skips(
+                    chain + [(s, skip_of(ph[n - 1])) for s in sids]
+                )
+                word_ends[sids[-1]].append(
+                    (lm_word, we_cost, lemma_idx, next_root)
+                )
 
     tree = _flatten_tree(
         emission_class, loop_cost, out_arcs, word_ends, lemma_list,

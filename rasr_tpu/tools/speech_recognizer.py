@@ -100,6 +100,11 @@ class SpeechRecognizerTool(Application):
     #: fan-out) instead of the within-word # approximation (ref: the
     #: reference decoders' across-word model support)
     across_word = ParameterBool("across-word", default=False)
+    #: which finite-skip TDP transitions the search network realizes:
+    #: "word" = over each word's whole state chain (the reference's
+    #: topology; matches the alignment graphs), "phone" = within phones
+    #: only (leaner network; identical when tdp skip = inf)
+    skip_scope = ParameterString("skip-scope", default="word")
 
     def _network(self, lexicon, tying, topology, transitions):
         """Compiled search network + LM tables, via the image cache."""
@@ -115,6 +120,7 @@ class SpeechRecognizerTool(Application):
                         h.update(fh.read())
             h.update(str(self.states_per_phone).encode())
             h.update(str(bool(self.across_word)).encode())
+            h.update(self.skip_scope.encode())
             # the TDPs are baked into the tree's loop/arc/word-end costs
             h.update(repr(transitions).encode())
             key = h.hexdigest()
@@ -137,6 +143,7 @@ class SpeechRecognizerTool(Application):
         tree = build_prefix_tree(
             lexicon, tying, topology, transitions, lm_vocab=lm.vocab,
             lm_unigrams=unigrams, across_word=bool(self.across_word),
+            skip_scope=self.skip_scope,
         )
         if cache:
             save_tree(tree, cache + ".tree.npz")

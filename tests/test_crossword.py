@@ -560,10 +560,12 @@ def test_crossword_fuzz_exact(seed):
         orths.append(orth)
     spp = int(rng.integers(1, 3))
     topo = HmmTopology(states_per_phone=spp, silence_states=1)
+    finite_skip = bool(rng.integers(2))
     trans = TransitionModel(
         speech=Tdp(loop=float(rng.uniform(0.1, 1.5)),
                    forward=float(rng.uniform(0.0, 0.5)),
-                   skip=math.inf, exit=float(rng.uniform(0.0, 1.0))),
+                   skip=float(rng.uniform(0.5, 3.0)) if finite_skip else math.inf,
+                   exit=float(rng.uniform(0.0, 1.0))),
         silence=Tdp(loop=float(rng.uniform(0.1, 0.5)),
                     forward=float(rng.uniform(0.0, 0.8)),
                     skip=math.inf, exit=float(rng.uniform(0.0, 0.5))),
@@ -598,9 +600,13 @@ def test_crossword_fuzz_exact(seed):
     items = orths + ["[SILENCE]"]
     eos = lm.vocab["</s>"]
     pron_score = {l.primary_orth: l.pronunciations[0].score for l in lex.lemmata}
+    from tests.test_decoder_fuzz import _min_frames
+
     min_len = {
-        it: build_linear_graph(it, lex, tying, topo, trans,
-                               optional_silence=False).num_states
+        it: _min_frames(
+            build_linear_graph(it, lex, tying, topo, trans,
+                               optional_silence=False)
+        )
         for it in items
     }
 
@@ -624,8 +630,6 @@ def test_crossword_fuzz_exact(seed):
                 " ".join(seq), lex, tying, topo, trans,
                 optional_silence=False, across_word=True,
             )
-            if g.num_states > T:
-                continue
             seqs.append(seq)
             graphs.append(g)
     S = max(g.num_states for g in graphs)

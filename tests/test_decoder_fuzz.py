@@ -29,6 +29,25 @@ from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
 from rasr_tpu.search.tree import build_prefix_tree
 
 
+def _min_frames(g) -> int:
+    """Exact minimum frames to traverse a linear graph (forward pass over
+    the banded DAG: loop adds frames, fwd/skip advance 1/2 states)."""
+    S = g.num_states
+    INF = 10**9
+    d = [INF] * S
+    for s in range(S):
+        if g.init[s] < BIG / 2:
+            d[s] = 1
+    for s in range(S):
+        if d[s] == INF:
+            continue
+        if s + 1 < S and g.fwd[s + 1] < BIG / 2:
+            d[s + 1] = min(d[s + 1], d[s] + 1)
+        if s + 2 < S and g.skip[s + 2] < BIG / 2:
+            d[s + 2] = min(d[s + 2], d[s] + 1)
+    return min((d[s] for s in range(S) if g.final[s] < BIG / 2), default=INF)
+
+
 def _oracle(lex, topo, tying, trans, lm, emissions, T, lm_scale, max_tokens):
     """Exhaustive min over token sequences, batched into one DP call."""
     words = [l.primary_orth for l in lex.lemmata if l.special != "silence"]
@@ -53,12 +72,15 @@ def _oracle(lex, topo, tying, trans, lm, emissions, T, lm_scale, max_tokens):
             h = lm.extended_history(h, wid)
         return c + lm_scale * lm.score(h, eos)
 
-    # minimum frames a token consumes (no skips here: graphs below are
-    # loop/forward only, so min frames == states); prunes the enumeration
-    min_len = {}
-    for it in items:
-        g1 = build_linear_graph(it, lex, tying, topo, trans, optional_silence=False)
-        min_len[it] = g1.num_states
+    # minimum frames a token consumes (skips never cross word boundaries,
+    # so a sequence's minimum is the sum of its tokens'); prunes the
+    # enumeration exactly
+    min_len = {
+        it: _min_frames(
+            build_linear_graph(it, lex, tying, topo, trans, optional_silence=False)
+        )
+        for it in items
+    }
 
     seqs, graphs = [], []
     for n in range(1, max_tokens + 1):
@@ -68,8 +90,6 @@ def _oracle(lex, topo, tying, trans, lm, emissions, T, lm_scale, max_tokens):
             g = build_linear_graph(
                 " ".join(seq), lex, tying, topo, trans, optional_silence=False
             )
-            if g.num_states > T:
-                continue
             seqs.append(seq)
             graphs.append(g)
     assert graphs, "oracle found no feasible sequence"
@@ -118,17 +138,18 @@ def test_decoder_fuzz_exact(seed):
         orth = f"W{i}_" + "".join(pron).upper()
         lex.add_lemma([orth], [(pron, float(rng.uniform(0, 0.5)))])
         orths.append(orth)
-    spp = int(rng.integers(1, 3))
+    spp = int(rng.integers(1, 4))
     topo = HmmTopology(states_per_phone=spp, silence_states=1)
     tying = MonophoneStateTying(lex, topo)
-    # skips stay off: alignment graphs allow within-word cross-phone
-    # skips while the search network skips only within phones, so the
-    # two models are only score-comparable with skip = inf
+    # finite skips half the time: the word-scope search network realizes
+    # the same skip transitions as the alignment graphs (incl. crossing
+    # phone boundaries and skipping 1-state phones), so scores must agree
+    finite_skip = bool(rng.integers(2))
     trans = TransitionModel(
         speech=Tdp(
             loop=float(rng.uniform(0.1, 1.5)),
             forward=float(rng.uniform(0.0, 0.5)),
-            skip=math.inf,
+            skip=float(rng.uniform(0.5, 3.0)) if finite_skip else math.inf,
             exit=float(rng.uniform(0.0, 1.0)),
         ),
         silence=Tdp(
