@@ -73,7 +73,8 @@ class NnTrainerTool(Application):
 
     action = ParameterChoice(
         "action",
-        ["supervised-training", "estimate-priors", "sequence-mmi-training"],
+        ["supervised-training", "estimate-priors", "sequence-mmi-training",
+         "sequence-smbr-training"],
         default="supervised-training",
     )
     #: ffnn = framewise (ref: Nn::FeedForwardTrainer); blstm/conformer =
@@ -202,6 +203,14 @@ class NnTrainerTool(Application):
                 num_classes=num_classes, hidden=tuple(self.hidden),
                 compute_dtype=self.compute_dtype,
             )
+        criterion = (
+            "smbr" if self.action == "sequence-smbr-training" else "mmi"
+        )
+        if criterion == "smbr" and not labs:
+            raise ValueError(
+                "sequence-smbr-training needs per-frame reference labels: "
+                "set --alignment-cache to a forced-alignment cache"
+            )
         trainer = LfMmiSequenceTrainer(
             model, num_classes, den,
             TrainConfig(
@@ -209,6 +218,7 @@ class NnTrainerTool(Application):
                 optimizer=self.optimizer, epochs=self.epochs, seed=self.seed,
             ),
             ce_weight=self.mmi_ce_weight if labs else 0.0,
+            criterion=criterion,
         )
         params = None
         if self.init_params_file:
@@ -219,11 +229,12 @@ class NnTrainerTool(Application):
             log=self.log, batch_size=min(self.batch_size, feats.shape[0]),
         )
         trainer.save_params(params, self.params_file)
-        self.log("sequence mmi done", final=stats[-1] if stats else {})
+        self.log(f"sequence {criterion} done",
+                 final=stats[-1] if stats else {})
         return 0
 
     def run(self, args: List[str]) -> int:
-        if self.action == "sequence-mmi-training":
+        if self.action in ("sequence-mmi-training", "sequence-smbr-training"):
             return self._sequence_mmi()
         feats, labels, weights = _load_frames(self.feature_cache, self.alignment_cache)
         ds = FrameDataset(feats, labels, weights)

@@ -127,18 +127,15 @@ def _nlse(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.where(m >= BIG / 2, BIG, out)
 
 
-@jax.jit
-def dense_forward(
-    emissions: jnp.ndarray,  # [B, T, M] -log emission scores
+def _forward_sts(
+    e: jnp.ndarray,  # [B, T, S] expanded per-STATE -log scores
     fsa: DenseFsa,
     n_frames: jnp.ndarray,  # [B]
 ) -> jnp.ndarray:
-    """Total -log sum over all paths ([B]); differentiable — the
-    gradient w.r.t. emissions IS the state-occupancy posterior summed
-    into emission classes (the forward-backward statistics, by
-    autodiff through the recursion)."""
-    B, T, M = emissions.shape
-    e = jnp.minimum(emissions, BIG)[:, :, fsa.emis_class]  # [B, T, S]
+    """Forward total over pre-expanded per-state scores (see
+    dense_forward; split out so objectives can perturb the per-state
+    scores directly, e.g. expected_accuracy's accuracy bonus)."""
+    B, T, S = e.shape
     alpha0 = jnp.minimum(fsa.init[None] + e[:, 0], BIG)
 
     def step(carry, inputs):
@@ -159,6 +156,58 @@ def dense_forward(
         (jnp.swapaxes(e[:, 1:], 0, 1), jnp.arange(1, T)),
     )
     return total
+
+
+@jax.jit
+def dense_forward(
+    emissions: jnp.ndarray,  # [B, T, M] -log emission scores
+    fsa: DenseFsa,
+    n_frames: jnp.ndarray,  # [B]
+) -> jnp.ndarray:
+    """Total -log sum over all paths ([B]); differentiable — the
+    gradient w.r.t. emissions IS the state-occupancy posterior summed
+    into emission classes (the forward-backward statistics, by
+    autodiff through the recursion)."""
+    e = jnp.minimum(emissions, BIG)[:, :, fsa.emis_class]  # [B, T, S]
+    return _forward_sts(e, fsa, n_frames)
+
+
+def expected_accuracy(
+    emissions: jnp.ndarray,  # [B, T, M] -log acoustic scores
+    fsa: DenseFsa,
+    n_frames: jnp.ndarray,  # [B]
+    ref_labels: jnp.ndarray,  # [B, T] reference emission-class ids
+    # (forced-alignment labels; -1 = no reference at that frame)
+) -> jnp.ndarray:
+    """E_{paths ~ den posterior}[#frames whose state class matches the
+    reference alignment] — the state-level sMBR objective ([B], to be
+    MAXIMIZED).
+
+    The lattice-free sMBR criterion (ref: the sequence-discriminative
+    MMI/sMBR training of RASR/NN [Wiesler et al., ICASSP 2014], there
+    lattice-based; here over the same dense denominator graph as LF-MMI).
+    Computed as a directional derivative: with Z(k) = sum over paths of
+    exp(-cost(path) + k*acc(path)), E[acc] = d log Z / dk at k=0 — i.e.
+    -d total/dk of the forward pass with a per-frame-per-state accuracy
+    BONUS folded into the scores, taken by jax.jvp. Training gradients
+    are then forward-over-reverse second derivatives, still pure
+    autodiff — no hand-written sMBR backward pass.
+    """
+    B, T, M = emissions.shape
+    e = jnp.minimum(emissions, BIG)[:, :, fsa.emis_class]  # [B, T, S]
+    acc = (fsa.emis_class[None, None, :] == ref_labels[:, :, None]).astype(
+        jnp.float32
+    )
+    valid = (ref_labels >= 0) & (
+        jnp.arange(T, dtype=n_frames.dtype)[None, :] < n_frames[:, None]
+    )
+    acc = acc * valid.astype(jnp.float32)[:, :, None]
+
+    def tot(k):
+        return _forward_sts(e - k * acc, fsa, n_frames)
+
+    _, dtot = jax.jvp(tot, (jnp.zeros(()),), (jnp.ones(()),))
+    return -dtot
 
 
 def lfmmi_loss(

@@ -327,6 +327,9 @@ class LfMmiSequenceTrainer(SequenceTrainer):
 
     Per utterance: loss = (num_total - den_total) / frames
                           + ce_weight * framewise CE   (optional anchor)
+    or, with criterion="smbr", the state-level minimum-Bayes-risk
+    objective loss = -E[frame accuracy]/frames over the denominator
+    posterior (train/lfmmi.expected_accuracy; needs alignment labels)
     with emissions = -am_scale * log_softmax(logits) — the hybrid
     scorer's posterior costs (state priors cancel between numerator and
     denominator). The numerator rides the utterance's banded linear
@@ -336,27 +339,36 @@ class LfMmiSequenceTrainer(SequenceTrainer):
 
     def __init__(self, model, num_classes: int, den_fsa,
                  cfg: TrainConfig = TrainConfig(), am_scale: float = 1.0,
-                 ce_weight: float = 0.0):
+                 ce_weight: float = 0.0, criterion: str = "mmi"):
         super().__init__(model, num_classes, cfg)
+        if criterion not in ("mmi", "smbr"):
+            raise ValueError(f"unknown sequence criterion: {criterion}")
         self.den_fsa = den_fsa
         self.am_scale = am_scale
         self.ce_weight = ce_weight
+        self.criterion = criterion
         self._mmi_step = jax.jit(self._mmi_update)
 
     def _mmi_loss(self, params, x, y, n_frames,
                   g_cls, g_loop, g_fwd, g_skip, g_init, g_final):
         from ..ops.viterbi import forward_backward
-        from .lfmmi import dense_forward
+        from .lfmmi import dense_forward, expected_accuracy
 
         logits = self.model.apply({"params": params}, x, lengths=n_frames)
         emis = -self.am_scale * jax.nn.log_softmax(logits, axis=-1)
-        num_emis = jnp.take_along_axis(emis, g_cls[:, None, :], axis=2)
-        num_total, _ = forward_backward(
-            num_emis, g_loop, g_fwd, g_skip, g_init, g_final, n_frames
-        )
-        den_total = dense_forward(emis, self.den_fsa, n_frames)
         frames = jnp.maximum(jnp.sum(n_frames), 1)
-        mmi = jnp.sum(num_total - den_total) / frames
+        if self.criterion == "smbr":
+            # state-level sMBR: maximize the den-posterior expected
+            # per-frame accuracy vs the alignment labels y
+            acc = expected_accuracy(emis, self.den_fsa, n_frames, y)
+            mmi = -jnp.sum(acc) / frames
+        else:
+            num_emis = jnp.take_along_axis(emis, g_cls[:, None, :], axis=2)
+            num_total, _ = forward_backward(
+                num_emis, g_loop, g_fwd, g_skip, g_init, g_final, n_frames
+            )
+            den_total = dense_forward(emis, self.den_fsa, n_frames)
+            mmi = jnp.sum(num_total - den_total) / frames
         loss = mmi
         if self.ce_weight > 0.0:
             valid = y >= 0

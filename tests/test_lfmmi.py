@@ -215,3 +215,128 @@ def test_lfmmi_sequence_trainer_learns(rng):
     rivals = [graphs[i + 1] if i % 2 == 0 else graphs[i - 1] for i in range(N)]
     true_tot, rival_tot = totals(graphs), totals(rivals)
     assert (true_tot < rival_tot).sum() >= N - 1
+
+
+def _brute_expected_accuracy(fsa, emis, T, ref):
+    """Brute-force E over the path posterior of #frames whose emission
+    class matches ref[t] (ref < 0 = frame not scored)."""
+    S = fsa.num_states
+    trans = np.asarray(fsa.trans)
+    init = np.asarray(fsa.init)
+    final = np.asarray(fsa.final)
+    ecls = np.asarray(fsa.emis_class)
+    Z, acc_sum = 0.0, 0.0
+    for path in itertools.product(range(S), repeat=T):
+        c = init[path[0]] + emis[0, ecls[path[0]]]
+        for t in range(1, T):
+            c += trans[path[t - 1], path[t]] + emis[t, ecls[path[t]]]
+        c += final[path[-1]]
+        if c < BIG / 2:
+            pr = math.exp(-c)
+            Z += pr
+            acc_sum += pr * sum(
+                1 for t in range(T) if ref[t] >= 0 and ecls[path[t]] == ref[t]
+            )
+    return acc_sum / Z
+
+
+def test_expected_accuracy_matches_brute_force(rng):
+    """sMBR objective == path-enumerated expected frame accuracy,
+    including ragged batches and unscored (-1) reference frames."""
+    from rasr_tpu.train.lfmmi import expected_accuracy
+
+    T, M = 5, 4
+    fsa = _tiny_fsa(rng)
+    emis = rng.uniform(0.1, 3.0, size=(2, T, M)).astype(np.float32)
+    ref = np.array([[0, 1, 3, -1, 0], [3, 3, 0, 1, 1]], np.int32)
+    n = np.array([5, 3], np.int32)
+    acc = expected_accuracy(
+        jnp.asarray(emis), fsa, jnp.asarray(n), jnp.asarray(ref)
+    )
+    for b in range(2):
+        want = _brute_expected_accuracy(fsa, emis[b], int(n[b]), ref[b])
+        np.testing.assert_allclose(float(acc[b]), want, rtol=1e-4)
+
+
+def test_expected_accuracy_gradient_finite_difference(rng):
+    """Training gradient (forward-over-reverse through the jvp trick)
+    == central finite differences of the objective."""
+    from rasr_tpu.train.lfmmi import expected_accuracy
+
+    T, M = 4, 4
+    fsa = _tiny_fsa(rng)
+    emis = rng.uniform(0.1, 3.0, size=(1, T, M)).astype(np.float32)
+    ref = np.array([[0, 3, 1, 0]], np.int32)
+    n = jnp.asarray([T])
+
+    def obj(e):
+        return expected_accuracy(e, fsa, n, jnp.asarray(ref))[0]
+
+    grad = np.asarray(jax.grad(obj)(jnp.asarray(emis)))
+    eps = 1e-3
+    for (t, m) in [(0, 0), (1, 3), (2, 1), (3, 2)]:
+        ep = emis.copy(); ep[0, t, m] += eps
+        em = emis.copy(); em[0, t, m] -= eps
+        fd = (float(obj(jnp.asarray(ep))) - float(obj(jnp.asarray(em)))) / (2 * eps)
+        np.testing.assert_allclose(grad[0, t, m], fd, rtol=2e-2, atol=1e-4)
+
+
+def test_smbr_sequence_trainer_learns(rng):
+    """criterion="smbr": the denominator-posterior expected frame
+    accuracy must rise when trained against alignment labels."""
+    from rasr_tpu.models.nn import BlstmEncoderNet
+    from rasr_tpu.train.lfmmi import expected_accuracy
+    from rasr_tpu.train.nn_trainer import LfMmiSequenceTrainer, TrainConfig
+
+    P, D, T, N = 3, 4, 12, 8
+    means = np.array([[2.0, 0, 0, 0], [0, 2.0, 0, 0], [0, 0, 2.0, 0]])
+    labels = np.zeros((N, T), np.int32)
+    feats = np.zeros((N, T, D), np.float32)
+    for i in range(N):
+        seq = [0, 1, 2] if i % 2 == 0 else [2, 1, 0]
+        bounds = [0, T // 3, 2 * T // 3, T]
+        for s, ph in enumerate(seq):
+            labels[i, bounds[s]:bounds[s + 1]] = ph
+        feats[i] = means[labels[i]] + 0.3 * rng.normal(size=(T, D))
+    den = build_phone_bigram_den(
+        P, 1, classify=lambda p, q: p,
+        bigram_costs=np.full((P, P), math.log(P), np.float32),
+        trans=TransitionModel(speech=Tdp(loop=0.7, forward=0.3, skip=math.inf, exit=0.0)),
+    )
+    model = BlstmEncoderNet(num_classes=P, hidden=(8,))
+    trainer = LfMmiSequenceTrainer(
+        model, P, den,
+        cfg=TrainConfig(epochs=25, learning_rate=0.01, optimizer="adam"),
+        ce_weight=0.0, criterion="smbr",
+    )
+    n_frames = np.full(N, T, np.int32)
+    params, stats = trainer.train_lfmmi(
+        feats, _dummy_graphs(N), n_frames, labels=labels, batch_size=4,
+    )
+    # objective is -E[acc]/frame: must decrease substantially
+    assert stats[-1]["mmi_per_frame"] < stats[0]["mmi_per_frame"] - 0.15
+    logits = model.apply({"params": params}, jnp.asarray(feats),
+                         lengths=jnp.asarray(n_frames))
+    emis = -jax.nn.log_softmax(logits, axis=-1)
+    acc = expected_accuracy(emis, den, jnp.asarray(n_frames),
+                            jnp.asarray(labels))
+    assert float(np.mean(np.asarray(acc)) / T) > 0.8
+
+
+def _dummy_graphs(n):
+    """Trivial 1-state numerator graphs (unused by the smbr criterion
+    but train_lfmmi's batching pads them)."""
+    from rasr_tpu.align.graph import LinearGraph
+
+    return [
+        LinearGraph(
+            emission_ids=np.zeros(1, np.int32),
+            loop=np.zeros(1, np.float32),
+            fwd=np.full(1, BIG, np.float32),
+            skip=np.full(1, BIG, np.float32),
+            init=np.zeros(1, np.float32),
+            final=np.zeros(1, np.float32),
+            states=[], lemma_of_state=np.full(1, -1, np.int32), lemmas=[],
+        )
+        for _ in range(n)
+    ]

@@ -772,6 +772,40 @@ def test_sequence_mmi_training_action(workdir):
     assert len(mmis) >= 2 and mmis[-1] < mmis[0]  # the objective improves
 
 
+def test_sequence_smbr_training_action(workdir):
+    """nn-trainer action=sequence-smbr-training: lattice-free state-level
+    sMBR (expected-accuracy objective over the phone-bigram denominator)
+    against forced-alignment labels. The objective is -E[acc]/frame, so
+    it must decrease; it also needs the alignment cache (labels)."""
+    cwd = str(workdir)
+    if not (workdir / "align.cache").exists():
+        test_align_nn_and_util_tools(workdir)
+    out = run_tool(
+        "rasr_tpu.tools.nn_trainer",
+        "--nn-trainer.action=sequence-smbr-training",
+        "--nn-trainer.model-type=blstm",
+        "--nn-trainer.corpus-file=toy.corpus",
+        "--nn-trainer.lexicon-file=lexicon.xml",
+        "--nn-trainer.states-per-phone=1",
+        "--nn-trainer.feature-cache=feat.cache",
+        "--nn-trainer.alignment-cache=align.cache",
+        "--nn-trainer.hidden-layers=16",
+        "--nn-trainer.epochs=8",
+        "--nn-trainer.learning-rate=0.005",
+        "--nn-trainer.optimizer=adam",
+        "--nn-trainer.params-file=smbr.msgpack", cwd=cwd,
+        with_stderr=True,
+    )
+    assert (workdir / "smbr.msgpack").exists()
+    import re as _re
+
+    objs = [float(m) for m in _re.findall(r"mmi_per_frame=([-\d.e+]+)", out)]
+    # -E[acc]/frame: expected accuracy must improve materially from the
+    # cold start (the deep-dive convergence check is the unit test
+    # test_smbr_sequence_trainer_learns; this is the tool wiring)
+    assert len(objs) >= 2 and objs[-1] < objs[0] - 0.05
+
+
 def test_mllr_estimate_and_speaker_decode(gain_workdir):
     """Model-space MLLR tool workflow: per-speaker mean-adapted mixture
     sets + per-speaker decoding via the recognizer's --speaker filter.
