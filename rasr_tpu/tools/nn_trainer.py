@@ -3,6 +3,11 @@
 Actions mirroring the reference's nn-trainer:
 * ``action=supervised-training``: train the FFNN on feature+alignment caches
 * ``action=estimate-priors``: state-prior estimation from alignments
+* ``action=sequence-mmi-training``: lattice-free MMI through a sequence encoder
+* ``action=sequence-smbr-training``: lattice-free sMBR (expected accuracy
+  over the denominator posterior vs forced-alignment labels; needs
+  ``--alignment-cache``; ``--smbr-accuracy=phone`` for MPE-style phone
+  accuracy instead of tied-state accuracy)
 """
 
 from __future__ import annotations
@@ -114,6 +119,10 @@ class NnTrainerTool(Application):
     states_per_phone = ParameterInt("states-per-phone", default=3)
     init_params_file = ParameterString("init-params-file", default="")
     mmi_ce_weight = ParameterFloat("mmi-ce-weight", default=0.1)
+    #: sMBR accuracy unit: per tied state, or MPE-style per phone
+    smbr_accuracy = ParameterChoice(
+        "smbr-accuracy", ["state", "phone"], default="state"
+    )
 
     def _sequence_mmi(self) -> int:
         import math
@@ -211,6 +220,13 @@ class NnTrainerTool(Application):
                 "sequence-smbr-training needs per-frame reference labels: "
                 "set --alignment-cache to a forced-alignment cache"
             )
+        class_map = None
+        if criterion == "smbr" and self.smbr_accuracy == "phone":
+            # phone id per tied class (MPE-style phone accuracy)
+            class_map = np.zeros(num_classes, np.int32)
+            for p in range(P):
+                o = tying._offset[phones[p].id]
+                class_map[o : o + states_of[p]] = p
         trainer = LfMmiSequenceTrainer(
             model, num_classes, den,
             TrainConfig(
@@ -218,7 +234,7 @@ class NnTrainerTool(Application):
                 optimizer=self.optimizer, epochs=self.epochs, seed=self.seed,
             ),
             ce_weight=self.mmi_ce_weight if labs else 0.0,
-            criterion=criterion,
+            criterion=criterion, class_map=class_map,
         )
         params = None
         if self.init_params_file:

@@ -178,6 +178,9 @@ def expected_accuracy(
     n_frames: jnp.ndarray,  # [B]
     ref_labels: jnp.ndarray,  # [B, T] reference emission-class ids
     # (forced-alignment labels; -1 = no reference at that frame)
+    class_map: Optional[jnp.ndarray] = None,  # [M] coarser unit per
+    # class (e.g. phone id) — MPE-style phone accuracy instead of
+    # state-level accuracy when given
 ) -> jnp.ndarray:
     """E_{paths ~ den posterior}[#frames whose state class matches the
     reference alignment] — the state-level sMBR objective ([B], to be
@@ -195,7 +198,15 @@ def expected_accuracy(
     """
     B, T, M = emissions.shape
     e = jnp.minimum(emissions, BIG)[:, :, fsa.emis_class]  # [B, T, S]
-    acc = (fsa.emis_class[None, None, :] == ref_labels[:, :, None]).astype(
+    state_unit = fsa.emis_class
+    ref_unit = ref_labels
+    if class_map is not None:
+        state_unit = class_map[fsa.emis_class]
+        # keep -1 (unscored) sentinel out of the map
+        ref_unit = jnp.where(
+            ref_labels >= 0, class_map[jnp.maximum(ref_labels, 0)], -1
+        )
+    acc = (state_unit[None, None, :] == ref_unit[:, :, None]).astype(
         jnp.float32
     )
     valid = (ref_labels >= 0) & (

@@ -339,7 +339,8 @@ class LfMmiSequenceTrainer(SequenceTrainer):
 
     def __init__(self, model, num_classes: int, den_fsa,
                  cfg: TrainConfig = TrainConfig(), am_scale: float = 1.0,
-                 ce_weight: float = 0.0, criterion: str = "mmi"):
+                 ce_weight: float = 0.0, criterion: str = "mmi",
+                 class_map=None):
         super().__init__(model, num_classes, cfg)
         if criterion not in ("mmi", "smbr"):
             raise ValueError(f"unknown sequence criterion: {criterion}")
@@ -347,6 +348,12 @@ class LfMmiSequenceTrainer(SequenceTrainer):
         self.am_scale = am_scale
         self.ce_weight = ce_weight
         self.criterion = criterion
+        #: optional [num_classes] coarser accuracy unit (phone id) for
+        #: the smbr criterion — MPE-style phone accuracy (tiny, rides as
+        #: a jit closure constant)
+        self.class_map = (
+            None if class_map is None else jnp.asarray(class_map, jnp.int32)
+        )
         self._mmi_step = jax.jit(self._mmi_update)
 
     def _mmi_loss(self, params, x, y, n_frames,
@@ -360,7 +367,9 @@ class LfMmiSequenceTrainer(SequenceTrainer):
         if self.criterion == "smbr":
             # state-level sMBR: maximize the den-posterior expected
             # per-frame accuracy vs the alignment labels y
-            acc = expected_accuracy(emis, self.den_fsa, n_frames, y)
+            acc = expected_accuracy(
+                emis, self.den_fsa, n_frames, y, class_map=self.class_map
+            )
             mmi = -jnp.sum(acc) / frames
         else:
             num_emis = jnp.take_along_axis(emis, g_cls[:, None, :], axis=2)

@@ -340,3 +340,39 @@ def _dummy_graphs(n):
         )
         for _ in range(n)
     ]
+
+
+def test_expected_accuracy_phone_level(rng):
+    """class_map (MPE-style coarser units): matches brute force with
+    mapped units, and coarser matching can only raise E[acc]."""
+    from rasr_tpu.train.lfmmi import expected_accuracy
+
+    T, M = 4, 4
+    fsa = _tiny_fsa(rng)  # emission classes {0, 1, 3}
+    cmap = np.array([0, 0, 1, 1], np.int32)  # classes {0,1}->unit0, {2,3}->unit1
+    emis = rng.uniform(0.1, 3.0, size=(1, T, M)).astype(np.float32)
+    ref = np.array([[0, 1, 3, 0]], np.int32)
+    n = jnp.asarray([T])
+    fine = expected_accuracy(jnp.asarray(emis), fsa, n, jnp.asarray(ref))
+    coarse = expected_accuracy(
+        jnp.asarray(emis), fsa, n, jnp.asarray(ref), class_map=jnp.asarray(cmap)
+    )
+    # brute force: score with the original classes, accuracy on the
+    # cmap-mapped units
+    S = fsa.num_states
+    trans = np.asarray(fsa.trans); init = np.asarray(fsa.init)
+    final = np.asarray(fsa.final); ecls = np.asarray(fsa.emis_class)
+    Z, acc_sum = 0.0, 0.0
+    for path in itertools.product(range(S), repeat=T):
+        c = init[path[0]] + emis[0, 0, ecls[path[0]]]
+        for t in range(1, T):
+            c += trans[path[t - 1], path[t]] + emis[0, t, ecls[path[t]]]
+        c += final[path[-1]]
+        if c < BIG / 2:
+            pr = math.exp(-c)
+            Z += pr
+            acc_sum += pr * sum(
+                1 for t in range(T) if cmap[ecls[path[t]]] == cmap[ref[0, t]]
+            )
+    np.testing.assert_allclose(float(coarse[0]), acc_sum / Z, rtol=1e-4)
+    assert float(coarse[0]) >= float(fine[0]) - 1e-5
