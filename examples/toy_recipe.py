@@ -291,6 +291,25 @@ def main() -> None:
              "--nn-trainer.params-file=mmi.msgpack", cwd=workdir)
     assert os.path.exists(os.path.join(workdir, "mmi.msgpack"))
 
+    # -- stage 10b: sMBR fine-tune from the MMI model (lattice-free
+    # state-level minimum Bayes risk; MPE-style phone accuracy)
+    run_tool("nn_trainer",
+             "--nn-trainer.action=sequence-smbr-training",
+             "--nn-trainer.model-type=blstm",
+             "--nn-trainer.corpus-file=toy.corpus",
+             "--nn-trainer.lexicon-file=lexicon.xml",
+             "--nn-trainer.states-per-phone=1",
+             "--nn-trainer.feature-cache=feat.cache",
+             "--nn-trainer.alignment-cache=align.cache",
+             "--nn-trainer.hidden-layers=32",
+             "--nn-trainer.epochs=3",
+             "--nn-trainer.learning-rate=0.002",
+             "--nn-trainer.optimizer=adam",
+             "--nn-trainer.smbr-accuracy=phone",
+             "--nn-trainer.init-params-file=mmi.msgpack",
+             "--nn-trainer.params-file=smbr.msgpack", cwd=workdir)
+    assert os.path.exists(os.path.join(workdir, "smbr.msgpack"))
+
     # -- stage 11: model-space MLLR (per-speaker mean-adapted mixtures;
     # this corpus has one speaker group, so one adapted model)
     run_tool("acoustic_model_trainer",
@@ -313,8 +332,8 @@ def main() -> None:
     assert "WER: 0.0000" in out, "MLLR-adapted recognition regressed"
 
     print("\nrecipe complete: monophone / CART-triphone / hybrid / "
-          f"fMLLR- and MLLR-adapted all at WER 0.0000 (+ LF-MMI sequence-"
-          f"trained BLSTM); artifacts in {workdir}")
+          f"fMLLR- and MLLR-adapted all at WER 0.0000 (+ LF-MMI and sMBR "
+          f"sequence-trained BLSTM); artifacts in {workdir}")
 
 
 if __name__ == "__main__":
