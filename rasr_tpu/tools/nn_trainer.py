@@ -220,10 +220,27 @@ class NnTrainerTool(Application):
                 "sequence-smbr-training needs per-frame reference labels: "
                 "set --alignment-cache to a forced-alignment cache"
             )
+        if criterion == "smbr" and len(labs) < len(rows):
+            # segments missing from the alignment cache would carry all
+            # -1 labels: zero sMBR gradient, dead batch slots
+            missing = len(rows) - len(labs)
+            self.warning(
+                f"{missing}/{len(rows)} segments have no alignment entry "
+                f"and contribute no sMBR training signal"
+            )
         class_map = None
         if criterion == "smbr" and self.smbr_accuracy == "phone":
-            # phone id per tied class (MPE-style phone accuracy)
-            class_map = np.zeros(num_classes, np.int32)
+            # phone id per tied class (MPE-style phone accuracy). The map
+            # is indexed by the TYING's class ids; an overriding
+            # --num-classes would silently alias tail classes to phone 0
+            # (or clamp OOB in JAX), so reject the mismatch outright.
+            if num_classes != tying.num_classes:
+                raise ValueError(
+                    f"--smbr-accuracy=phone needs --num-classes to match "
+                    f"the tying inventory ({tying.num_classes}), "
+                    f"got {num_classes}"
+                )
+            class_map = np.zeros(tying.num_classes, np.int32)
             for p in range(P):
                 o = tying._offset[phones[p].id]
                 class_map[o : o + states_of[p]] = p

@@ -414,9 +414,16 @@ class LfMmiSequenceTrainer(SequenceTrainer):
             params = self.init_params(feats.shape[-1])
         opt_state = self.opt.init(params)
         N = feats.shape[0]
-        g_cls, g_loop, g_fwd, g_skip, g_init, g_final = (
-            jnp.asarray(a) for a in _pad_graphs(graphs)
-        )
+        if self.criterion == "smbr":
+            # the sMBR objective never reads the numerator graphs —
+            # feed 1-state dummies instead of padding the real ones
+            g_cls = jnp.zeros((N, 1), jnp.int32)
+            g_loop = g_fwd = g_skip = jnp.full((N, 1), 1e30, jnp.float32)
+            g_init = g_final = jnp.zeros((N, 1), jnp.float32)
+        else:
+            g_cls, g_loop, g_fwd, g_skip, g_init, g_final = (
+                jnp.asarray(a) for a in _pad_graphs(graphs)
+            )
         stats = []
         batch_size = min(batch_size, N)
         for epoch in range(self.cfg.epochs):
@@ -435,10 +442,12 @@ class LfMmiSequenceTrainer(SequenceTrainer):
                 )
                 losses.append(float(loss))
                 mmis.append(float(mmi))
+            # per-criterion stat name: under "mmi" this is the MMI
+            # objective per frame; under "smbr" it is -E[acc]/frame
             rec = {
                 "epoch": epoch,
                 "loss": float(np.mean(losses)),
-                "mmi_per_frame": float(np.mean(mmis)),
+                f"{self.criterion}_per_frame": float(np.mean(mmis)),
             }
             stats.append(rec)
             if log is not None:

@@ -314,7 +314,7 @@ def test_smbr_sequence_trainer_learns(rng):
         feats, _dummy_graphs(N), n_frames, labels=labels, batch_size=4,
     )
     # objective is -E[acc]/frame: must decrease substantially
-    assert stats[-1]["mmi_per_frame"] < stats[0]["mmi_per_frame"] - 0.15
+    assert stats[-1]["smbr_per_frame"] < stats[0]["smbr_per_frame"] - 0.15
     logits = model.apply({"params": params}, jnp.asarray(feats),
                          lengths=jnp.asarray(n_frames))
     emis = -jax.nn.log_softmax(logits, axis=-1)

@@ -799,7 +799,7 @@ def test_sequence_smbr_training_action(workdir):
     assert (workdir / "smbr.msgpack").exists()
     import re as _re
 
-    objs = [float(m) for m in _re.findall(r"mmi_per_frame=([-\d.e+]+)", out)]
+    objs = [float(m) for m in _re.findall(r"smbr_per_frame=([-\d.e+]+)", out)]
     # -E[acc]/frame: expected accuracy must improve materially from the
     # cold start (the deep-dive convergence check is the unit test
     # test_smbr_sequence_trainer_learns; this is the tool wiring)
