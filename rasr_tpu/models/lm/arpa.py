@@ -181,16 +181,21 @@ class NgramLm(LanguageModel):
             total = ctx_totals[ctx]
             p = max(c - discount, 1e-10) / total
             ngrams[gram] = (-math.log(p), 0.0)
-        # backoff mass per context
+        # backoff mass per context (grouped once: the per-context scans
+        # were O(|counts|^2) and made 4-gram training at battery scale
+        # take hours instead of seconds)
+        by_ctx: Dict[Tuple[int, ...], List[Tuple[int, ...]]] = {}
+        for g in counts:
+            by_ctx.setdefault(g[:-1], []).append(g)
         for ctx, total in ctx_totals.items():
-            n_types = sum(1 for g in counts if g[:-1] == ctx)
+            members = by_ctx.get(ctx, [])
+            n_types = len(members)
             mass = discount * n_types / total
             lower_sum = 0.0
-            for g in counts:
-                if g[:-1] == ctx:
-                    lower = g[1:]
-                    if lower in ngrams:
-                        lower_sum += math.exp(-ngrams[lower][0])
+            for g in members:
+                lower = g[1:]
+                if lower in ngrams:
+                    lower_sum += math.exp(-ngrams[lower][0])
             denom = max(1.0 - lower_sum, 1e-10)
             bo = mass / denom
             if ctx:

@@ -149,11 +149,20 @@ def build_tables(
     )
 
 
+def state_contexts(lm: NgramLm):
+    """The compiled automaton's state space: context tuples in state-id
+    order (state 0 = empty context). This enumeration DEFINES the
+    decoder's lm_state ids — compile_ngram and every consumer that maps
+    states back to histories (e.g. search/lookahead.py's history
+    classes) must share it."""
+    return [()] + sorted(g for g in lm.ngrams if len(g) < lm.order)
+
+
 def compile_ngram(lm: NgramLm, max_probe: int = 16) -> NgramTables:
     """Host-side compilation ARPA dict -> device tables."""
     order = lm.order
     # ---------------------------------------------------------------- states
-    contexts = [()] + sorted(g for g in lm.ngrams if len(g) < order)
+    contexts = state_contexts(lm)
     state_id: Dict[Tuple[int, ...], int] = {g: i for i, g in enumerate(contexts)}
 
     def ctx_state(g: Tuple[int, ...]) -> int:

@@ -339,6 +339,63 @@ def _bc_i(a):  # f32 bits -> int32
     return jax.lax.bitcast_convert_type(a, jnp.int32)
 
 
+@dataclasses.dataclass(frozen=True)
+class BigramTables:
+    """Device pytree of the bigram-lookahead tables (search/lookahead.py).
+
+    ``sub[s]`` in [0, num_subtrees] (sentinel = num_subtrees, whose corr
+    column is zero — roots and the padding state carry no correction);
+    ``corr`` is UNSCALED (the decoder folds lm_scale * lookahead_scale
+    in at trace time)."""
+
+    sub: jnp.ndarray  # [S+1] int32
+    cls_of_lm: jnp.ndarray  # [L] int32
+    corr: jnp.ndarray  # [C, num_subtrees + 1] f32
+    num_subtrees: int
+    num_classes: int
+
+
+jax.tree_util.register_pytree_node(
+    BigramTables,
+    lambda t: ((t.sub, t.cls_of_lm, t.corr), (t.num_subtrees, t.num_classes)),
+    lambda aux, ch: BigramTables(*ch, *aux),
+)
+
+
+def bigram_to_device(bla, num_states: int) -> BigramTables:
+    """Host BigramLookahead -> device tables (+ sentinel state row)."""
+    G = bla.corr.shape[1] - 1
+    sub = np.concatenate([bla.sub_state, [G]]).astype(np.int32)
+    assert sub.shape[0] == num_states + 1
+    return BigramTables(
+        sub=jnp.asarray(sub),
+        cls_of_lm=jnp.asarray(bla.state_class),
+        corr=jnp.asarray(bla.corr),
+        num_subtrees=G,
+        num_classes=int(bla.corr.shape[0]),
+    )
+
+
+def _pad4(flat):
+    """Pad a flat 1-D table to a multiple of 4 and view it [N/4, 4]."""
+    n = flat.shape[0]
+    pad = (-n) % 4
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat.reshape(-1, 4)
+
+
+def _gsel(tab4, idx):
+    """Global quarter-row gather: element selection from a SHARED
+    (non-batched) flat table viewed [N/4, 4] — the TPU lowers 1-D
+    element gathers to a ~12ns/index serial path while row gathers run
+    ~1.8ns/row (see fsel, which is the batched-table variant)."""
+    rows = tab4[idx >> 2]
+    lo = jnp.where((idx & 1) == 0, rows[..., 0], rows[..., 1])
+    hi = jnp.where((idx & 1) == 0, rows[..., 2], rows[..., 3])
+    return jnp.where((idx & 2) == 0, lo, hi)
+
+
 def _build_state_pack(tree: TreeTables, cfg: BeamConfig):
     """Packed per-state row table for the beam's per-hyp gather.
 
@@ -414,6 +471,7 @@ def _make_step(
     kbranch: int,
     beam_axis: Optional[str] = None,
     beam_par: int = 1,
+    bla: Optional[BigramTables] = None,
 ):
     """Build the per-frame scan step + initial carry (shared by the
     offline whole-utterance scan and the streaming block feed).
@@ -438,6 +496,17 @@ def _make_step(
     use_la = tree.has_lookahead and cfg.lookahead_scale != 0.0
     la_coeff = cfg.lm_scale * cfg.lookahead_scale
     la0 = tree.la[0]
+    # bigram lookahead (search/lookahead.py): a history-class-conditioned
+    # correction potential, CONSTANT within each first-phone subtree —
+    # so every dense/loop/branch/skip delta is zero; the correction is
+    # added at the root fan-out (subtree choice) and undone at word ends
+    use_bla = bla is not None and la_coeff != 0.0
+    if use_bla:
+        Gla1 = bla.num_subtrees + 1
+        cls4 = _pad4(bla.cls_of_lm)
+        corr4 = _pad4((la_coeff * bla.corr).reshape(-1))
+        sub4 = _pad4(bla.sub)
+        sub_arc = bla.sub[tree.root_dst]  # [G] subtree of each root arc
     gcap = min(cfg.root_arc_limit or G, G)
     # root-selection (cfg.root_select): pre-emission top-R3 over the
     # root fan-out instead of carrying it through the main sorts
@@ -505,9 +574,14 @@ def _make_step(
     C_sp = state_pack.shape[1]
     S1 = state_pack.shape[0]
     if ride_pk:
-        combo_pack = jnp.concatenate(
-            [we_pack.reshape(S1, wmax * 6), state_pack], axis=1
-        )  # [S+1, W*6 + C_sp]
+        combo_cols = [we_pack.reshape(S1, wmax * 6)]
+        if use_bla:
+            # per-state subtree id rides the word-end gather (one extra
+            # column on a row gather whose width is nearly free)
+            combo_cols.append(bla.sub[:, None])
+        combo_cols.append(state_pack)
+        combo_pack = jnp.concatenate(combo_cols, axis=1)
+        # [S+1, W*6 (+1) + C_sp]
 
     if use_rsel:
         # root-selection path: (dst, cls) rows for the R3 survivors
@@ -653,6 +727,17 @@ def _make_step(
         root_arc_cost = tree.root_cost
         if use_la:
             root_arc_cost = root_arc_cost + la_coeff * tree.root_dla
+        if use_bla:
+            # history-conditioned correction per (root hyp, root arc):
+            # class of the hyp's lm state x the arc's subtree (quarter-
+            # row gathers on the shared corr table)
+            c_h = _gsel(cls4, h_lm)  # [B,H]
+            bcorr0 = _gsel(corr4, c_h[:, :1] * Gla1 + sub_arc[None, :])
+            if hroot > 1:
+                bcorr_rest = _gsel(
+                    corr4,
+                    c_h[:, 1:, None] * Gla1 + sub_arc[None, None, :gcap],
+                )  # [B,H-1,gcap]
         if use_rsel:
             # pre-emission top-R3 over the whole root fan-out: ONE
             # narrow (value, index) sort replaces Wr slots in BOTH main
@@ -661,13 +746,15 @@ def _make_step(
             # (like word-end re-entries). Keys are unique by
             # construction: beam slots with state==0 have distinct lm
             # (post-recombination), arcs have distinct dst.
-            parts = [h_score[:, :1] + root_arc_cost[None, :]]
+            part0 = h_score[:, :1] + root_arc_cost[None, :]
+            if use_bla:
+                part0 = part0 + bcorr0
+            parts = [part0]
             if hroot > 1:
-                parts.append(
-                    (
-                        h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
-                    ).reshape(B, (hroot - 1) * gcap)
-                )
+                rest = h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
+                if use_bla:
+                    rest = rest + bcorr_rest
+                parts.append(rest.reshape(B, (hroot - 1) * gcap))
             rpre = jnp.concatenate(parts, axis=1)  # [B, Wr]
             iota = jnp.broadcast_to(
                 jnp.arange(Wr, dtype=jnp.int32)[None, :], (B, Wr)
@@ -718,6 +805,8 @@ def _make_step(
             root_clss = []
         else:
             p_root_best = h_score[:, :1, None] + root_arc_cost[None, None, :]
+            if use_bla:
+                p_root_best = p_root_best + bcorr0[:, None, :]
             root_states = [jnp.broadcast_to(tree.root_dst, (B, G))]
             root_pres = [p_root_best.reshape(B, G)]
             root_lms = [jnp.repeat(h_lm[:, :1], G, axis=1)]
@@ -725,6 +814,8 @@ def _make_step(
             root_clss = [jnp.broadcast_to(tree.root_cls[None, :], (B, G))]
             if hroot > 1:
                 p_root_rest = h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
+                if use_bla:
+                    p_root_rest = p_root_rest + bcorr_rest
                 root_states.append(
                     jnp.broadcast_to(tree.root_dst[:gcap], (B, hroot - 1, gcap))
                     .reshape(B, (hroot - 1) * gcap)
@@ -919,11 +1010,17 @@ def _make_step(
         # ------------------------------------------------- word ends
         if ride_pk:
             # one row gather for we columns AND next frame's state rows
-            combo = combo_pack[w_state]  # [B,KW,W*6+C_sp] int32
+            combo = combo_pack[w_state]  # [B,KW,W*6(+1)+C_sp] int32
             wpk = combo[..., : wmax * 6].reshape(B, KW, wmax, 6)
-            spk_w = combo[..., wmax * 6 :]  # [B,KW,C_sp]
+            coff = wmax * 6
+            if use_bla:
+                sub_w = combo[..., coff]  # [B,KW] subtree ids
+                coff += 1
+            spk_w = combo[..., coff:]  # [B,KW,C_sp]
         else:
             wpk = we_pack[w_state]  # [B,KW,W,6] (1 gather, all we cols)
+            if use_bla:
+                sub_w = _gsel(sub4, w_state)
         if use_defer:
             # survivors' current-frame emission (cls rides the word-end
             # gather; one KW-row fsel replaces the candidate-wide ones)
@@ -936,6 +1033,11 @@ def _make_step(
         if use_la:
             # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
             we_base = w_score - la_coeff * (bc_f(wpk[..., 0, 4]) - la0)
+        if use_bla:
+            # undo the bigram correction phi2(s, l) = corr[class(l), sub(s)]
+            # (the re-entry root's phi2 is 0 — no add-back needed)
+            c_w = _gsel(cls4, w_lm)  # [B,KW]
+            we_base = we_base - _gsel(corr4, c_w * Gla1 + sub_w)
         if wmax > 1:
             # two-stage EXACT top-R. Per-state word-end slots are
             # COST-SORTED at flatten time (slot j >= slot 0 for the same
@@ -1185,6 +1287,7 @@ def _decode_scan(
     lm_prep,  # prepare_lookup(lm) tables, built once per decoder
     emissions: jnp.ndarray,  # [B, T, M]
     n_frames: jnp.ndarray,  # [B]
+    bla,  # Optional[BigramTables] (None = unigram-only shaping)
     cfg: BeamConfig,
     wmax: int,
     hroot: int,
@@ -1197,7 +1300,7 @@ def _decode_scan(
     B, T, M = emissions.shape
     step, carry0 = _make_step(
         tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch,
-        beam_axis, beam_par,
+        beam_axis, beam_par, bla,
     )
     ts = jnp.arange(T, dtype=jnp.int32)
     carry, recs = jax.lax.scan(
@@ -1218,6 +1321,7 @@ def _decode_block(
     emissions: jnp.ndarray,  # [B, Tb, M] one block of frames
     t0: jnp.ndarray,  # scalar: global index of the block's first frame
     n_frames: jnp.ndarray,  # [B] total frames (may exceed what's fed)
+    bla,  # Optional[BigramTables]
     carry,
     cfg: BeamConfig,
     wmax: int,
@@ -1228,7 +1332,8 @@ def _decode_block(
     ``t0`` is traced, so every same-shaped block reuses one executable."""
     B, Tb, M = emissions.shape
     step, _ = _make_step(
-        tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch
+        tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch,
+        bla=bla,
     )
     ts = t0 + jnp.arange(Tb, dtype=jnp.int32)
     return jax.lax.scan(step, carry, (jnp.swapaxes(emissions, 0, 1), ts))
@@ -1286,10 +1391,18 @@ class TreeDecoder:
         tree: PrefixTree,
         lm_tables: NgramTables,
         cfg: BeamConfig = BeamConfig(),
+        bigram_la=None,  # Optional[lookahead.BigramLookahead]
     ):
         self.tree = tree
         self.tables = tree_to_device(tree)
         self.lm = lm_tables
+        #: bigram lookahead device tables (search/lookahead.py); None =
+        #: unigram-only shaping. Exact either way (potential shaping).
+        self.bla = (
+            bigram_to_device(bigram_la, tree.num_states)
+            if bigram_la is not None
+            else None
+        )
         # LM gather tables (incl. the replicated probe-chain) built ONCE
         # per decoder — rebuilding per decode call wastes ~10ms+ each,
         # rebuilding per FRAME collapses throughput (92 -> 3 audio-s/s)
@@ -1350,6 +1463,7 @@ class TreeDecoder:
                 self.lm_prep,
                 jnp.asarray(emissions),
                 jnp.asarray(n_frames, jnp.int32),
+                self.bla,
                 *args,
             )
         else:
@@ -1357,8 +1471,11 @@ class TreeDecoder:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep, dp = P(), P("data")
+            bla_local = self.bla
             fn = shard_map(
-                lambda tb, lmt, lp, e, nf: _decode_scan(tb, lmt, lp, e, nf, *args),
+                lambda tb, lmt, lp, e, nf: _decode_scan(
+                    tb, lmt, lp, e, nf, bla_local, *args
+                ),
                 mesh=mesh,
                 in_specs=(rep, rep, rep, dp, dp),
                 out_specs=(

@@ -91,6 +91,7 @@ class StreamingDecoder:
             jnp.asarray(emissions),
             jnp.int32(self._t),
             jnp.asarray(self._n_frames),
+            self.dec.bla,
             self._carry,
             cfg,
             self.dec.tree.max_word_ends,

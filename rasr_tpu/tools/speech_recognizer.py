@@ -36,6 +36,11 @@ from ..models.cart import CartTree
 from ..pipeline.recognizer import OfflineRecognizer
 from ..pipeline.visitor import CorpusVisitor
 from ..search.decoder import BeamConfig, TreeDecoder
+from ..search.lookahead import (
+    build_bigram_lookahead,
+    load_bigram_lookahead,
+    save_bigram_lookahead,
+)
 from ..search.tree import build_prefix_tree, load_tree, save_tree
 from ..utils.component import (
     ParameterBool,
@@ -106,11 +111,14 @@ class SpeechRecognizerTool(Application):
     #: only (leaner network; identical when tdp skip = inf)
     skip_scope = ParameterString("skip-scope", default="word")
 
-    def _network(self, lexicon, tying, topology, transitions):
-        """Compiled search network + LM tables, via the image cache."""
+    def _network(self, lexicon, tying, topology, transitions, search):
+        """Compiled search network + LM tables (+ optional bigram
+        lookahead), via the image cache."""
         import hashlib
         import os
 
+        la_order = int(search.param("lookahead-order", 1))
+        la_classes = int(search.param("lookahead-classes", 64))
         cache = self.network_cache
         if cache:
             h = hashlib.sha1()
@@ -121,6 +129,7 @@ class SpeechRecognizerTool(Application):
             h.update(str(self.states_per_phone).encode())
             h.update(str(bool(self.across_word)).encode())
             h.update(self.skip_scope.encode())
+            h.update(f"la{la_order}/{la_classes}".encode())
             # the TDPs are baked into the tree's loop/arc/word-end costs
             h.update(repr(transitions).encode())
             key = h.hexdigest()
@@ -133,8 +142,11 @@ class SpeechRecognizerTool(Application):
                 try:
                     tree = load_tree(cache + ".tree.npz", lexicon)
                     tables = load_tables(cache + ".lm.npz")
+                    bla = None
+                    if la_order >= 2 and os.path.exists(cache + ".la.npz"):
+                        bla = load_bigram_lookahead(cache + ".la.npz")
                     self.log("network image loaded", cache=cache)
-                    return tree, tables
+                    return tree, tables, bla
                 except (OSError, ValueError, KeyError) as exc:
                     self.warning(f"network image unusable ({exc}); rebuilding")
         lm = NgramLm.read_arpa(self.lm_file)
@@ -145,13 +157,23 @@ class SpeechRecognizerTool(Application):
             lm_unigrams=unigrams, across_word=bool(self.across_word),
             skip_scope=self.skip_scope,
         )
+        bla = None
+        if la_order >= 2:
+            bla = build_bigram_lookahead(tree, lm, num_classes=la_classes)
+            if bla is None:
+                self.warning(
+                    "lookahead-order=2 unsupported for this network "
+                    "(across-word/WFST); falling back to unigram shaping"
+                )
         if cache:
             save_tree(tree, cache + ".tree.npz")
             save_tables(tables, cache + ".lm.npz")
+            if bla is not None:
+                save_bigram_lookahead(bla, cache + ".la.npz")
             with open(cache + ".key", "w") as fh:
                 fh.write(key)
             self.log("network image saved", cache=cache)
-        return tree, tables
+        return tree, tables, bla
 
     def run(self, args: List[str]) -> int:
         corpus = CorpusDescription.load(self.corpus_file, audio_dir=self.audio_dir)
@@ -187,8 +209,10 @@ class SpeechRecognizerTool(Application):
         else:
             mixtures = MixtureSet.load(self.mixture_file)
             scorer = GmmFeatureScorer(mixtures, scale=self.am_scale)
-        tree, tables = self._network(lexicon, tying, topology, transitions)
         search = self.select("search")
+        tree, tables, bla = self._network(
+            lexicon, tying, topology, transitions, search
+        )
         cfg = BeamConfig(
             max_hyps=int(search.param("max-hyps", 1024)),
             beam=float(search.param("beam", 1e9)),
@@ -202,7 +226,7 @@ class SpeechRecognizerTool(Application):
             lookahead_scale=float(search.param("lookahead-scale", 1.0)),
             lm_scale=float(search.param("lm-scale", 10.0)),
         )
-        decoder = TreeDecoder(tree, tables, cfg)
+        decoder = TreeDecoder(tree, tables, cfg, bigram_la=bla)
         transforms = None
         if self.fmllr_file:
             from ..train.fmllr import load_transforms

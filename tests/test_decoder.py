@@ -427,3 +427,156 @@ def test_decoder_deferred_emission_exact(setup, rng):
         np.testing.assert_allclose(res.score, oracle_score, rtol=1e-4, atol=1e-3)
         got = [l.primary_orth for l in res.lemmas]
         assert got == list(oracle_seq), (got, oracle_seq, rsel)
+
+
+# --------------------------------------------------------- bigram lookahead
+def _bigram_la_setup():
+    """Lexicon + bigram LM where history matters: Z is globally rare but
+    always follows A, so unigram lookahead under-ranks Z's subtree while
+    the history-conditioned correction restores it."""
+    from rasr_tpu.search.lookahead import build_bigram_lookahead
+
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["A"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["C"], [(["c", "d"], 0.0)])
+    lex.add_lemma(["E"], [(["e", "f"], 0.0)])
+    lex.add_lemma(["Z"], [(["g", "h"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    trans = TransitionModel(
+        speech=Tdp(loop=1.0, forward=0.0, skip=math.inf, exit=0.5),
+        silence=Tdp(loop=0.2, forward=0.5, skip=math.inf, exit=0.3),
+    )
+    text = [["A", "Z"]] + [["C", "E"], ["E", "C"]] * 8
+    lm = NgramLm.train_from_text(text, order=2)
+    tables = compile_ngram(lm)
+    unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
+    tree = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm.vocab, lm_unigrams=unigrams
+    )
+    bla = build_bigram_lookahead(tree, lm, num_classes=8)
+    return lex, topo, tying, trans, lm, tables, tree, bla
+
+
+def test_bigram_lookahead_tables():
+    """Builder invariants: sentinel corr column is zero, anchors include
+    <s>, the neutral class row is zero, and every state maps to a
+    subtree (or the root sentinel)."""
+    lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup()
+    G = bla.num_subtrees
+    root_deg = tree.arc_ptr[1] - tree.arc_ptr[0]
+    assert G == root_deg
+    np.testing.assert_array_equal(bla.corr[:, G], 0.0)
+    np.testing.assert_array_equal(bla.corr[bla.num_classes - 1], 0.0)
+    assert lm.vocab["<s>"] in bla.anchor_words
+    assert bla.sub_state[0] == G  # root carries no correction
+    assert np.all((bla.sub_state >= 0) & (bla.sub_state <= G))
+    # every non-root state is inside a real subtree (within-word tree)
+    assert np.all(bla.sub_state[1:] < G)
+
+
+def test_bigram_lookahead_shaping_is_exact(rng):
+    """Bigram lookahead is exact potential shaping: with pruning off the
+    decode results match the unshaped decoder bit-for-bit in words and
+    to float tolerance in score — across the rsel/defer/unpacked
+    decoder configurations (every packed-transport path)."""
+    lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup()
+    M = tying.num_classes
+    base = BeamConfig(
+        max_hyps=256, beam=1e9, word_end_limit=64, root_hyps=256,
+        lm_scale=0.7,
+    )
+    variants = [
+        base,
+        dataclasses.replace(base, root_select=2048, deferred_emission=True),
+        dataclasses.replace(base, deferred_emission=True),
+        dataclasses.replace(base, force_unpacked_keys=True),
+    ]
+    dec_ref = TreeDecoder(tree, tables, base)
+    for cfg in variants:
+        dec = TreeDecoder(tree, tables, cfg, bigram_la=bla)
+        emis = rng.uniform(0.0, 6.0, size=(2, 7, M)).astype(np.float32)
+        ra = dec_ref.decode_scores(emis, np.array([7, 6]))
+        rb = dec.decode_scores(emis, np.array([7, 6]))
+        for a, b in zip(ra, rb):
+            np.testing.assert_allclose(a.score, b.score, rtol=1e-4, atol=1e-3)
+            assert [l.primary_orth for l in a.lemmas] == [
+                l.primary_orth for l in b.lemmas
+            ]
+
+
+def test_bigram_lookahead_beats_unigram_at_tight_beam():
+    """The point of history conditioning: at a tight beam the unigram-
+    shaped decode prunes the (history-predicted, unigram-rare) word Z
+    and errs; the bigram-shaped decode recovers the exact result."""
+    from rasr_tpu.models.allophone import Allophone, AllophoneState
+
+    lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup()
+    M = tying.num_classes
+
+    def cls(ph):
+        return tying.classify(AllophoneState(Allophone(lex.phonemes[ph].id), 0))
+
+    seq = ["a", "b", "g", "h"]  # "A Z"
+    T = len(seq)
+    emis = np.full((1, T, M), 3.0, np.float32)
+    for t, ph in enumerate(seq):
+        emis[0, t, cls(ph)] = 0.0
+    for t in range(T):
+        for ph in ("c", "e"):  # confusable competitors
+            emis[0, t, cls(ph)] = 0.6
+
+    exact_cfg = BeamConfig(
+        max_hyps=512, beam=1e9, word_end_limit=64, root_hyps=512, lm_scale=1.0
+    )
+    (ex,) = TreeDecoder(tree, tables, exact_cfg).decode_scores(
+        emis, np.array([T])
+    )
+    assert ex.orth == "A Z"
+
+    tight = BeamConfig(
+        max_hyps=6, beam=3.0, word_end_limit=8, root_hyps=6, lm_scale=1.0
+    )
+    (uni,) = TreeDecoder(tree, tables, tight).decode_scores(emis, np.array([T]))
+    (bi,) = TreeDecoder(tree, tables, tight, bigram_la=bla).decode_scores(
+        emis, np.array([T])
+    )
+    assert bi.orth == ex.orth and abs(bi.score - ex.score) < 1e-3
+    assert uni.orth != ex.orth  # the unigram-shaped search erred here
+
+
+def test_bigram_lookahead_unsupported_networks():
+    """Across-word networks (multiple roots, we_next re-entries) fall
+    back to unigram-only shaping: the builder returns None."""
+    from rasr_tpu.search.lookahead import build_bigram_lookahead
+
+    lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup()
+    aw = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm.vocab, across_word=True
+    )
+    assert build_bigram_lookahead(aw, lm, num_classes=8) is None
+
+
+def test_bigram_lookahead_partitioned_beam(rng):
+    """Bigram shaping under beam partitioning (the non-ride gather
+    path + collective merge) == the single-device unshaped decode at
+    exact settings."""
+    from rasr_tpu.parallel.mesh import make_mesh
+
+    lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup()
+    M = tying.num_classes
+    B, T = 2, 10
+    emis = rng.uniform(0.0, 8.0, size=(B, T, M)).astype(np.float32)
+    n = np.array([T, T - 3], np.int32)
+    cfg = BeamConfig(
+        max_hyps=64, word_end_limit=16, root_hyps=64, branch_hyps=64,
+        lm_scale=0.7,
+    )
+    ref = TreeDecoder(tree, tables, cfg).decode_scores(emis, n)
+    dec = TreeDecoder(tree, tables, cfg, bigram_la=bla)
+    mesh = make_mesh(data=2, model=4)
+    got = dec.decode_scores(emis, n, mesh=mesh, beam_axis="model")
+    for r, g in zip(ref, got):
+        assert r.words == g.words
+        np.testing.assert_allclose(r.score, g.score, rtol=1e-4, atol=1e-3)

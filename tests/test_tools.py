@@ -373,6 +373,37 @@ def test_network_image_cache(workdir):
     assert "network image saved" in log
 
 
+def test_recognizer_bigram_lookahead(workdir):
+    """--search.lookahead-order=2: recognition with bigram lookahead
+    shaping stays at 0 WER, and the tables round-trip through the
+    network image cache."""
+    cwd = str(workdir)
+    if not (workdir / "model.mix.npz").exists():
+        test_full_tool_chain(workdir)
+    args = [
+        "--speech-recognizer.corpus-file=toy.corpus",
+        "--speech-recognizer.lexicon-file=lexicon.xml",
+        "--speech-recognizer.lm-file=lm.arpa",
+        "--speech-recognizer.mixture-file=model.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.search.lookahead-order=2",
+        "--speech-recognizer.search.lookahead-classes=8",
+        "--speech-recognizer.frontend.normalize=none",
+        "--speech-recognizer.network-cache=net2.img",
+        "--speech-recognizer.log-file=sr2.log",
+    ]
+    out1 = run_tool("rasr_tpu.tools.speech_recognizer", *args, cwd=cwd)
+    assert "WER: 0.0000" in out1
+    assert (workdir / "net2.img.la.npz").exists()
+    (workdir / "sr2.log").unlink()
+    out2 = run_tool("rasr_tpu.tools.speech_recognizer", *args, cwd=cwd)
+    assert "WER: 0.0000" in out2
+    log = (workdir / "sr2.log").read_text()
+    assert "network image loaded" in log
+
+
 def test_vtln_estimate_and_extract(tmp_path_factory):
     """VTLN tool workflow: estimate per-speaker alphas (grid search under
     a trained GMM), then extract warped features through the table.
