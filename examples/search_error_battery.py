@@ -1,0 +1,107 @@
+"""Search-error / WER-parity battery (SURVEY §6, BASELINE configs 4-5).
+
+Decodes a synthetic LVCSR task (rasr_tpu.pipeline.battery: 1k-word
+prefix-shared lexicon + homophones, 4-gram LM over a Markov source,
+GMM emissions under controlled noise) across a (max_hyps, beam) pruning
+grid and reports, per operating point:
+
+* WER against the planted truth,
+* search-error rate / mean score degradation against a maximally wide
+  reference decode,
+* the same with bigram lookahead shaping (search/lookahead.py).
+
+The resulting table is recorded in BASELINE.md ("search-error battery")
+and the production operating point is pinned as a regression in
+tests/test_battery.py.
+
+Run (CPU, ~30 min full grid):  python examples/search_error_battery.py
+Env: BATTERY_WORDS / BATTERY_UTTS / BATTERY_NOISE / BATTERY_SEP /
+     BATTERY_DEVICE=tpu (decode on the chip instead of forcing CPU)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("BATTERY_DEVICE", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from rasr_tpu.pipeline.battery import build_battery_task, run_operating_point
+from rasr_tpu.search.decoder import BeamConfig
+
+
+def main():
+    t0 = time.time()
+    task = build_battery_task(
+        num_words=int(os.environ.get("BATTERY_WORDS", "1000")),
+        num_utts=int(os.environ.get("BATTERY_UTTS", "48")),
+        n_train_sentences=int(os.environ.get("BATTERY_TRAIN", "12000")),
+        noise=float(os.environ.get("BATTERY_NOISE", "3.0")),
+        separation=float(os.environ.get("BATTERY_SEP", "1.3")),
+        homophone_frac=float(os.environ.get("BATTERY_HOMO", "0.05")),
+        lookahead_classes=int(os.environ.get("BATTERY_LA_CLASSES", "1200")),
+        seed=int(os.environ.get("BATTERY_SEED", "0")),
+    )
+    lm_scale = float(os.environ.get("BATTERY_LM_SCALE", "3.0"))
+    print(
+        f"# task: tree={task.tree.stats()} lm_states={task.tables.num_states} "
+        f"utts={task.emissions.shape[0]} T={task.emissions.shape[1]} "
+        f"build={time.time() - t0:.0f}s",
+        file=sys.stderr,
+    )
+
+    ref_cfg = BeamConfig(
+        max_hyps=int(os.environ.get("BATTERY_REF_K", "2048")),
+        beam=1e9, word_end_limit=128, root_hyps=64, lm_scale=lm_scale,
+    )
+    t0 = time.time()
+    ref = run_operating_point(task, ref_cfg)
+    print(
+        f"# reference K={ref_cfg.max_hyps}: wer={ref['wer']:.4f} "
+        f"({time.time() - t0:.0f}s)",
+        file=sys.stderr,
+    )
+    print(json.dumps({"point": "reference", "K": ref_cfg.max_hyps,
+                      "beam": None, "wer": round(ref["wer"], 4)}))
+
+    grid = [
+        (64, 60.0), (64, 90.0), (64, 120.0),
+        (128, 60.0), (128, 90.0), (128, 120.0),
+        (256, 60.0), (256, 90.0), (256, 120.0),
+        (512, 90.0), (512, 120.0),
+    ]
+    print(f"| K | beam | la | WER | search-err | mean-degr |")
+    print(f"|---|------|----|-----|-----------|-----------|")
+    for K, beam in grid:
+        for bi in (0, 1):
+            cfg = BeamConfig(
+                max_hyps=K, beam=beam, word_end_limit=64, root_hyps=16,
+                lm_scale=lm_scale,
+            )
+            t0 = time.time()
+            r = run_operating_point(
+                task, cfg, bigram=bool(bi), ref_scores=ref["_scores"]
+            )
+            la = "bigram" if bi else "unigram"
+            print(
+                f"| {K} | {beam:.0f} | {la} | {r['wer']:.4f} "
+                f"| {r['search_error_rate']:.3f} | {r['mean_degradation']:.2f} |"
+            )
+            print(json.dumps({
+                "point": f"K{K}_b{beam:.0f}_{la}", "K": K, "beam": beam,
+                "lookahead": la, "wer": round(r["wer"], 4),
+                "search_error_rate": round(r["search_error_rate"], 4),
+                "mean_degradation": round(r["mean_degradation"], 3),
+                "seconds": round(time.time() - t0, 1),
+            }), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

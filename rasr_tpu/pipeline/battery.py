@@ -1,0 +1,274 @@
+"""Search-error / WER-parity battery: a synthetic LVCSR task hard
+enough that pruning can actually fail.
+
+The reference's search quality is validated on LVCSR corpora (SURVEY
+§6 / BASELINE configs 4-5 "WER parity"); this environment has no
+datasets (SURVEY evidence log), so this module builds a CONTROLLED
+synthetic equivalent with the properties that make pruning fail on
+real tasks:
+
+* a >=1k-word lexicon with heavy prefix sharing (words = shared
+  prefix pool x suffix pool) and homophone pairs (identical
+  pronunciation, distinct LM tokens — only the LM disambiguates);
+* a 4-gram LM trained on text sampled from a Markov chain over the
+  vocabulary, so histories genuinely predict words;
+* GMM emissions with controlled class separation/noise: features are
+  drawn from the scorer's own class means + sigma*N(0,1), so acoustic
+  confusability is a dial, not an accident.
+
+Measurement: decode a planted corpus at a grid of pruning settings and
+compare to (a) the planted truth (WER) and (b) a maximally wide
+reference decode (search-error rate: fraction of utterances whose
+best cost is worse than the reference's, and the mean score
+degradation). ``examples/search_error_battery.py`` runs the full grid
+and writes the table recorded in BASELINE.md; the in-suite regression
+(tests/test_battery.py) pins the production operating point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..corpus.lexicon import Lexicon, build_default_silence
+from ..lattice.evaluator import EditStats, align_tokens
+from ..models.gmm import MixtureSet
+from ..models.hmm import HmmTopology, TransitionModel
+from ..models.lm.arpa import NgramLm
+from ..models.lm.ngram_tpu import NgramTables, compile_ngram
+from ..models.scorer import GmmFeatureScorer
+from ..models.tying import MonophoneStateTying
+from ..search.decoder import BeamConfig, TreeDecoder
+from ..search.lookahead import BigramLookahead, build_bigram_lookahead
+from ..search.tree import PrefixTree, build_prefix_tree
+
+
+@dataclasses.dataclass
+class BatteryTask:
+    lexicon: Lexicon
+    tying: MonophoneStateTying
+    topology: HmmTopology
+    transitions: TransitionModel
+    lm: NgramLm
+    tables: NgramTables
+    tree: PrefixTree
+    bigram_la: Optional[BigramLookahead]
+    scorer: GmmFeatureScorer
+    #: planted corpus: emissions [B, T, M], frame counts [B], and the
+    #: reference orth token sequence per utterance
+    emissions: np.ndarray
+    n_frames: np.ndarray
+    refs: List[List[str]]
+
+    def decoder(self, cfg: BeamConfig, bigram: bool = False) -> TreeDecoder:
+        return TreeDecoder(
+            self.tree, self.tables, cfg,
+            bigram_la=self.bigram_la if bigram else None,
+        )
+
+
+def _make_lexicon(
+    rng, num_words: int, num_phones: int, homophone_frac: float
+) -> Lexicon:
+    """Prefix-shared lexicon: prons = (shared prefix) + (suffix), so the
+    tree packs many words behind few first arcs — exactly the shape that
+    makes early pruning decisions matter. A homophone twin shares its
+    source's pronunciation exactly (acoustics cannot separate them)."""
+    lex = Lexicon()
+    build_default_silence(lex)
+    phones = [f"p{i}" for i in range(num_phones)]
+    for p in phones:
+        lex.phonemes.add(p)
+    n_prefix = max(num_words // 25, 4)
+    prefixes = []
+    seen_p = set()
+    while len(prefixes) < n_prefix:
+        pref = tuple(rng.choice(phones, size=int(rng.integers(2, 4))))
+        if pref not in seen_p:
+            seen_p.add(pref)
+            prefixes.append(pref)
+    prons: List[Tuple[str, ...]] = []
+    seen = set()
+    while len(prons) < num_words:
+        pron = tuple(prefixes[int(rng.integers(n_prefix))]) + tuple(
+            rng.choice(phones, size=int(rng.integers(1, 5)))
+        )
+        if pron not in seen:
+            seen.add(pron)
+            prons.append(pron)
+    n_homo = int(num_words * homophone_frac)
+    for w, pron in enumerate(prons):
+        lex.add_lemma([f"w{w}"], [(list(pron), 0.0)])
+    for h in range(n_homo):
+        src = int(rng.integers(num_words))
+        lex.add_lemma([f"h{h}"], [(list(prons[src]), 0.0)])
+    return lex
+
+
+def _markov_text(
+    rng, words: List[str], n_sentences: int, support: int = 12
+) -> List[List[str]]:
+    """Sentences from a sparse first-order Markov chain: each word has
+    ``support`` successors with Dirichlet weights — histories genuinely
+    predict words, so the 4-gram LM (and its lookahead) has teeth."""
+    V = len(words)
+    succ = {w: rng.choice(V, size=support, replace=False) for w in range(V)}
+    sprob = {
+        w: rng.dirichlet(np.full(support, 0.3)).astype(np.float64)
+        for w in range(V)
+    }
+    sents = []
+    for _ in range(n_sentences):
+        w = int(rng.integers(V))
+        sent = [words[w]]
+        for _ in range(int(rng.integers(3, 8))):
+            w = int(rng.choice(succ[w], p=sprob[w]))
+            sent.append(words[w])
+        sents.append(sent)
+    return sents
+
+
+def build_battery_task(
+    num_words: int = 1000,
+    num_phones: int = 25,
+    lm_order: int = 4,
+    homophone_frac: float = 0.05,
+    noise: float = 1.0,
+    separation: float = 1.6,
+    feat_dim: int = 16,
+    num_utts: int = 48,
+    n_train_sentences: int = 20000,
+    seed: int = 0,
+    lookahead_classes: int = 64,
+    markov_support: int = 12,
+) -> BatteryTask:
+    """Build the task + a planted test corpus.
+
+    ``separation``/``noise`` control acoustic difficulty: class means
+    are N(0, separation^2) in feat_dim dims; observed features are the
+    planted class mean + noise*N(0,1). At the defaults, adjacent-class
+    emission costs overlap enough that the acoustics alone cannot pick
+    the word — the LM must, which is what stresses pruning."""
+    rng = np.random.default_rng(seed)
+    lex = _make_lexicon(rng, num_words, num_phones, homophone_frac)
+    topology = HmmTopology(states_per_phone=3, silence_states=1)
+    tying = MonophoneStateTying(lex, topology)
+    transitions = TransitionModel()
+
+    word_lemmas = [l for l in lex.lemmata if not l.special]
+    word_orths = [l.primary_orth for l in word_lemmas]
+    text = _markov_text(rng, word_orths, n_train_sentences, markov_support)
+    lm = NgramLm.train_from_text(text, order=lm_order)
+    tables = compile_ngram(lm)
+    unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
+    tree = build_prefix_tree(
+        lex, tying, topology, transitions, lm_vocab=lm.vocab,
+        lm_unigrams=unigrams,
+    )
+    bla = build_bigram_lookahead(tree, lm, num_classes=lookahead_classes)
+
+    # ---- GMM with controlled separation; features from its own means --
+    M = tying.num_classes
+    means = (separation * rng.normal(size=(M, 1, feat_dim))).astype(np.float32)
+    ms = MixtureSet(
+        means=means,
+        variances=np.ones((M, 1, feat_dim), np.float32),
+        weights=np.ones((M, 1), np.float32),
+        num_densities=np.ones(M, np.int32),
+    )
+    scorer = GmmFeatureScorer(ms, scale=1.0)
+
+    # ---- planted test corpus (same Markov chain as the LM training) --
+    test_sents = _markov_text(rng, word_orths, num_utts, markov_support)
+    lemma_of = {l.primary_orth: l for l in word_lemmas}
+    sil_states = topology.silence_states
+
+    from ..models.allophone import Allophone, AllophoneState
+
+    def states_of(lemma) -> List[int]:
+        out = []
+        for pid in lemma.pronunciations[0].phonemes:
+            ph = lex.phonemes.by_id(pid)
+            n = topology.num_states(ph.context_independent)
+            for st in range(n):
+                out.append(
+                    tying.classify(AllophoneState(Allophone(pid), st))
+                )
+        return out
+
+    sil_lemma = next(l for l in lex.lemmata if l.special == "silence")
+    sil_cls = states_of(sil_lemma)
+
+    seqs: List[List[int]] = []
+    refs: List[List[str]] = []
+    for sent in test_sents:
+        seq: List[int] = list(sil_cls) * int(rng.integers(1, 3))
+        for w in sent:
+            for c in states_of(lemma_of[w]):
+                # 1-3 frames per state (geometric-ish durations)
+                for _ in range(1 + int(rng.integers(0, 3))):
+                    seq.append(c)
+            if rng.uniform() < 0.2:
+                seq.extend(sil_cls * int(rng.integers(1, 3)))
+        seq.extend(sil_cls)
+        seqs.append(seq)
+        refs.append(sent)
+
+    T = max(len(s) for s in seqs)
+    feats = np.zeros((num_utts, T, feat_dim), np.float32)
+    n_frames = np.zeros(num_utts, np.int32)
+    for b, seq in enumerate(seqs):
+        n_frames[b] = len(seq)
+        feats[b, : len(seq)] = means[np.asarray(seq), 0] + (
+            noise * rng.normal(size=(len(seq), feat_dim))
+        ).astype(np.float32)
+    emissions = np.asarray(scorer(feats))
+
+    return BatteryTask(
+        lexicon=lex, tying=tying, topology=topology,
+        transitions=transitions, lm=lm, tables=tables, tree=tree,
+        bigram_la=bla, scorer=scorer, emissions=emissions,
+        n_frames=n_frames, refs=refs,
+    )
+
+
+def run_operating_point(
+    task: BatteryTask,
+    cfg: BeamConfig,
+    bigram: bool = False,
+    ref_scores: Optional[np.ndarray] = None,
+    batch: int = 0,
+) -> Dict[str, float]:
+    """Decode the task corpus at one pruning setting.
+
+    Returns WER vs the planted truth plus — when ``ref_scores`` (the
+    wide reference decode's best costs) is given — the search-error
+    rate and mean score degradation vs that reference."""
+    dec = task.decoder(cfg, bigram=bigram)
+    B = task.emissions.shape[0]
+    batch = batch or B
+    stats = EditStats()
+    scores = np.zeros(B, np.float64)
+    for lo in range(0, B, batch):
+        hi = min(lo + batch, B)
+        results = dec.decode_scores(
+            task.emissions[lo:hi], task.n_frames[lo:hi]
+        )
+        for i, res in enumerate(results):
+            b = lo + i
+            scores[b] = res.score
+            st, _ = align_tokens(task.refs[b], res.words)
+            stats.add(st)
+    out = {"wer": stats.wer, "errors": float(stats.errors),
+           "ref_len": float(stats.reference_length),
+           "mean_score": float(scores.mean())}
+    if ref_scores is not None:
+        worse = scores > ref_scores + 1e-3
+        out["search_error_rate"] = float(worse.mean())
+        out["mean_degradation"] = float(
+            np.maximum(scores - ref_scores, 0.0).mean()
+        )
+    out["_scores"] = scores  # type: ignore[assignment]
+    return out

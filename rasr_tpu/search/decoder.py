@@ -153,17 +153,12 @@ def tree_to_device(tree: PrefixTree) -> TreeTables:
     d2_cost = np.full(S + 1, BIG, np.float32)
     ptr = tree.arc_ptr.astype(np.int64)
     deg = ptr[1:] - ptr[:-1]  # [S]
-    A = int(ptr[-1])
-    src = np.repeat(np.arange(S, dtype=np.int64), deg)  # [A]
-    pos = np.arange(A, dtype=np.int64) - ptr[:-1][src]
-    nonroot = src >= 1
-    m1 = nonroot & (pos == 0)
-    m2 = nonroot & (pos == 1)
+    src, m1, m2, mbr = _arc_slot_split(tree)
     d1_dst[src[m1]] = tree.arc_dst[m1]
     d1_cost[src[m1]] = tree.arc_cost[m1]
     d2_dst[src[m2]] = tree.arc_dst[m2]
     d2_cost[src[m2]] = tree.arc_cost[m2]
-    mbr = nonroot & (pos >= 2)  # CSR order preserved (sorted by (src, pos))
+    # mbr: CSR order preserved (arcs sorted by (src, pos))
     br_deg = np.zeros(S + 1, np.int32)
     nr_deg = np.where(np.arange(S) >= 1, np.maximum(deg - 2, 0), 0)
     br_deg[:S] = nr_deg
@@ -346,31 +341,83 @@ class BigramTables:
     ``sub[s]`` in [0, num_subtrees] (sentinel = num_subtrees, whose corr
     column is zero — roots and the padding state carry no correction);
     ``corr`` is UNSCALED (the decoder folds lm_scale * lookahead_scale
-    in at trace time)."""
+    in at trace time).
+
+    Word-set granularity additionally ships the per-arc node-crossing
+    delta machinery: ``pair1/pair2`` (dense arc slots, per state),
+    ``pair_br`` (branch CSR order) index rows of ``dpair`` (column 0 is
+    zeros = "no crossing"); all None at first-phone granularity where
+    every within-word delta is zero by construction."""
 
     sub: jnp.ndarray  # [S+1] int32
     cls_of_lm: jnp.ndarray  # [L] int32
     corr: jnp.ndarray  # [C, num_subtrees + 1] f32
+    pair1: Optional[jnp.ndarray]  # [S+1] int32
+    pair2: Optional[jnp.ndarray]  # [S+1] int32
+    pair_br: Optional[jnp.ndarray]  # [A'] int32
+    dpair: Optional[jnp.ndarray]  # [C, P + 1] f32
     num_subtrees: int
     num_classes: int
+
+    @property
+    def deep(self) -> bool:
+        return self.dpair is not None
 
 
 jax.tree_util.register_pytree_node(
     BigramTables,
-    lambda t: ((t.sub, t.cls_of_lm, t.corr), (t.num_subtrees, t.num_classes)),
+    lambda t: (
+        (t.sub, t.cls_of_lm, t.corr, t.pair1, t.pair2, t.pair_br, t.dpair),
+        (t.num_subtrees, t.num_classes),
+    ),
     lambda aux, ch: BigramTables(*ch, *aux),
 )
 
 
-def bigram_to_device(bla, num_states: int) -> BigramTables:
-    """Host BigramLookahead -> device tables (+ sentinel state row)."""
+def _arc_slot_split(tree: PrefixTree):
+    """Per-arc slot assignment shared by tree_to_device and
+    bigram_to_device: arc i of state src[i] at within-state position
+    pos[i]; pos 0 -> dense slot 1, pos 1 -> dense slot 2, pos >= 2 ->
+    branch CSR (root state 0 excluded)."""
+    S = tree.num_states
+    ptr = tree.arc_ptr.astype(np.int64)
+    deg = ptr[1:] - ptr[:-1]
+    A = int(ptr[-1])
+    src = np.repeat(np.arange(S, dtype=np.int64), deg)
+    pos = np.arange(A, dtype=np.int64) - ptr[:-1][src]
+    nonroot = src >= 1
+    return src, nonroot & (pos == 0), nonroot & (pos == 1), nonroot & (pos >= 2)
+
+
+def bigram_to_device(bla, tree: PrefixTree) -> BigramTables:
+    """Host BigramLookahead -> device tables (+ sentinel state row; arc
+    pair ids split into the decoder's dense/branch slots)."""
     G = bla.corr.shape[1] - 1
+    num_states = tree.num_states
     sub = np.concatenate([bla.sub_state, [G]]).astype(np.int32)
     assert sub.shape[0] == num_states + 1
+    pair1 = pair2 = pair_br = dpair = None
+    if bla.deep:
+        src, m1, m2, mbr = _arc_slot_split(tree)
+        p1 = np.zeros(num_states + 1, np.int32)
+        p2 = np.zeros(num_states + 1, np.int32)
+        p1[src[m1]] = bla.arc_pair[m1]
+        p2[src[m2]] = bla.arc_pair[m2]
+        br = bla.arc_pair[mbr].astype(np.int32)
+        if br.size == 0:
+            br = np.zeros(1, np.int32)  # placeholder row (see tree_to_device)
+        pair1 = jnp.asarray(p1)
+        pair2 = jnp.asarray(p2)
+        pair_br = jnp.asarray(br)
+        dpair = jnp.asarray(bla.dpair)
     return BigramTables(
         sub=jnp.asarray(sub),
         cls_of_lm=jnp.asarray(bla.state_class),
         corr=jnp.asarray(bla.corr),
+        pair1=pair1,
+        pair2=pair2,
+        pair_br=pair_br,
+        dpair=dpair,
         num_subtrees=G,
         num_classes=int(bla.corr.shape[0]),
     )
@@ -396,12 +443,14 @@ def _gsel(tab4, idx):
     return jnp.where((idx & 2) == 0, lo, hi)
 
 
-def _build_state_pack(tree: TreeTables, cfg: BeamConfig):
+def _build_state_pack(tree: TreeTables, cfg: BeamConfig, bla=None):
     """Packed per-state row table for the beam's per-hyp gather.
 
-    Returns ``(state_pack [S+1, 8|9] int32, fold_bh, deg_bits)``. Shared
-    by ``_make_step`` (trace-time constant) and ``init_carry`` (the
-    beam carry rides the selected rows across frames — see step()).
+    Returns ``(state_pack [S+1, 8|9(+2)] int32, fold_bh, deg_bits)``.
+    Shared by ``_make_step`` (trace-time constant) and ``init_carry``
+    (the beam carry rides the selected rows across frames — see step()).
+    With a deep (word-set) bigram lookahead the dense arcs' node-
+    crossing pair ids ride as two extra columns.
 
     CARRIER DTYPE: int32, with the f32 cost columns BITCAST IN (ids
     native). The TPU vector unit flushes denormals and canonicalizes
@@ -455,6 +504,15 @@ def _build_state_pack(tree: TreeTables, cfg: BeamConfig):
             ],
             axis=1,
         )  # [S+1, 9]
+    if (
+        bla is not None
+        and bla.deep
+        and cfg.lm_scale * cfg.lookahead_scale != 0.0
+    ):
+        # same gate as _make_step's use_deep — the carry must agree
+        state_pack = jnp.concatenate(
+            [state_pack, bla.pair1[:, None], bla.pair2[:, None]], axis=1
+        )  # [..., +2]: dense-arc node-crossing pair ids
     return state_pack, fold_bh, deg_bits
 
 
@@ -501,12 +559,18 @@ def _make_step(
     # so every dense/loop/branch/skip delta is zero; the correction is
     # added at the root fan-out (subtree choice) and undone at word ends
     use_bla = bla is not None and la_coeff != 0.0
+    use_deep = use_bla and bla.deep
     if use_bla:
         Gla1 = bla.num_subtrees + 1
         cls4 = _pad4(bla.cls_of_lm)
         corr4 = _pad4((la_coeff * bla.corr).reshape(-1))
         sub4 = _pad4(bla.sub)
         sub_arc = bla.sub[tree.root_dst]  # [G] subtree of each root arc
+    if use_deep:
+        # word-set granularity: within-word node-crossing deltas, one
+        # quarter-row gather per dense/branch candidate section
+        dpair4 = _pad4((la_coeff * bla.dpair).reshape(-1))
+        P1 = bla.dpair.shape[1]
     gcap = min(cfg.root_arc_limit or G, G)
     # root-selection (cfg.root_select): pre-emission top-R3 over the
     # root fan-out instead of carrying it through the main sorts
@@ -531,7 +595,7 @@ def _make_step(
     bc_f = _bc_f
     bc_i = _bc_i
 
-    state_pack, fold_bh, deg_bits = _build_state_pack(tree, cfg)
+    state_pack, fold_bh, deg_bits = _build_state_pack(tree, cfg, bla)
     carry0 = init_carry(B, cfg, lm, state_pack)
     if not fold_bh:
         branch_head = jnp.stack(
@@ -539,14 +603,14 @@ def _make_step(
         )  # [S+1, 2]: one row gather replaces two element gathers
     # int32 carrier rows (cost columns bitcast in): see _build_state_pack
     # — f32 tensors destroy smuggled int bit patterns on the TPU VPU
-    branch_pack = jnp.stack(
-        [
-            tree.branch_dst,
-            bc_i(tree.branch_cost + (la_coeff * tree.branch_dla if use_la else 0.0)),
-            tree.branch_cls,
-        ],
-        axis=1,
-    )  # [A', 3] int32
+    branch_cols = [
+        tree.branch_dst,
+        bc_i(tree.branch_cost + (la_coeff * tree.branch_dla if use_la else 0.0)),
+        tree.branch_cls,
+    ]
+    if use_deep:
+        branch_cols.append(bla.pair_br)  # node-crossing pair per branch arc
+    branch_pack = jnp.stack(branch_cols, axis=1)  # [A', 3(+1)] int32
     we_pack = jnp.stack(
         [
             tree.we_word,
@@ -679,6 +743,13 @@ def _make_step(
         d2_cls = pk[..., 6]
         p_d2 = score_e + bc_f(pk[..., 5])
         own_cls = jnp.where(cls_raw < 0, -cls_raw - 1, cls_raw)
+        if use_deep:
+            # word-set lookahead: node-crossing delta per dense arc
+            # (pair id 0 = within-node = zero row; loops never cross)
+            Csp = state_pack.shape[1]
+            c_e = _gsel(cls4, lms_e)  # [B,K_loc] history class per hyp
+            p_d1 = p_d1 + _gsel(dpair4, c_e * P1 + pk[..., Csp - 2])
+            p_d2 = p_d2 + _gsel(dpair4, c_e * P1 + pk[..., Csp - 1])
 
         # packed beam rows (int32 carrier; score bits bitcast in): every
         # downstream selection gathers all four beam columns (+ folded
@@ -709,10 +780,15 @@ def _make_step(
         bi = bptr[..., None] + dslots
         ok = dslots < deg[..., None]
         bi = jnp.where(ok, bi, 0)
-        bpk = branch_pack[bi]  # [B,Kb,Db,3] (1 gather for dst/cost/cls)
+        bpk = branch_pack[bi]  # [B,Kb,Db,3(+1)] (1 gather dst/cost/cls)
         b_dst = jnp.where(ok, bpk[..., 0], SENT)
         b_cls = jnp.where(ok, bpk[..., 2], 0)
         b_cost = jnp.where(ok, bc_f(bpk[..., 1]), BIG)
+        if use_deep:
+            c_b = _gsel(cls4, b_lm)  # [B,Kb]
+            b_cost = b_cost + _gsel(
+                dpair4, c_b[..., None] * P1 + jnp.where(ok, bpk[..., 3], 0)
+            )
         p_br = b_score[..., None] + b_cost  # [B,Kb,Db]
 
         # root re-entry: top-H root hyps. The best history expands every
@@ -1399,7 +1475,7 @@ class TreeDecoder:
         #: bigram lookahead device tables (search/lookahead.py); None =
         #: unigram-only shaping. Exact either way (potential shaping).
         self.bla = (
-            bigram_to_device(bigram_la, tree.num_states)
+            bigram_to_device(bigram_la, tree)
             if bigram_la is not None
             else None
         )

@@ -67,7 +67,9 @@ class StreamingDecoder:
     def restart(self, batch_size: int, n_frames: Optional[np.ndarray] = None):
         """Begin a new (batch of) segment(s) (ref: SearchAlgorithm::restart)."""
         B = batch_size
-        state_pack, _, _ = _build_state_pack(self.dec.tables, self.dec.cfg)
+        state_pack, _, _ = _build_state_pack(
+            self.dec.tables, self.dec.cfg, self.dec.bla
+        )
         self._carry = init_carry(B, self.dec.cfg, self.dec.lm, state_pack)
         self._recs = []
         self._t = 0

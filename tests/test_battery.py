@@ -1,0 +1,89 @@
+"""Search-error battery regression (SURVEY §6 / BASELINE configs 4-5).
+
+A scaled-down instance of the synthetic LVCSR battery
+(rasr_tpu/pipeline/battery.py, full grid in
+examples/search_error_battery.py): prefix-shared lexicon + homophones,
+4-gram LM over a Markov source, controlled-noise GMM emissions. The
+battery must BITE (over-tight pruning causes measurable search error)
+and the pinned production operating point must hold search-induced WER
+at ~reference level — the in-suite form of the reference's WER-parity
+validation, which no toy 0-WER recipe can provide.
+"""
+
+import numpy as np
+import pytest
+
+from rasr_tpu.pipeline.battery import build_battery_task, run_operating_point
+from rasr_tpu.search.decoder import BeamConfig
+
+LM_SCALE = 3.0
+
+
+@pytest.fixture(scope="module")
+def task():
+    return build_battery_task(
+        num_words=300,
+        num_utts=10,
+        n_train_sentences=4000,
+        noise=2.5,
+        separation=1.3,
+        lookahead_classes=350,
+        seed=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def reference(task):
+    cfg = BeamConfig(
+        max_hyps=1024, beam=1e9, word_end_limit=128, root_hyps=64,
+        lm_scale=LM_SCALE,
+    )
+    # calibrated: K=2048 measures identically (se=0, deg=0) — 1024 is
+    # already past this task's histogram knee
+    return run_operating_point(task, cfg)
+
+
+def test_battery_reference_is_solvable(task, reference):
+    """The wide decode recovers most of the planted transcript — the
+    task is hard (noise + homophones: some residual WER) but sound."""
+    assert 0.0 < reference["wer"] < 0.25
+
+
+def test_battery_bites_under_tight_pruning(task, reference):
+    """Over-tight pruning must produce measurable search error — if it
+    does not, the battery has lost its teeth and says nothing about
+    production operating points."""
+    tight = BeamConfig(
+        max_hyps=48, beam=35.0, word_end_limit=32, root_hyps=8,
+        lm_scale=LM_SCALE,
+    )
+    r = run_operating_point(task, tight, ref_scores=reference["_scores"])
+    assert r["search_error_rate"] > 0.2
+    assert r["wer"] > reference["wer"] + 0.02
+
+
+def test_battery_production_point_holds_parity(task, reference):
+    """The pinned production operating point: search-induced WER within
+    0.5% absolute of the reference decode and near-zero search-error
+    mass (VERDICT r1 item 2's done-criterion)."""
+    prod = BeamConfig(
+        max_hyps=256, beam=90.0, word_end_limit=64, root_hyps=16,
+        lm_scale=LM_SCALE,
+    )
+    r = run_operating_point(task, prod, ref_scores=reference["_scores"])
+    assert r["wer"] <= reference["wer"] + 0.005
+    assert r["mean_degradation"] < 1.0
+
+
+def test_battery_production_point_with_bigram_lookahead(task, reference):
+    """The production point under bigram-lookahead shaping also holds
+    parity (shaping is exact; at production width it must not cost
+    accuracy either)."""
+    prod = BeamConfig(
+        max_hyps=256, beam=90.0, word_end_limit=64, root_hyps=16,
+        lm_scale=LM_SCALE,
+    )
+    r = run_operating_point(
+        task, prod, bigram=True, ref_scores=reference["_scores"]
+    )
+    assert r["wer"] <= reference["wer"] + 0.005

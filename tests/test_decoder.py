@@ -430,7 +430,7 @@ def test_decoder_deferred_emission_exact(setup, rng):
 
 
 # --------------------------------------------------------- bigram lookahead
-def _bigram_la_setup():
+def _bigram_la_setup(granularity="first-phone"):
     """Lexicon + bigram LM where history matters: Z is globally rare but
     always follows A, so unigram lookahead under-ranks Z's subtree while
     the history-conditioned correction restores it."""
@@ -455,7 +455,9 @@ def _bigram_la_setup():
     tree = build_prefix_tree(
         lex, tying, topo, trans, lm_vocab=lm.vocab, lm_unigrams=unigrams
     )
-    bla = build_bigram_lookahead(tree, lm, num_classes=8)
+    bla = build_bigram_lookahead(
+        tree, lm, num_classes=8, granularity=granularity
+    )
     return lex, topo, tying, trans, lm, tables, tree, bla
 
 
@@ -464,6 +466,7 @@ def test_bigram_lookahead_tables():
     <s>, the neutral class row is zero, and every state maps to a
     subtree (or the root sentinel)."""
     lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup()
+    assert not bla.deep
     G = bla.num_subtrees
     root_deg = tree.arc_ptr[1] - tree.arc_ptr[0]
     assert G == root_deg
@@ -476,12 +479,48 @@ def test_bigram_lookahead_tables():
     assert np.all(bla.sub_state[1:] < G)
 
 
-def test_bigram_lookahead_shaping_is_exact(rng):
+def test_bigram_lookahead_wordset_tables():
+    """Word-set (condensed-network) granularity: nodes refine beyond
+    first-phone subtrees, crossing arcs carry consistent deltas
+    (dpair row == corr[dst] - corr[src] for every pair), and the
+    neutral class stays zero."""
+    lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup(
+        granularity="word-set"
+    )
+    assert bla.deep
+    N = bla.num_subtrees
+    root_deg = int(tree.arc_ptr[1] - tree.arc_ptr[0])
+    assert N >= root_deg  # refines at least to first-phone resolution
+    np.testing.assert_array_equal(bla.corr[:, N], 0.0)
+    np.testing.assert_array_equal(bla.corr[bla.num_classes - 1], 0.0)
+    assert bla.sub_state[0] == N
+    # delta consistency over every arc: the telescoped potential must
+    # be exactly corr[node(dst)] - corr[node(src)]
+    import numpy as _np
+
+    deg = tree.arc_ptr[1:] - tree.arc_ptr[:-1]
+    src = _np.repeat(_np.arange(tree.num_states), deg)
+    for ai in range(tree.num_arcs):
+        s, d = src[ai], tree.arc_dst[ai]
+        if s == 0:
+            assert bla.arc_pair[ai] == 0
+            continue
+        ns, nd = bla.sub_state[s], bla.sub_state[d]
+        want = bla.corr[:, nd] - bla.corr[:, ns]
+        got = bla.dpair[:, bla.arc_pair[ai]]
+        _np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("granularity", ["first-phone", "word-set"])
+def test_bigram_lookahead_shaping_is_exact(rng, granularity):
     """Bigram lookahead is exact potential shaping: with pruning off the
     decode results match the unshaped decoder bit-for-bit in words and
     to float tolerance in score — across the rsel/defer/unpacked
-    decoder configurations (every packed-transport path)."""
-    lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup()
+    decoder configurations (every packed-transport path), at both
+    granularities (word-set adds the per-arc delta gathers)."""
+    lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup(
+        granularity
+    )
     M = tying.num_classes
     base = BeamConfig(
         max_hyps=256, beam=1e9, word_end_limit=64, root_hyps=256,
@@ -555,7 +594,11 @@ def test_bigram_lookahead_unsupported_networks():
     aw = build_prefix_tree(
         lex, tying, topo, trans, lm_vocab=lm.vocab, across_word=True
     )
-    assert build_bigram_lookahead(aw, lm, num_classes=8) is None
+    for gran in ("first-phone", "word-set"):
+        assert (
+            build_bigram_lookahead(aw, lm, num_classes=8, granularity=gran)
+            is None
+        )
 
 
 def test_bigram_lookahead_partitioned_beam(rng):
