@@ -270,57 +270,191 @@ class ConfusionSlot:
         return self.hypotheses[0]
 
 
+def _node_bitsets(lat: Lattice):
+    """Per-node descendant and ancestor bitsets (node n included in its
+    own sets): the precedence oracle for arc clustering. O(N^2/64)
+    words — lattices here are hundreds-to-thousands of nodes."""
+    N = lat.num_nodes
+    W = (N + 63) // 64
+    desc = np.zeros((N, W), np.uint64)
+    anc = np.zeros((N, W), np.uint64)
+    idx = np.arange(N)
+    desc[idx, idx >> 6] |= np.uint64(1) << (idx & 63).astype(np.uint64)
+    anc[idx, idx >> 6] |= np.uint64(1) << (idx & 63).astype(np.uint64)
+    order = lat.topological_order()
+    out = lat.out_arcs()
+    for n in reversed(order):
+        for ai in out[n]:
+            desc[n] |= desc[lat.arcs[ai].to_node]
+    for n in order:
+        for ai in out[n]:
+            anc[lat.arcs[ai].to_node] |= anc[n]
+    return desc, anc
+
+
 def confusion_network(
-    lat: Lattice, am_scale: float = 1.0, lm_scale: float = 1.0
-) -> List[ConfusionSlot]:
-    """Pivot-style CN construction (ref: Flf::ConfusionNetwork* — arc
-    clustering along the best path by time overlap)."""
+    lat: Lattice,
+    am_scale: float = 1.0,
+    lm_scale: float = 1.0,
+    return_assignment: bool = False,
+):
+    """Arc-cluster (pivot) CN construction with topological ordering
+    constraints (ref: src/Flf/ConfusionNetwork*.cc — the pivot
+    arc-cluster algorithm).
+
+    The best path seeds the slot sequence; the remaining arcs join
+    slots in descending posterior order, where each arc may only join a
+    slot STRICTLY AFTER every assigned arc that precedes it in the
+    lattice and STRICTLY BEFORE every assigned arc it precedes (so two
+    arcs on one path can never share a slot, and the slot order is a
+    linear extension of the lattice's partial order). An arc whose
+    admissible window holds no time-overlapping slot SPLITS the
+    network: a fresh slot is inserted at the time-appropriate position
+    inside the window. Every slot closes with the epsilon (skip) mass
+    1 - sum(hyp posteriors).
+
+    ``return_assignment=True`` additionally returns {arc index -> slot
+    index} for the arcs carrying posterior mass."""
     total, post = forward_backward(lat, am_scale, lm_scale)
     _, pivot = best_path(lat, am_scale, lm_scale)
     if not pivot:
-        return []
-    slots: List[Dict[str, float]] = [dict() for _ in pivot]
-    spans = [
-        (int(lat.node_time[a.from_node]), int(lat.node_time[a.to_node]))
-        for a in pivot
-    ]
+        return ([], {}) if return_assignment else []
+    assign: Dict[int, int] = {}
+    desc, anc = _node_bitsets(lat)
+    W = desc.shape[1]
+
+    # slot state: hypothesis mass, time span, and from/to node bitsets
+    # (the per-slot aggregates the precedence checks run against)
+    sl_hyp: List[Dict[str, float]] = []
+    sl_span: List[Tuple[int, int]] = []
+    sl_from = np.zeros((0, W), np.uint64)
+    sl_to = np.zeros((0, W), np.uint64)
+
+    def bit(n: int):
+        v = np.zeros(W, np.uint64)
+        v[n >> 6] |= np.uint64(1) << np.uint64(n & 63)
+        return v
+
+    def insert_slot(k: int, span: Tuple[int, int]):
+        nonlocal sl_from, sl_to
+        sl_hyp.insert(k, {})
+        sl_span.insert(k, span)
+        sl_from = np.insert(sl_from, k, np.zeros(W, np.uint64), axis=0)
+        sl_to = np.insert(sl_to, k, np.zeros(W, np.uint64), axis=0)
+
+    def add_arc(k: int, a: LatticeArc, p: float):
+        nonlocal sl_from, sl_to
+        orth = lat.lemma_orths[a.lemma] if a.lemma >= 0 else ""
+        sl_hyp[k][orth] = sl_hyp[k].get(orth, 0.0) + p
+        sl_from[k] |= bit(a.from_node)
+        sl_to[k] |= bit(a.to_node)
+        s, e = int(lat.node_time[a.from_node]), int(lat.node_time[a.to_node])
+        s0, e0 = sl_span[k]
+        sl_span[k] = (min(s0, s), max(e0, e))
+
+    # seed one slot per pivot arc (bitsets + spans up front, so every
+    # precedence window is constrained by the full pivot; the arcs'
+    # posterior mass joins in the main pass)
+    for k, a in enumerate(pivot):
+        insert_slot(
+            k, (int(lat.node_time[a.from_node]), int(lat.node_time[a.to_node]))
+        )
+        add_arc(k, a, 0.0)
 
     def overlap(s1, e1, s2, e2):
         inter = max(0, min(e1, e2) - max(s1, s2))
         denom = max(1, min(e1 - s1, e2 - s2))
         return inter / denom
 
-    for ai, a in enumerate(lat.arcs):
-        if post[ai] <= 0.0:
+    # descending posterior, pivot arcs pinned to their seeded slots
+    arc_order = sorted(
+        (ai for ai in range(len(lat.arcs)) if post[ai] > 0.0),
+        key=lambda ai: -post[ai],
+    )
+    pivot_slot = {id(a): k for k, a in enumerate(pivot)}
+    for ai in arc_order:
+        a = lat.arcs[ai]
+        if id(a) in pivot_slot:
+            add_arc(pivot_slot[id(a)], a, float(post[ai]))
+            assign[ai] = pivot_slot[id(a)]
             continue
+        # admissible window [lo, hi]: a slot arc b precedes a iff
+        # b.to_node is an ancestor of (or equals) a.from_node; a
+        # precedes b iff b.from_node is a descendant of (or equals)
+        # a.to_node
+        a_anc = anc[a.from_node]
+        a_desc = desc[a.to_node]
+        prec = np.any(sl_to & a_anc[None, :], axis=1)
+        succ = np.any(sl_from & a_desc[None, :], axis=1)
+        lo = int(np.flatnonzero(prec).max()) + 1 if prec.any() else 0
+        hi = int(np.flatnonzero(succ).min()) - 1 if succ.any() else len(sl_hyp) - 1
         s, e = int(lat.node_time[a.from_node]), int(lat.node_time[a.to_node])
-        # best-overlapping pivot slot
-        best_k, best_ov = 0, -1.0
-        for k, (ps, pe) in enumerate(spans):
-            ov = overlap(s, e, ps, pe)
+        best_k, best_ov = -1, 0.0
+        for k in range(lo, min(hi, len(sl_hyp) - 1) + 1):
+            ov = overlap(s, e, *sl_span[k])
             if ov > best_ov:
                 best_k, best_ov = k, ov
-        orth = lat.lemma_orths[a.lemma] if a.lemma >= 0 else ""
-        slots[best_k][orth] = slots[best_k].get(orth, 0.0) + post[ai]
+        if best_k < 0:
+            # no admissible overlapping slot: split — insert a fresh
+            # slot at the time-appropriate position inside the window
+            k = lo
+            while k <= min(hi, len(sl_hyp) - 1) and sl_span[k][0] < s:
+                k += 1
+            insert_slot(k, (s, e))
+            pivot_slot = {
+                ida: (sk if sk < k else sk + 1) for ida, sk in pivot_slot.items()
+            }
+            assign = {ia: (sk if sk < k else sk + 1) for ia, sk in assign.items()}
+            best_k = k
+        add_arc(best_k, a, float(post[ai]))
+        assign[ai] = best_k
 
     out = []
-    for k, d in enumerate(slots):
+    for k, d in enumerate(sl_hyp):
+        d = {o: m for o, m in d.items() if m > 0.0}  # drop seed-only keys
         mass = sum(d.values())
         if mass < 1.0:
             d[""] = d.get("", 0.0) + (1.0 - mass)  # epsilon/deletion mass
         hyps = sorted(d.items(), key=lambda kv: -kv[1])
-        out.append(ConfusionSlot(spans[k][0], spans[k][1], hyps))
-    return out
+        out.append(ConfusionSlot(sl_span[k][0], sl_span[k][1], hyps))
+    return (out, assign) if return_assignment else out
 
 
 def cn_decode(slots: Sequence[ConfusionSlot]) -> List[str]:
-    """MAP decoding over the CN (ref: Flf CN/MAP decoding)."""
+    """MAP decoding over the CN (ref: Flf CN/MAP decoding): per-slot
+    posterior argmax, skipping slots the epsilon hypothesis wins. Slot
+    order is a linear extension of the lattice order (see
+    confusion_network), so the output word order is path-consistent."""
     words = []
     for slot in slots:
         w, p = slot.best
         if w:
             words.append(w)
     return words
+
+
+def fcn_decode(
+    frames: Sequence[Dict[str, float]], threshold: float = 0.0
+) -> List[str]:
+    """Min-fWER decoding over the time-frame CN (ref: the reference's
+    min-fWER / time-frame error decoder on the fCN): per frame take the
+    posterior argmax (epsilon wins frames where no word reaches
+    ``threshold``), then collapse consecutive same-word runs; epsilon
+    frames terminate runs. Minimizes the expected FRAME-level word
+    error under the lattice posterior by construction."""
+    out: List[str] = []
+    prev = ""
+    for d in frames:
+        w, p = "", 0.0
+        for orth, q in d.items():
+            if q > p:
+                w, p = orth, q
+        if w and p < threshold:
+            w = ""
+        if w and w != prev:
+            out.append(w)
+        prev = w
+    return out
 
 
 # ------------------------------------------------------- time-frame CN

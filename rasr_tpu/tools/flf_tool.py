@@ -11,7 +11,7 @@ reference's FLF processing networks as a linear ``ops`` list:
     lm-file         = rescoring.arpa    # for op 'rescore'
     output-archive  = out.cache         # for op 'write'
 
-Ops: prune rescore best cn-decode nbest oracle evaluate write
+Ops: prune rescore best cn-decode fcn-decode nbest oracle evaluate write
 union intersect (vs second-archive; system combination) map (map-file)
 scale confidence.
 """
@@ -25,8 +25,9 @@ import numpy as np
 from ..corpus.bliss import CorpusDescription
 from ..lattice.evaluator import CorpusEvaluator, lattice_oracle
 from ..lattice.flf import (
-    best_path, cn_decode, confusion_network, intersect, map_lemmas, n_best,
-    posterior_prune, rescore_lm, scale_scores, union, word_confidence,
+    best_path, cn_decode, confusion_network, fcn_decode, intersect, map_lemmas, n_best,
+    posterior_prune, rescore_lm, scale_scores, time_frame_cn, union,
+    word_confidence,
 )
 from ..lattice.lattice import Lattice
 from ..models.lm.arpa import NgramLm
@@ -113,6 +114,12 @@ class FlfTool(Application):
                         slots = confusion_network(lat, self.am_scale, self.lm_scale)
                         hyp_words = [
                             w for w in cn_decode(slots) if not w.startswith("[")
+                        ]
+                    elif op == "fcn-decode":
+                        # min-fWER decode over the time-frame CN
+                        frames = time_frame_cn(lat, self.am_scale, self.lm_scale)
+                        hyp_words = [
+                            w for w in fcn_decode(frames) if not w.startswith("[")
                         ]
                     elif op == "nbest":
                         nb = n_best(lat, self.nbest, self.am_scale, self.lm_scale)

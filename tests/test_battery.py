@@ -87,3 +87,36 @@ def test_battery_production_point_with_bigram_lookahead(task, reference):
         task, prod, bigram=True, ref_scores=reference["_scores"]
     )
     assert r["wer"] <= reference["wer"] + 0.005
+
+
+def test_battery_cn_and_fcn_decode_quality(task):
+    """CN (arc-cluster) and min-fWER decodes over the battery's decode
+    lattices: both must be at least as good as the Viterbi decode (on
+    these lattices posterior mass concentrates on the MAP path, so the
+    expected relation is equality; consensus-beats-MAP is covered by
+    the constructed case in test_lattice.py)."""
+    from rasr_tpu.lattice.evaluator import EditStats, align_tokens
+    from rasr_tpu.lattice.flf import (
+        cn_decode,
+        confusion_network,
+        fcn_decode,
+        time_frame_cn,
+    )
+    from rasr_tpu.lattice.lattice import decoder_lattice
+
+    cfg = BeamConfig(
+        max_hyps=256, beam=90.0, word_end_limit=64, root_hyps=16,
+        lm_scale=LM_SCALE,
+    )
+    dec = task.decoder(cfg)
+    results = dec.decode_scores(task.emissions, task.n_frames)
+    sv, sc, sf = EditStats(), EditStats(), EditStats()
+    for b, res in enumerate(results):
+        lat = decoder_lattice(dec, b)
+        cn = [w for w in cn_decode(confusion_network(lat)) if not w.startswith("[")]
+        fc = [w for w in fcn_decode(time_frame_cn(lat)) if not w.startswith("[")]
+        sv.add(align_tokens(task.refs[b], res.words)[0])
+        sc.add(align_tokens(task.refs[b], cn)[0])
+        sf.add(align_tokens(task.refs[b], fc)[0])
+    assert sc.errors <= sv.errors
+    assert sf.errors <= sv.errors

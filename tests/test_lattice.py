@@ -414,3 +414,172 @@ def test_intersect_epsilon_no_duplication():
     # exactly 2x2 = 4 combined paths of cost 2.0 each — duplicated eps
     # interleavings would double the mass
     np.testing.assert_allclose(total, 2.0 - math.log(4.0), rtol=1e-6)
+
+
+# ------------------------------------------------- CN properties (arc-cluster)
+def _random_lattice(rng, n_words=6, depth=6, branch=3):
+    """Random acyclic multi-path lattice with monotone node times."""
+    import itertools as _it
+
+    nodes = [0]
+    node_time = [0]
+    arcs = []
+    frontier = [0]
+    nid = 0
+    for d in range(depth):
+        new_frontier = []
+        for f in frontier:
+            for _ in range(int(rng.integers(1, branch + 1))):
+                if rng.uniform() < 0.4 and new_frontier:
+                    to = rng.choice(new_frontier)
+                else:
+                    nid += 1
+                    node_time.append((d + 1) * 4 + int(rng.integers(0, 3)))
+                    new_frontier.append(nid)
+                    to = nid
+                arcs.append(
+                    LatticeArc(
+                        int(f), int(to), int(rng.integers(0, n_words)),
+                        float(rng.uniform(0.2, 3.0)), 0.0,
+                    )
+                )
+        frontier = new_frontier or frontier
+    finals = {int(f): 0.0 for f in frontier}
+    return Lattice(
+        num_nodes=nid + 1,
+        arcs=arcs,
+        node_time=np.asarray(node_time, np.int32),
+        final_scores=finals,
+        lemma_orths=[f"w{i}" for i in range(n_words)],
+    )
+
+
+def test_cn_slot_order_is_path_consistent(rng):
+    """THE arc-cluster CN invariant the naive pivot lacked: along every
+    lattice path, assigned slot indices are strictly increasing (two
+    arcs of one path never share or reorder slots)."""
+    from rasr_tpu.lattice.flf import confusion_network
+
+    for trial in range(8):
+        lat = _random_lattice(rng)
+        slots, assign = confusion_network(lat, return_assignment=True)
+        out = lat.out_arcs()
+
+        # DFS over all paths, checking monotonicity of slot indices
+        stack = [(0, -1)]
+        while stack:
+            node, last_slot = stack.pop()
+            for ai in out[node]:
+                k = assign.get(ai)
+                if k is None:  # zero-posterior arc
+                    continue
+                assert k > last_slot, (trial, ai, k, last_slot)
+                stack.append((lat.arcs[ai].to_node, k))
+
+
+def test_cn_slot_mass_and_assignment_complete(rng):
+    """Every positive-posterior arc lands in exactly one slot and every
+    slot's hypothesis mass (with epsilon) sums to 1."""
+    from rasr_tpu.lattice.flf import confusion_network, forward_backward
+
+    for trial in range(4):
+        lat = _random_lattice(rng)
+        _, post = forward_backward(lat)
+        slots, assign = confusion_network(lat, return_assignment=True)
+        assert set(assign) == {ai for ai in range(len(lat.arcs)) if post[ai] > 0}
+        for slot in slots:
+            np.testing.assert_allclose(
+                sum(p for _, p in slot.hypotheses), 1.0, atol=1e-6
+            )
+
+
+def test_cn_decode_beats_map_on_consensus():
+    """The CN exists to decode by posterior consensus: three ways to say
+    'X then something' each cost a bit more than the lone 'Y' path, so
+    MAP picks Y but the X-consensus dominates the posterior. CN decode
+    must recover X; MAP (best_path) must not."""
+    from rasr_tpu.lattice.flf import best_path, cn_decode, confusion_network
+
+    arcs = [
+        LatticeArc(0, 1, 0, 1.5, 0.0),  # X (variant a)
+        LatticeArc(0, 1, 0, 1.6, 0.0),  # X (variant b — e.g. other pron)
+        LatticeArc(0, 2, 1, 1.0, 0.0),  # Y  <- on the single cheapest path
+        LatticeArc(1, 3, 2, 0.1, 0.0),  # Z after X
+        LatticeArc(2, 3, 3, 0.4, 0.0),  # W after Y
+    ]
+    lat = Lattice(
+        num_nodes=4,
+        arcs=arcs,
+        node_time=np.array([0, 5, 5, 10], np.int32),
+        final_scores={3: 0.0},
+        lemma_orths=["X", "Y", "Z", "W"],
+    )
+    _, mp = best_path(lat)
+    assert [lat.lemma_orths[a.lemma] for a in mp] == ["Y", "W"]
+    slots = confusion_network(lat)
+    assert cn_decode(slots) == ["X", "Z"]
+
+
+def test_fcn_decode_minimizes_expected_frame_error(rng):
+    """min-fWER decoding: the fCN decode's frame labeling has expected
+    frame-level error <= the MAP path's, measured against the exact
+    path posterior (brute-force enumeration)."""
+    import itertools as _it
+    import math as _math
+
+    from rasr_tpu.lattice.flf import (
+        best_path,
+        fcn_decode,
+        time_frame_cn,
+    )
+
+    for trial in range(6):
+        lat = _random_lattice(rng, n_words=4, depth=4, branch=2)
+        # brute-force path posterior
+        out = lat.out_arcs()
+        paths = []  # (cost, [(arc)...])
+
+        def walk(node, cost, acc):
+            if node in lat.final_scores:
+                paths.append((cost + lat.final_scores[node], list(acc)))
+            for ai in out[node]:
+                a = lat.arcs[ai]
+                acc.append(a)
+                walk(a.to_node, cost + a.am_score + a.lm_score, acc)
+                acc.pop()
+
+        walk(0, 0.0, [])
+        Z = sum(_math.exp(-c) for c, _ in paths)
+        T = int(lat.node_time.max())
+
+        def labeling(path_arcs):
+            lab = [""] * T
+            for a in path_arcs:
+                s = int(lat.node_time[a.from_node])
+                e = int(lat.node_time[a.to_node])
+                for t in range(s, min(e, T)):
+                    lab[t] = lat.lemma_orths[a.lemma]
+            return lab
+
+        def expected_frame_err(lab):
+            err = 0.0
+            for c, pa in paths:
+                p = _math.exp(-c) / Z
+                plab = labeling(pa)
+                err += p * sum(1 for t in range(T) if plab[t] != lab[t])
+            return err
+
+        frames = time_frame_cn(lat)
+        # fCN frame labeling: per-frame argmax (what fcn_decode collapses)
+        flab = []
+        for d in frames:
+            w, p = "", 0.0
+            for orth, q in d.items():
+                if q > p:
+                    w, p = orth, q
+            flab.append(w)
+        _, mp = best_path(lat)
+        assert expected_frame_err(flab) <= expected_frame_err(labeling(mp)) + 1e-9
+        # and the word sequence is the collapsed labeling
+        want = [w for i, w in enumerate(flab) if w and (i == 0 or flab[i - 1] != w)]
+        assert fcn_decode(frames) == want
