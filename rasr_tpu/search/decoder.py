@@ -530,6 +530,8 @@ def _make_step(
     beam_axis: Optional[str] = None,
     beam_par: int = 1,
     bla: Optional[BigramTables] = None,
+    rnn=None,  # Optional[RnnFusionTables]
+    rnn_pool: int = 0,  # ring-buffer rows = R * T (trace-time, from T)
 ):
     """Build the per-frame scan step + initial carry (shared by the
     offline whole-utterance scan and the streaming block feed).
@@ -595,8 +597,16 @@ def _make_step(
     bc_f = _bc_f
     bc_i = _bc_i
 
+    # first-pass RNN-LM fusion (search/rnn_fusion.py): hidden states in
+    # a record-id-keyed ring buffer riding the carry; one batched LSTM
+    # step + vocab projection per frame over the R word-end records
+    use_rnn = rnn is not None
+    if use_rnn:
+        assert Pn == 1, "rnn fusion does not compose with beam partitioning"
+        assert rnn_pool > 0
+
     state_pack, fold_bh, deg_bits = _build_state_pack(tree, cfg, bla)
-    carry0 = init_carry(B, cfg, lm, state_pack)
+    carry0 = init_carry(B, cfg, lm, state_pack, rnn=rnn, rnn_pool=rnn_pool)
     if not fold_bh:
         branch_head = jnp.stack(
             [tree.branch_ptr[:-1], tree.branch_deg], axis=1
@@ -710,7 +720,11 @@ def _make_step(
         return rows.reshape(Bx * N, C)[idx + off]
 
     def step(carry, inputs):
-        state, lms, score, bp, pk_c, fstate, flm, fscore, fbp = carry
+        if use_rnn:
+            (state, lms, score, bp, pk_c, fstate, flm, fscore, fbp,
+             rnn_cs, rnn_hs) = carry
+        else:
+            state, lms, score, bp, pk_c, fstate, flm, fscore, fbp = carry
         emis_t, t = inputs
         active = (t < n_frames)[:, None]
 
@@ -1178,6 +1192,43 @@ def _make_step(
         lm_next = lm_next.reshape(B, R)
         r_lmcost = jnp.where(is_lm_word, cfg.lm_scale * lm_cost, 0.0)
         r_newlm = jnp.where(is_lm_word, lm_next, r_srclm)
+        if use_rnn:
+            # fused RNN-LM score + state update for the R records. The
+            # source hypothesis's hidden state is keyed by its last
+            # word-end record (r_srcbp); -1 = the <s> init row.
+            from .rnn_fusion import cell_step, word_scores
+
+            src_row = jnp.where(r_srcbp < 0, rnn_pool, r_srcbp)  # [B,R]
+            h_src = rowsel(rnn_hs, src_row)  # [B,R,H]
+            c_src = rowsel(rnn_cs, src_row)
+            wid = rnn.word_map[jnp.maximum(r_word, 0)]  # [B,R]
+            scored = is_lm_word & (wid >= 0)
+            wcost = word_scores(rnn, h_src, jnp.maximum(wid, 0))
+            rnn_cost = jnp.where(
+                scored,
+                rnn.weight * wcost,
+                jnp.where(is_lm_word, rnn.weight * rnn.oov_cost, 0.0),
+            )
+            r_lmcost = r_lmcost + rnn_cost
+            x = rnn.emb[jnp.maximum(wid, 0)]  # [B,R,E]
+            c_new, h_new = cell_step(rnn, x, c_src, h_src)
+            # silence/OOV keep the state; frozen rows keep old contents
+            adv = (scored & active)[..., None]
+            c_new = jnp.where(adv, c_new, c_src)
+            h_new = jnp.where(adv, h_new, h_src)
+            keep = active[..., None]
+            old_c = jax.lax.dynamic_slice(
+                rnn_cs, (0, t * R, 0), (B, R, rnn_cs.shape[2])
+            )
+            old_h = jax.lax.dynamic_slice(
+                rnn_hs, (0, t * R, 0), (B, R, rnn_hs.shape[2])
+            )
+            rnn_cs = jax.lax.dynamic_update_slice(
+                rnn_cs, jnp.where(keep, c_new, old_c), (0, t * R, 0)
+            )
+            rnn_hs = jax.lax.dynamic_update_slice(
+                rnn_hs, jnp.where(keep, h_new, old_h), (0, t * R, 0)
+            )
         r_score = jnp.where(r_pre < BIG / 2, r_pre + r_lmcost, BIG)
         r_valid = (r_score < BIG / 2) & active
 
@@ -1253,19 +1304,27 @@ def _make_step(
             jnp.where(r_valid, r_word, WORD_NONE),
             jnp.where(r_valid, r_newlm, -1),
         )
-        return (state, lms, score, bp, pk_n, fstate, flm, fscore, fbp), recs
+        core = (state, lms, score, bp, pk_n, fstate, flm, fscore, fbp)
+        if use_rnn:
+            return core + (rnn_cs, rnn_hs), recs
+        return core, recs
 
     return step, carry0
 
 
-def init_carry(B: int, cfg: BeamConfig, lm: NgramTables, state_pack):
+def init_carry(
+    B: int, cfg: BeamConfig, lm: NgramTables, state_pack,
+    rnn=None, rnn_pool: int = 0,
+):
     """Initial beam carry: one live hypothesis at the tree root in the
     LM start state (shared by offline scan and streaming restart).
 
     ``state_pack`` is ``_build_state_pack(tree, cfg)[0]``: the carry
     rides each beam slot's packed state row across frames (all slots
     start at the tree root = row 0), saving the per-frame [B,K] row
-    re-gather (102us/frame HLO-profiled at B=64, K=1024)."""
+    re-gather (102us/frame HLO-profiled at B=64, K=1024). With RNN
+    fusion the carry also holds the record-keyed hidden-state ring
+    buffers (row ``rnn_pool`` = the <s> state)."""
     K = cfg.max_hyps
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
@@ -1274,11 +1333,20 @@ def init_carry(B: int, cfg: BeamConfig, lm: NgramTables, state_pack):
     pk0 = jnp.broadcast_to(
         state_pack[0][None, None, :], (B, K, state_pack.shape[1])
     )
-    return (state0, lm0, score0, bp0, pk0, state0, lm0, score0, bp0)
+    core = (state0, lm0, score0, bp0, pk0, state0, lm0, score0, bp0)
+    if rnn is None:
+        return core
+    H = rnn.hidden
+    cs = jnp.zeros((B, rnn_pool + 1, H), jnp.float32)
+    hs = jnp.zeros((B, rnn_pool + 1, H), jnp.float32)
+    cs = cs.at[:, rnn_pool].set(rnn.init_c)
+    hs = hs.at[:, rnn_pool].set(rnn.init_h)
+    return core + (cs, hs)
 
 
 def _best_and_records(
-    lm, lm_prep, recs, finals, cfg: BeamConfig, T: int, nfinal: int = 1
+    lm, lm_prep, recs, finals, cfg: BeamConfig, T: int, nfinal: int = 1,
+    rnn=None, rnn_pools=None,
 ):
     """Final best-hypothesis selection + device traceback walk (the tail
     shared by the offline scan and the streaming finalize).
@@ -1296,6 +1364,20 @@ def _best_and_records(
         jnp.full((B * fstate.shape[1],), max(lm.end_word, 0), jnp.int32),
     )
     end_cost = jnp.where(lm.end_word >= 0, cfg.lm_scale * end_cost.reshape(fstate.shape), 0.0)
+    if rnn is not None and rnn.end_wid >= 0:
+        # fused RNN </s> cost from the final hyps' record-keyed states
+        from .rnn_fusion import word_scores
+
+        _, rnn_hs = rnn_pools
+        P = rnn_hs.shape[1] - 1
+        row = jnp.where(fbp < 0, P, fbp)  # [B,K]
+        off = jnp.asarray(
+            (np.arange(B, dtype=np.int32) * (P + 1)).reshape(B, 1)
+        )
+        h = rnn_hs.reshape(B * (P + 1), -1)[row + off]  # [B,K,H]
+        end_cost = end_cost + rnn.weight * word_scores(
+            rnn, h, jnp.full(fstate.shape, rnn.end_wid, jnp.int32)
+        )
     # ---- best-complete-hypothesis selection + traceback ON DEVICE ----
     # host transfers through the tunnel run at MB/s; the full record
     # tensors ship only when lattices are requested (lazy), while the
@@ -1364,6 +1446,7 @@ def _decode_scan(
     emissions: jnp.ndarray,  # [B, T, M]
     n_frames: jnp.ndarray,  # [B]
     bla,  # Optional[BigramTables] (None = unigram-only shaping)
+    rnn,  # Optional[RnnFusionTables] (None = n-gram only)
     cfg: BeamConfig,
     wmax: int,
     hroot: int,
@@ -1374,18 +1457,21 @@ def _decode_scan(
 ):
     """Whole-utterance batched decode: scan + final selection/traceback."""
     B, T, M = emissions.shape
+    rnn_pool = cfg.word_end_limit * T if rnn is not None else 0
     step, carry0 = _make_step(
         tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch,
-        beam_axis, beam_par, bla,
+        beam_axis, beam_par, bla, rnn, rnn_pool,
     )
     ts = jnp.arange(T, dtype=jnp.int32)
     carry, recs = jax.lax.scan(
         step, carry0, (jnp.swapaxes(emissions, 0, 1), ts),
         unroll=cfg.scan_unroll,
     )
-    _, _, _, _, _, fstate, flm, fscore, fbp = carry
+    fstate, flm, fscore, fbp = carry[5:9]
+    rnn_pools = carry[9:11] if rnn is not None else None
     return _best_and_records(
-        lm, lm_prep, recs, (fstate, flm, fscore, fbp), cfg, T, nfinal
+        lm, lm_prep, recs, (fstate, flm, fscore, fbp), cfg, T, nfinal,
+        rnn, rnn_pools,
     )
 
 
@@ -1405,7 +1491,8 @@ def _decode_block(
     kbranch: int,
 ):
     """One streaming feed: advance the beam over a block of frames.
-    ``t0`` is traced, so every same-shaped block reuses one executable."""
+    ``t0`` is traced, so every same-shaped block reuses one executable.
+    (RNN fusion is offline-only: the ring buffer sizes to R * T.)"""
     B, Tb, M = emissions.shape
     step, _ = _make_step(
         tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch,
@@ -1468,6 +1555,7 @@ class TreeDecoder:
         lm_tables: NgramTables,
         cfg: BeamConfig = BeamConfig(),
         bigram_la=None,  # Optional[lookahead.BigramLookahead]
+        rnn_fusion=None,  # Optional[rnn_fusion.RnnFusionTables]
     ):
         self.tree = tree
         self.tables = tree_to_device(tree)
@@ -1479,6 +1567,9 @@ class TreeDecoder:
             if bigram_la is not None
             else None
         )
+        #: first-pass RNN-LM fusion tables (search/rnn_fusion.py);
+        #: None = pure n-gram decoding
+        self.rnn = rnn_fusion
         # LM gather tables (incl. the replicated probe-chain) built ONCE
         # per decoder — rebuilding per decode call wastes ~10ms+ each,
         # rebuilding per FRAME collapses throughput (92 -> 3 audio-s/s)
@@ -1540,9 +1631,14 @@ class TreeDecoder:
                 jnp.asarray(emissions),
                 jnp.asarray(n_frames, jnp.int32),
                 self.bla,
+                self.rnn,
                 *args,
             )
         else:
+            if self.rnn is not None:
+                raise ValueError(
+                    "rnn fusion is single-device-scan only (no mesh)"
+                )
             from jax import shard_map
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1550,7 +1646,7 @@ class TreeDecoder:
             bla_local = self.bla
             fn = shard_map(
                 lambda tb, lmt, lp, e, nf: _decode_scan(
-                    tb, lmt, lp, e, nf, bla_local, *args
+                    tb, lmt, lp, e, nf, bla_local, None, *args
                 ),
                 mesh=mesh,
                 in_specs=(rep, rep, rep, dp, dp),

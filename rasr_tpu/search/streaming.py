@@ -56,6 +56,11 @@ class StreamingDecoder:
     """
 
     def __init__(self, decoder: TreeDecoder):
+        if getattr(decoder, "rnn", None) is not None:
+            raise ValueError(
+                "rnn fusion is offline-only (the state ring buffer "
+                "sizes to R * T at trace time)"
+            )
         self.dec = decoder
         self._carry = None
         self._recs: list = []

@@ -105,6 +105,12 @@ class SpeechRecognizerTool(Application):
     #: fan-out) instead of the within-word # approximation (ref: the
     #: reference decoders' across-word model support)
     across_word = ParameterBool("across-word", default=False)
+    #: first-pass RNN-LM fusion: path prefix of a saved RnnLm
+    #: (models/lm/rnn.py save()); scores fuse log-linearly into the
+    #: word-end LM application during search (ref: the reference's
+    #: Lm::TFRecurrentLanguageModel in-search neural LM). Weight via
+    #: search.rnn-scale.
+    rnn_lm_file = ParameterString("rnn-lm-file", default="")
     #: which finite-skip TDP transitions the search network realizes:
     #: "word" = over each word's whole state chain (the reference's
     #: topology; matches the alignment graphs), "phone" = within phones
@@ -226,7 +232,27 @@ class SpeechRecognizerTool(Application):
             lookahead_scale=float(search.param("lookahead-scale", 1.0)),
             lm_scale=float(search.param("lm-scale", 10.0)),
         )
-        decoder = TreeDecoder(tree, tables, cfg, bigram_la=bla)
+        rnn_fusion = None
+        if self.rnn_lm_file:
+            from ..models.lm.rnn import RnnLm
+            from ..search.rnn_fusion import build_rnn_fusion
+
+            rnn_lm = RnnLm.load(self.rnn_lm_file)
+            # decoder word ids are the n-gram LM's: rebuild its vocab
+            # (cheap next to the decode; works with cached networks too)
+            ngram_vocab = NgramLm.read_arpa(self.lm_file).vocab
+            rnn_fusion = build_rnn_fusion(
+                rnn_lm, ngram_vocab,
+                weight=float(search.param("rnn-scale", 0.5)),
+            )
+            self.log(
+                "rnn fusion enabled",
+                hidden=rnn_fusion.hidden,
+                weight=rnn_fusion.weight,
+            )
+        decoder = TreeDecoder(
+            tree, tables, cfg, bigram_la=bla, rnn_fusion=rnn_fusion
+        )
         transforms = None
         if self.fmllr_file:
             from ..train.fmllr import load_transforms

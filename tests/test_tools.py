@@ -404,6 +404,37 @@ def test_recognizer_bigram_lookahead(workdir):
     assert "network image loaded" in log
 
 
+def test_recognizer_rnn_fusion(workdir):
+    """--rnn-lm-file: first-pass RNN-LM fusion in the recognizer stays
+    at 0 WER on the toy corpus (the RNN is trained on its transcripts,
+    so fusing it must not break recognition)."""
+    cwd = str(workdir)
+    if not (workdir / "model.mix.npz").exists():
+        test_full_tool_chain(workdir)
+    from rasr_tpu.models.lm.rnn import RnnLm
+
+    texts = [["AB", "BA"], ["BA", "AB"], ["AB", "AB"], ["BA", "BA"]] * 2
+    rnn = RnnLm.train_from_text(texts, embed_dim=8, hidden_dim=12, epochs=40)
+    rnn.save(str(workdir / "rnn_lm"))
+    out = run_tool(
+        "rasr_tpu.tools.speech_recognizer",
+        "--speech-recognizer.corpus-file=toy.corpus",
+        "--speech-recognizer.lexicon-file=lexicon.xml",
+        "--speech-recognizer.lm-file=lm.arpa",
+        "--speech-recognizer.mixture-file=model.mix",
+        "--speech-recognizer.states-per-phone=1",
+        "--speech-recognizer.rnn-lm-file=rnn_lm",
+        "--speech-recognizer.search.lm-scale=2.0",
+        "--speech-recognizer.search.rnn-scale=1.0",
+        "--speech-recognizer.search.max-hyps=128",
+        "--speech-recognizer.frontend.normalize=none",
+        "--speech-recognizer.log-file=srn.log", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
+    log = (workdir / "srn.log").read_text()
+    assert "rnn fusion enabled" in log
+
+
 def test_vtln_estimate_and_extract(tmp_path_factory):
     """VTLN tool workflow: estimate per-speaker alphas (grid search under
     a trained GMM), then extract warped features through the table.
