@@ -7,6 +7,7 @@ for the reference's accumulator-file merge, validated across a real
 process boundary (Gloo collectives over the loopback)."""
 
 import os
+import re
 import subprocess
 import sys
 import textwrap
@@ -86,3 +87,295 @@ def test_two_process_dp_em(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"MP-OK {i}" in out
+
+
+# -------------------------------------------- end-to-end recognition (r2)
+RECOG_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+    mode = sys.argv[1]          # "mp" or "solo"
+    pid = int(sys.argv[2])
+    port = sys.argv[3]
+    work = sys.argv[4]
+    tag = sys.argv[5]
+    nproc = 2 if mode == "mp" else 1
+    if mode == "mp":
+        jax.distributed.initialize(
+            f"localhost:{{port}}", num_processes=2, process_id=pid
+        )
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rasr_tpu.corpus.bliss import CorpusDescription
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.lattice.evaluator import align_tokens
+    from rasr_tpu.models.gmm import MixtureSet
+    from rasr_tpu.models.hmm import HmmTopology, Tdp, TransitionModel
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+    from rasr_tpu.models.scorer import GmmFeatureScorer
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.parallel.workqueue import CorpusWorkQueue
+    from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+    from rasr_tpu.search.tree import build_prefix_tree
+    from rasr_tpu.utils.archive import FileArchive
+
+    # deterministic setup shared by every process (and the parent oracle)
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    lm = NgramLm.train_from_text([["AB", "BA"], ["BA", "AB"]], order=2)
+    import math
+    trans = TransitionModel(
+        speech=Tdp(loop=1.0, forward=0.0, skip=math.inf, exit=0.5),
+        silence=Tdp(loop=0.2, forward=0.5, skip=math.inf, exit=0.3),
+    )
+    tree = build_prefix_tree(lex, tying, topo, trans, lm_vocab=lm.vocab)
+    tables = compile_ngram(lm)
+    M = tying.num_classes
+    means = np.eye(M, dtype=np.float32)[:, None, :] * 4.0
+    ms = MixtureSet(
+        means=means,
+        variances=np.ones((M, 1, M), np.float32),
+        weights=np.ones((M, 1), np.float32),
+        num_densities=np.ones(M, np.int32),
+    )
+    scorer = GmmFeatureScorer(ms, scale=1.0)
+    dec = TreeDecoder(
+        tree, tables, BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.5)
+    )
+
+    corpus = CorpusDescription.load(os.path.join(work, "toy.corpus"))
+    featz = np.load(os.path.join(work, "feats.npz"))
+    done_path = os.path.join(work, f"done.{{tag}}.p{{pid}}.cache")
+    wq = CorpusWorkQueue(
+        corpus, process_index=pid, process_count=nproc,
+        done_archive=done_path,
+    )
+    stats = {{"err": 0.0, "ref": 0.0}}
+    crash_after = int(os.environ.get("CRASH_AFTER_BATCHES", "0"))
+    batches = [0]
+
+    def process_fn(batch):
+        fl = [featz[s.full_name] for s in batch]
+        T = max(f.shape[0] for f in fl)
+        feats = np.zeros((len(fl), T, M), np.float32)
+        nf = np.zeros(len(fl), np.int32)
+        for i, f in enumerate(fl):
+            feats[i, : f.shape[0]] = f
+            nf[i] = f.shape[0]
+        emis = np.asarray(scorer(feats))
+        results = dec.decode_scores(emis, nf, names=[s.full_name for s in batch])
+        with FileArchive(done_path, "a") as ar:
+            for s, r in zip(batch, results):
+                st, _ = align_tokens(s.orth.split(), r.words)
+                stats["err"] += st.errors
+                stats["ref"] += st.reference_length
+                ar.write(s.full_name, r.orth.encode())
+        batches[0] += 1
+        if crash_after and batches[0] >= crash_after:
+            print(f"CRASHING after {{batches[0]}} batches", flush=True)
+            os._exit(17)  # simulated mid-run death
+        return [s.full_name for s in batch]
+
+    rep = wq.run(process_fn, batch_size=2)
+
+    if mode == "mp":
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()).reshape(2, 1), ("data", "model"))
+        dp = NamedSharding(mesh, P("data"))
+        local = np.array([[stats["err"], stats["ref"]]], np.float32)
+        garr = jax.make_array_from_process_local_data(dp, local)
+        tot = np.asarray(
+            jax.jit(
+                lambda v: jnp.sum(v, axis=0),
+                out_shardings=NamedSharding(mesh, P()),
+            )(garr)
+        )
+        print(
+            f"REC-OK {{pid}} processed={{rep.processed}} "
+            f"skipped={{rep.skipped}} err={{tot[0]:.0f}} ref={{tot[1]:.0f}}"
+        )
+    else:
+        print(
+            f"REC-OK {{pid}} processed={{rep.processed}} "
+            f"skipped={{rep.skipped}} err={{stats['err']:.0f}} "
+            f"ref={{stats['ref']:.0f}}"
+        )
+    """
+)
+
+
+def _build_recog_workdir(tmp_path):
+    """Toy corpus + planted per-segment features (one known-bad segment
+    so merged error counters are non-trivial). Returns the expected
+    (errors, ref_len) of a full single-process recognition."""
+    rng = np.random.default_rng(3)
+    texts = [["AB", "BA"], ["BA", "AB"], ["AB", "AB"], ["BA", "BA"],
+             ["AB"], ["BA", "AB", "AB"]]
+    xml = ['<corpus name="toy">']
+    feats = {}
+    # class layout mirrors the worker: MonophoneStateTying over (a,b,si)
+    sys.path.insert(0, REPO)
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.models.hmm import HmmTopology
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.models.allophone import Allophone, AllophoneState
+
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+
+    def cls(sym):
+        return tying.classify(AllophoneState(Allophone(lex.phonemes[sym].id), 0))
+
+    M = tying.num_classes
+    word_phones = {"AB": ["a", "b"], "BA": ["b", "a"]}
+    expected_err = 0
+    expected_ref = 0
+    for i, ws in enumerate(texts):
+        name = f"toy/rec{i}/s"  # segment full_name includes the corpus
+        # planted class sequence: sil word+ sil
+        seq = [cls("si")]
+        spoken = list(ws)
+        if i == 2:
+            # segment 2 SAYS "BA BA" while the reference orth is "AB AB"
+            spoken = ["BA", "BA"]
+            expected_err += 2
+        expected_ref += len(ws)
+        for w in spoken:
+            for p in word_phones[w]:
+                seq.extend([cls(p)] * 2)
+        seq.append(cls("si"))
+        f = np.eye(M, dtype=np.float32)[np.asarray(seq)] * 4.0
+        f += 0.05 * rng.normal(size=f.shape).astype(np.float32)
+        feats[name] = f
+        xml.append(
+            f'<recording name="rec{i}" audio="rec{i}.wav">'
+            f'<segment name="s" start="0" end="1">'
+            f"<orth>{' '.join(ws)}</orth></segment></recording>"
+        )
+    xml.append("</corpus>")
+    (tmp_path / "toy.corpus").write_text("".join(xml))
+    np.savez(tmp_path / "feats.npz", **feats)
+    return expected_err, expected_ref
+
+
+def _run_worker(worker, mode, pid, port, work, tag, env, timeout=300):
+    return subprocess.run(
+        [sys.executable, str(worker), mode, str(pid), str(port), str(work), tag],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=timeout,
+    )
+
+
+def _parse_rec(out, pid=0):
+    m = re.search(
+        rf"REC-OK {pid} processed=(\d+) skipped=(\d+) err=(\d+) ref=(\d+)",
+        out,
+    )
+    assert m, out
+    return tuple(int(g) for g in m.groups())
+
+
+def test_two_process_recognition_with_psum_wer(tmp_path):
+    """End-to-end DP recognition across a real process boundary
+    (VERDICT r1 item 7): two OS processes decode disjoint corpus
+    partitions through CorpusWorkQueue, persist per-segment results in
+    idempotent archives, and psum-merge their WER counters over a
+    jax.distributed mesh — the merged counters must equal an
+    uninterrupted single-process run of the same recognition."""
+    _build_recog_workdir(tmp_path)
+    worker = tmp_path / "worker.py"
+    worker.write_text(RECOG_WORKER.format(repo=REPO))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("JAX_PLATFORMS", None)
+
+    solo = _run_worker(worker, "solo", 0, "0", tmp_path, "oracle", env)
+    assert solo.returncode == 0, solo.stdout
+    done_s, skip_s, err_s, ref_s = _parse_rec(solo.stdout)
+    assert done_s == 6 and skip_s == 0
+    assert err_s > 0  # the planted bad segment must produce errors
+
+    import socket
+
+    with socket.socket() as sk:
+        sk.bind(("localhost", 0))
+        port = sk.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), "mp", str(i), str(port),
+             str(tmp_path), "mp"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    done_total = 0
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        d, s, err, ref = _parse_rec(out, pid=i)
+        done_total += d
+        # every process sees the SAME merged counters (replicated psum)
+        # and they equal the single-process run
+        assert (err, ref) == (err_s, ref_s), (out, err_s, ref_s)
+    assert done_total == 6  # disjoint partitions cover the corpus
+
+
+def test_recognition_resume_after_crash(tmp_path):
+    """Failure recovery (VERDICT r1 item 7): the worker dies after its
+    first batch; the rerun's work queue skips the segments already in
+    the done archive and completes the rest — the done archive then
+    holds exactly the uninterrupted run's hypotheses."""
+    _build_recog_workdir(tmp_path)
+    worker = tmp_path / "worker.py"
+    worker.write_text(RECOG_WORKER.format(repo=REPO))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("JAX_PLATFORMS", None)
+
+    solo = _run_worker(worker, "solo", 0, "0", tmp_path, "oracle", env)
+    assert solo.returncode == 0, solo.stdout
+    _, _, err_s, ref_s = _parse_rec(solo.stdout)
+
+    env1 = dict(env)
+    env1["CRASH_AFTER_BATCHES"] = "1"
+    p = _run_worker(worker, "solo", 0, "0", tmp_path, "resume", env1)
+    assert p.returncode == 17, p.stdout  # died mid-run as instructed
+    assert "CRASHING after 1 batches" in p.stdout
+
+    p2 = _run_worker(worker, "solo", 0, "0", tmp_path, "resume", env)
+    assert p2.returncode == 0, p2.stdout
+    processed, skipped, _, _ = _parse_rec(p2.stdout)
+    assert skipped == 2  # the crashed run's first batch was persisted
+    assert processed == 4
+    # the archive now covers every segment; totals == uninterrupted run
+    from rasr_tpu.utils.archive import FileArchive
+    from rasr_tpu.corpus.bliss import CorpusDescription
+    from rasr_tpu.lattice.evaluator import align_tokens
+
+    corpus = CorpusDescription.load(str(tmp_path / "toy.corpus"))
+    total_err = 0
+    total_ref = 0
+    with FileArchive(str(tmp_path / "done.resume.p0.cache"), "r") as ar:
+        keys = set(ar.keys())
+        for seg in corpus.segments():
+            assert seg.full_name in keys
+            hyp = ar.read(seg.full_name).decode().split()
+            st, _ = align_tokens(seg.orth.split(), hyp)
+            total_err += st.errors
+            total_ref += st.reference_length
+    assert (total_err, total_ref) == (err_s, ref_s)
