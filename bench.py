@@ -208,14 +208,26 @@ def build_setup(
 
 
 def correctness_canary():
-    """Tiny planted decode asserted ON THE REAL DEVICE before timing.
+    """Tiny planted decodes asserted ON THE REAL DEVICE before timing.
 
     The CPU test suite cannot catch TPU-only corruption (the hardware
     flushes denormal/NaN bit patterns in fused f32 relayouts — see
     docs/PERF.md "Bit-pattern transport"; exactly such a bug silently
     corrupted the decoder beam on-chip while 240+ CPU tests passed).
     The driver runs bench.py on real hardware every round, so this
-    canary is the standing on-chip correctness gate."""
+    canary is the standing on-chip correctness gate.
+
+    Two layers:
+    1. planted decodes (absolute answers) for the timed bench's configs;
+    2. CPU-vs-TPU cross-backend equality for every packed int32-carrier
+       transport path the bench does NOT time: the across-word network
+       (grouped roots + we_next re-entry), the 4-gram two-key
+       recombination sort, word-set bigram lookahead (pair columns +
+       quarter-row class/corr gathers), and RNN fusion (f32 state ring
+       + fused word-end costs). The same decode must produce identical
+       words and near-identical scores on both backends — any on-chip
+       transport corruption breaks the equality.
+    """
     import numpy as np
 
     from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
@@ -260,6 +272,106 @@ def correctness_canary():
         assert got == ["[SILENCE]", "AB"], f"ON-DEVICE CANARY FAILED: {got}"
         assert res.word_ends == [1, 5], f"ON-DEVICE CANARY FAILED: {res.word_ends}"
     sys.stderr.write("canary ok: [SILENCE] AB @ [1, 5] (plain + rsel/defer)\n")
+    _cross_backend_canary()
+
+
+def _cross_backend_canary():
+    """CPU-vs-TPU decode equality on the untimed transport paths (the
+    axon image exposes a CPU backend next to the chip, so the CPU
+    result is an in-process oracle). Skips silently when only one
+    backend exists (pure-CPU dev runs)."""
+    import jax
+    import numpy as np
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return
+    if jax.devices()[0].platform == "cpu":
+        return  # no accelerator: nothing to cross-check
+
+    from rasr_tpu.corpus.lexicon import Lexicon, build_default_silence
+    from rasr_tpu.models.hmm import HmmTopology, TransitionModel
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import compile_ngram
+    from rasr_tpu.models.lm.rnn import RnnLm
+    from rasr_tpu.models.tying import MonophoneStateTying
+    from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
+    from rasr_tpu.search.lookahead import build_bigram_lookahead
+    from rasr_tpu.search.rnn_fusion import build_rnn_fusion
+    from rasr_tpu.search.tree import build_prefix_tree
+
+    rng = np.random.default_rng(42)
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["AB"], [(["a", "b"], 0.0)])
+    lex.add_lemma(["BA"], [(["b", "a"], 0.0)])
+    lex.add_lemma(["AA"], [(["a", "a"], 0.0)])
+    lex.add_lemma(["BAB"], [(["b", "a", "b"], 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    trans = TransitionModel()
+    texts = [["AB", "BA"], ["AB", "AA"], ["BA", "BAB"], ["BAB", "AB"]] * 2
+    lm2 = NgramLm.train_from_text(texts, order=2)
+    lm4 = NgramLm.train_from_text(texts, order=4)
+    uni = {wid: lm2.score((), wid) for wid in lm2.vocab.values()}
+    t_in = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm2.vocab, lm_unigrams=uni
+    )
+    t_ax = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm2.vocab, lm_unigrams=uni,
+        across_word=True,
+    )
+    bla = build_bigram_lookahead(t_in, lm2, num_classes=8)
+    rnn = RnnLm.train_from_text(texts, embed_dim=8, hidden_dim=12, epochs=20)
+
+    M = tying.num_classes
+    T = 6
+    emis = rng.uniform(0.0, 6.0, size=(2, T, M)).astype(np.float32)
+    nf = np.array([T, T - 2], np.int32)
+    cfg = BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.8)
+    configs = [
+        ("across-word", t_ax, compile_ngram(lm2), {}, cfg),
+        ("4gram-two-key", t_in, compile_ngram(lm4), {},
+         dataclasses_replace(cfg, force_unpacked_keys=True)),
+        ("bigram-la", t_in, compile_ngram(lm2), {"bigram_la": bla}, cfg),
+        ("rnn-fusion", t_in, compile_ngram(lm2),
+         {"rnn_fusion": None}, cfg),  # built per-device below
+    ]
+    for name, tr, tb, kw, c in configs:
+        results = {}
+        for devname, dev in (("cpu", cpu), ("tpu", None)):
+            ctx = jax.default_device(dev) if dev is not None else _nullctx()
+            with ctx:
+                kw_dev = dict(kw)
+                if name == "rnn-fusion":
+                    kw_dev["rnn_fusion"] = build_rnn_fusion(
+                        rnn, lm2.vocab, weight=0.7
+                    )
+                dec = TreeDecoder(tr, tb, c, **kw_dev)
+                results[devname] = dec.decode_scores(emis, nf)
+        for a, b in zip(results["cpu"], results["tpu"]):
+            assert a.words == b.words, (
+                f"CROSS-BACKEND CANARY FAILED ({name}): "
+                f"{a.words} vs {b.words}"
+            )
+            assert abs(a.score - b.score) < 1e-2 * max(1.0, abs(a.score)), (
+                f"CROSS-BACKEND CANARY FAILED ({name}): "
+                f"{a.score} vs {b.score}"
+            )
+        sys.stderr.write(f"canary ok: cpu==tpu [{name}]\n")
+
+
+def _nullctx():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
 
 
 def main():

@@ -113,9 +113,118 @@ def compose(a: Automaton, b: Automaton) -> Automaton:
 
 
 # ---------------------------------------------------------------- determinize
+# ------------------------------------------------------ weight quantization
+# determinize/minimize group states by weight EQUALITY; float arithmetic
+# noise makes that fragile (two pushed weights equal up to 1e-15 can
+# straddle any decimal rounding boundary). The robust contract: weights
+# are quantized ONCE at the input to an integer grid (weight_resolution)
+# and every derived quantity (subset residuals, pushed potentials,
+# signatures) is computed in exact integer arithmetic — ints stored in
+# the float weight fields are exact below 2^53, so the existing
+# min/plus code runs unchanged.
+_QMAX = float(1 << 52)  # saturation: beyond this a cost is effectively inf
+
+
+def _scale_weights(fsa: Automaton, res: float) -> Automaton:
+    out = fsa.copy()
+    for arcs in out.arcs:
+        for a in arcs:
+            a.weight = (
+                math.inf if a.weight == math.inf
+                else float(min(max(round(a.weight / res), -_QMAX), _QMAX))
+            )
+    out.finals = {
+        s: (
+            math.inf if w == math.inf
+            else float(min(max(round(w / res), -_QMAX), _QMAX))
+        )
+        for s, w in out.finals.items()
+    }
+    return out
+
+
+def _unscale_weights(fsa: Automaton, res: float) -> Automaton:
+    for arcs in fsa.arcs:
+        for a in arcs:
+            if a.weight != math.inf:
+                a.weight = a.weight * res
+    fsa.finals = {
+        s: (w if w == math.inf else w * res) for s, w in fsa.finals.items()
+    }
+    return fsa
+
+
+def _check_eps_cycles(fsa: Automaton) -> None:
+    """Validate the epsilon subgraph before closure-based algorithms.
+
+    Tropical: epsilon cycles are fine unless their total weight is
+    negative (the relaxation closure then diverges) — detected by
+    Bellman-Ford over the eps arcs. Log semiring: any epsilon cycle
+    needs the geometric-series closure, which is not implemented —
+    clear error instead of a silent wrong answer."""
+    n = fsa.num_states
+    eps_arcs = [
+        (s, a.target, a.weight)
+        for s in range(n)
+        for a in fsa.arcs[s]
+        if a.ilabel == EPS
+    ]
+    if not eps_arcs:
+        return
+    # cycle detection (iterative DFS, colors)
+    adj = defaultdict(list)
+    for s, t, _ in eps_arcs:
+        adj[s].append(t)
+    color = [0] * n  # 0=white 1=gray 2=black
+    has_cycle = False
+    for root in range(n):
+        if color[root] != 0:
+            continue
+        stack = [(root, iter(adj[root]))]
+        color[root] = 1
+        while stack:
+            node, it = stack[-1]
+            nxt = next(it, None)
+            if nxt is None:
+                color[node] = 2
+                stack.pop()
+                continue
+            if color[nxt] == 1:
+                has_cycle = True
+            elif color[nxt] == 0:
+                color[nxt] = 1
+                stack.append((nxt, iter(adj[nxt])))
+        if has_cycle:
+            break
+    if not has_cycle:
+        return
+    if fsa.semiring is not Tropical:
+        raise ValueError(
+            "epsilon cycles are not supported in this semiring "
+            "(the geometric-series closure is not implemented)"
+        )
+    # tropical: reject negative-weight eps cycles (Bellman-Ford)
+    dist = [0.0] * n
+    for it in range(n):
+        changed = False
+        for s, t, w in eps_arcs:
+            if dist[s] + w < dist[t] - 1e-12:
+                dist[t] = dist[s] + w
+                changed = True
+        if not changed:
+            return
+    if changed:
+        raise ValueError(
+            "negative-weight epsilon cycle: epsilon removal diverges"
+        )
+
+
 def remove_epsilon(fsa: Automaton) -> Automaton:
     """Epsilon removal via closure (acceptor semantics on ilabel;
-    ref: Fsa::removeEpsilons). Requires acyclic eps (or non-negative)."""
+    ref: Fsa::removeEpsilons). Tropical epsilon cycles are handled by
+    relaxation (negative-weight cycles raise); log-semiring epsilon
+    cycles raise (see _check_eps_cycles)."""
+    _check_eps_cycles(fsa)
     sr = fsa.semiring
     out = Automaton(sr)
     for _ in range(fsa.num_states):
@@ -133,10 +242,30 @@ def remove_epsilon(fsa: Automaton) -> Automaton:
     return connect(out)
 
 
-def determinize(fsa: Automaton) -> Automaton:
+def determinize(
+    fsa: Automaton,
+    weight_resolution: float = 1e-9,
+    max_states: int = 100000,
+) -> Automaton:
     """Weighted subset determinization over the tropical semiring
-    (acceptors; ref: Fsa::determinize)."""
-    assert fsa.semiring is Tropical, "determinization implemented for tropical"
+    (acceptors; ref: Fsa::determinize).
+
+    Weights are quantized once to the ``weight_resolution`` grid and the
+    construction runs in exact integer arithmetic (subset residuals are
+    grouped by EQUALITY — see _scale_weights). Weighted determinization
+    terminates only for automata with the twins property; cyclic
+    automata that violate it would expand forever, so the construction
+    raises once ``max_states`` subsets exist."""
+    if fsa.semiring is not Tropical:
+        raise ValueError("determinization implemented for the tropical semiring")
+    q = _scale_weights(fsa, weight_resolution)
+    return _unscale_weights(
+        _determinize_scaled(q, max_states), weight_resolution
+    )
+
+
+def _determinize_scaled(fsa: Automaton, max_states: int = 100000) -> Automaton:
+    """Subset determinization on integer-valued weights (exact)."""
     fsa = remove_epsilon(fsa)
     sr = fsa.semiring
     out = Automaton(sr)
@@ -168,6 +297,13 @@ def determinize(fsa: Automaton) -> Automaton:
         for label, targets in by_label.items():
             subset2, w = norm(frozenset(targets.items()))
             if subset2 not in state_map:
+                if len(state_map) >= max_states:
+                    raise ValueError(
+                        f"determinization exceeded {max_states} subset "
+                        f"states — the input likely violates the twins "
+                        f"property (weighted cyclic determinization "
+                        f"need not terminate)"
+                    )
                 state_map[subset2] = out.add_state()
                 stack.append(subset2)
             out.add_arc(src, state_map[subset2], label, label, w)
@@ -176,16 +312,22 @@ def determinize(fsa: Automaton) -> Automaton:
     return out
 
 
-def minimize(fsa: Automaton) -> Automaton:
+def minimize(fsa: Automaton, weight_resolution: float = 1e-9) -> Automaton:
     """Weighted minimization = weight pushing + Hopcroft-style partition
-    refinement on (label, weight, class) signatures (ref: Fsa::minimize)."""
-    fsa = push_weights(determinize(fsa))
+    refinement on (label, weight, class) signatures (ref: Fsa::minimize).
+
+    The whole pipeline (determinize, push, refine) runs on the
+    ``weight_resolution`` integer grid: pushed potentials are exact
+    integer sums, so signature grouping is exact equality — no float
+    rounding boundaries (the old round(w, 9) smell)."""
+    q = _scale_weights(fsa, weight_resolution)
+    fsa = push_weights(_determinize_scaled(q))  # (max_states default)
     n = fsa.num_states
-    # initial partition: by (is_final, final weight)
+    # initial partition: by (is_final, final weight) — exact int equality
     sig0 = {}
     cls = [0] * n
     for s in range(n):
-        key = (s in fsa.finals, round(fsa.finals.get(s, 0.0), 9))
+        key = (s in fsa.finals, fsa.finals.get(s, 0.0))
         cls[s] = sig0.setdefault(key, len(sig0))
     changed = True
     while changed:
@@ -194,7 +336,7 @@ def minimize(fsa: Automaton) -> Automaton:
         new_cls = [0] * n
         for s in range(n):
             arc_sig = tuple(sorted(
-                (a.ilabel, round(a.weight, 9), cls[a.target]) for a in fsa.arcs[s]
+                (a.ilabel, a.weight, cls[a.target]) for a in fsa.arcs[s]
             ))
             key = (cls[s], arc_sig)
             new_cls[s] = sigs.setdefault(key, len(sigs))
@@ -208,7 +350,7 @@ def minimize(fsa: Automaton) -> Automaton:
     added = set()
     for s in range(n):
         for a in fsa.arcs[s]:
-            key = (cls[s], a.ilabel, cls[a.target], round(a.weight, 9))
+            key = (cls[s], a.ilabel, cls[a.target], a.weight)
             if key not in added:
                 added.add(key)
                 out.add_arc(cls[s], cls[a.target], a.ilabel, a.olabel, a.weight)
@@ -217,7 +359,7 @@ def minimize(fsa: Automaton) -> Automaton:
     out.initial = cls[fsa.initial]
     out.input_symbols = dict(fsa.input_symbols)
     out.output_symbols = dict(fsa.output_symbols)
-    return connect(out)
+    return _unscale_weights(connect(out), weight_resolution)
 
 
 # ------------------------------------------------------------------- shortest
