@@ -143,6 +143,19 @@ def build_setup(
         skip_scope=os.environ.get("BENCH_SKIP_SCOPE", "phone"),
     )
 
+    # BENCH_LA_ORDER=2: word-set bigram lookahead shaping in the timed
+    # decode (the VERDICT r1 done-criterion: enabled overhead < 5%);
+    # BENCH_LA_CLASSES bounds the history-class table height
+    bla = None
+    if int(os.environ.get("BENCH_LA_ORDER", "1")) >= 2:
+        from rasr_tpu.search.lookahead import build_bigram_lookahead
+
+        bla = build_bigram_lookahead(
+            tree, lm,
+            num_classes=int(os.environ.get("BENCH_LA_CLASSES", "64")),
+        )
+        assert bla is not None, "bigram lookahead unsupported for this network"
+
     if os.environ.get("BENCH_SCORER", "gmm") == "conformer":
         # hybrid conformer acoustic model at production size (d=512,
         # 12 blocks, bf16 gemms) — the "config 5" modern pipeline
@@ -175,7 +188,8 @@ def build_setup(
     fe = FeatureFrontend(FrontendConfig(), splice_context=4, lda=lda)
     dec = TreeDecoder(
         tree, tables,
-        BeamConfig(
+        bigram_la=bla,
+        cfg=BeamConfig(
             max_hyps=int(os.environ.get("BENCH_MAX_HYPS", "1024")),
             beam=1e9,
             word_end_limit=int(os.environ.get("BENCH_WORD_END", "64")),
