@@ -128,20 +128,37 @@ def build_setup(
     tables = compile_ngram(lm)
 
     unigrams = {wid: ngrams[(wid,)][0] for wid in vocab.values()}
-    tree = build_prefix_tree(
-        lex, tying, topology, TransitionModel(), lm_vocab=vocab,
-        lm_unigrams=unigrams,
-        # BENCH_ACROSS=1: the across-word network (exact word-boundary
-        # triphone contexts; context roots + word-end fan-out)
-        across_word=bool(int(os.environ.get("BENCH_ACROSS", "0"))),
-        # "phone" pins the historical benchmark network (skips within
-        # phones only) so headline numbers stay comparable across rounds;
-        # skip_scope="word" additionally realizes the default TDPs'
-        # finite cross-phone skips (the faithful production topology —
-        # junction fan-out grows, widening the branch sections; measured
-        # numbers for both scopes are in docs/PERF.md)
-        skip_scope=os.environ.get("BENCH_SKIP_SCOPE", "phone"),
-    )
+    # BENCH_NET_CACHE=<path.npz>: search-network image cache (the
+    # across-word worst case compiles a 25.8M-state network host-side —
+    # minutes; the image loads in seconds). The caller keys the path by
+    # config; a lexicon mismatch raises at load.
+    net_cache = os.environ.get("BENCH_NET_CACHE", "")
+    tree = None
+    if net_cache and os.path.exists(net_cache):
+        from rasr_tpu.search.tree import load_tree
+
+        tree = load_tree(net_cache, lex)
+        sys.stderr.write(f"[bench] network image loaded: {net_cache}\n")
+    if tree is None:
+        tree = build_prefix_tree(
+            lex, tying, topology, TransitionModel(), lm_vocab=vocab,
+            lm_unigrams=unigrams,
+            # BENCH_ACROSS=1: the across-word network (exact word-boundary
+            # triphone contexts; context roots + word-end fan-out)
+            across_word=bool(int(os.environ.get("BENCH_ACROSS", "0"))),
+            # "phone" pins the historical benchmark network (skips within
+            # phones only) so headline numbers stay comparable across rounds;
+            # skip_scope="word" additionally realizes the default TDPs'
+            # finite cross-phone skips (the faithful production topology —
+            # junction fan-out grows, widening the branch sections; measured
+            # numbers for both scopes are in docs/PERF.md)
+            skip_scope=os.environ.get("BENCH_SKIP_SCOPE", "phone"),
+        )
+        if net_cache:
+            from rasr_tpu.search.tree import save_tree
+
+            save_tree(tree, net_cache)
+            sys.stderr.write(f"[bench] network image saved: {net_cache}\n")
 
     # BENCH_LA_ORDER=2: word-set bigram lookahead shaping in the timed
     # decode (the VERDICT r1 done-criterion: enabled overhead < 5%);
@@ -201,6 +218,15 @@ def build_setup(
             # 3*1024 + 146*7 = 4094 <= 4096; root-select sort
             # 1537 + 15*160 = 3937 <= 4096. 220 -> 316 audio-s/s.
             branch_hyps=int(os.environ.get("BENCH_BRANCH_HYPS", "146")),
+            # compact branch expansion: pack the selected hyps' overflow
+            # arcs contiguously into a static slot budget instead of the
+            # padded [branch_hyps, max_degree] fan. Essential on networks
+            # with high max branch degree (word-scope skips: Db=16;
+            # across-word grouped roots: Db=45+) where the dense fan
+            # blows the 4096 sort-pad budget; on the headline network
+            # (Db=7, mean degree 2) 1022 slots hold MORE arcs than the
+            # dense fan's 146 hyps while keeping 3*1024 + 1022 = 4094.
+            branch_width=int(os.environ.get("BENCH_BRANCH_WIDTH", "0")),
             root_arc_limit=int(os.environ.get("BENCH_ROOT_CAP", "160")),
             # exact expansion by default: with the row-form emission
             # gather (search/decoder.py fsel) the pre-emission top-E

@@ -269,8 +269,35 @@ class BeamConfig:
     max_hyps: int = 1024  # histogram pruning cap (K)
     beam: float = 1e9  # acoustic beam width
     word_end_limit: int = 128  # R: word-end survivors / records per frame
+    #: relative beam over the R word-end records AFTER the exact LM cost
+    #: is applied: records worse than the best word end by more than this
+    #: are dropped (ref: word-end pruning / lm-pruning — the reference
+    #: prunes word ends after LM application, not only by count).
+    word_end_beam: float = 1e9
+    #: LM-aware word-end SELECTION: rank word-end candidates for the
+    #: top-R by path score + the word's STATIC unigram LM estimate
+    #: (rides the word-end gather as one precomputed column; slots are
+    #: re-sorted under the biased rank so the two-stage top-R stays
+    #: exact). The bias is undone after selection and replaced by the
+    #: exact LM lookup, so surviving scores are unchanged — only WHICH R
+    #: candidates survive differs (the reference applies LM before
+    #: word-end pruning; a pre-LM rank is blind to cheap-vs-rare words
+    #: at tight R). Exact when R covers all candidates.
+    word_end_rank_lm: bool = False
     root_hyps: int = 32  # H: root (re-entry) hyps expanded per frame
     branch_hyps: int = 0  # Kb: hyps expanded through branch arcs (0 = K)
+    #: Wb: compact branch expansion — pack the selected branch hyps'
+    #: overflow arcs CONTIGUOUSLY into a static [B, Wb] slot budget
+    #: (CSR offsets via cumsum + rank) instead of the dense
+    #: [branch_hyps, max_degree] fan. The dense fan is mostly padding on
+    #: realistic networks (mean overflow degree ~2-4 vs max 16-45 on the
+    #: word-scope / across-word benches), and its width multiplies the
+    #: dominant recombination sorts (which XLA pads to the next power of
+    #: 2). Slots fill best-hypothesis-first (the branch top-Kb order), so
+    #: overflow truncates the WORST selected hyps' arcs — a principled
+    #: prune; with Wb >= branch_hyps * max_degree the candidate set is
+    #: identical to the dense fan (fuzz-tested). 0 = dense fan.
+    branch_width: int = 0
     #: E: pre-emission expansion pruning — keep only the E most promising
     #: candidates (ranked BEFORE adding the current frame's emission)
     #: ahead of the emission gather + recombination sort. 0 = off
@@ -583,7 +610,11 @@ def _make_step(
     # state included so pruned slots pack too
     L = lm.num_states
     pack_keys = (SENT + 1) * L < 2**31 and not cfg.force_unpacked_keys
-    cand_width = 3 * K_loc + kbranch * Db + (0 if use_rsel else Wr)
+    # compact branch expansion (cfg.branch_width): candidate width is the
+    # static slot budget Wb instead of the padded kbranch * Db fan
+    use_cw = cfg.branch_width > 0
+    Wbr = cfg.branch_width if use_cw else kbranch * Db
+    cand_width = 3 * K_loc + Wbr + (0 if use_rsel else Wr)
     use_defer = cfg.deferred_emission
     E = cfg.expansion_limit
     if E and Pn > 1:
@@ -621,22 +652,42 @@ def _make_step(
     if use_deep:
         branch_cols.append(bla.pair_br)  # node-crossing pair per branch arc
     branch_pack = jnp.stack(branch_cols, axis=1)  # [A', 3(+1)] int32
-    we_pack = jnp.stack(
-        [
-            tree.we_word,
-            bc_i(tree.we_cost),
-            tree.we_lemma,
-            tree.we_next,
-            bc_i(jnp.broadcast_to(tree.la[:, None], tree.we_word.shape)),
-            # own emission class (per state, broadcast over word slots):
-            # lets deferred_emission fetch the survivors' emission index
-            # on the word-end gather it already pays for
-            jnp.broadcast_to(
-                tree.emission_class[:, None], tree.we_word.shape
-            ),
-        ],
-        axis=2,
-    )  # [S+1, W, 6] int32
+    use_werank = cfg.word_end_rank_lm
+    we_cols = [
+        tree.we_word,
+        bc_i(tree.we_cost),
+        tree.we_lemma,
+        tree.we_next,
+        bc_i(jnp.broadcast_to(tree.la[:, None], tree.we_word.shape)),
+        # own emission class (per state, broadcast over word slots):
+        # lets deferred_emission fetch the survivors' emission index
+        # on the word-end gather it already pays for
+        jnp.broadcast_to(
+            tree.emission_class[:, None], tree.we_word.shape
+        ),
+    ]
+    if use_werank:
+        # static unigram LM estimate per word-end slot (cfg semantics:
+        # LM-aware top-R selection; undone after selection). The dense
+        # final-level table of prepare_lookup IS the unigram cost table.
+        uni_cost = bc_f(lm_prep[3][:, 0])  # [V+1]
+        we_bias = jnp.where(
+            tree.we_word >= 0,
+            cfg.lm_scale * uni_cost[jnp.maximum(tree.we_word, 0)],
+            0.0,
+        )  # [S+1, W]
+        we_cols.append(bc_i(we_bias))
+        if wmax > 1:
+            # the two-stage top-R needs slots sorted under the SELECTION
+            # metric (slot 0 must lower-bound its state's slots); re-sort
+            # by biased rank once at table-build time (BIG padding slots
+            # keep bias 0 and stay last)
+            ordr = jnp.argsort(tree.we_cost + we_bias, axis=1)
+            we_cols = [
+                jnp.take_along_axis(c, ordr, axis=1) for c in we_cols
+            ]
+    C_we = len(we_cols)  # 6 (+1 with LM-aware ranking)
+    we_pack = jnp.stack(we_cols, axis=2)  # [S+1, W, C_we] int32
 
     # ride-along state rows (single-device only): the word-end gather
     # fetches the we columns AND the state_pack row in ONE row gather;
@@ -648,7 +699,7 @@ def _make_step(
     C_sp = state_pack.shape[1]
     S1 = state_pack.shape[0]
     if ride_pk:
-        combo_cols = [we_pack.reshape(S1, wmax * 6)]
+        combo_cols = [we_pack.reshape(S1, wmax * C_we)]
         if use_bla:
             # per-state subtree id rides the word-end gather (one extra
             # column on a row gather whose width is nearly free)
@@ -790,20 +841,63 @@ def _make_step(
             bh = branch_head[b_state]  # [B,Kb,2] (ptr, deg) in one gather
             bptr = bh[..., 0]
             deg = bh[..., 1]
-        dslots = jnp.arange(Db, dtype=jnp.int32)
-        bi = bptr[..., None] + dslots
-        ok = dslots < deg[..., None]
-        bi = jnp.where(ok, bi, 0)
-        bpk = branch_pack[bi]  # [B,Kb,Db,3(+1)] (1 gather dst/cost/cls)
-        b_dst = jnp.where(ok, bpk[..., 0], SENT)
-        b_cls = jnp.where(ok, bpk[..., 2], 0)
-        b_cost = jnp.where(ok, bc_f(bpk[..., 1]), BIG)
-        if use_deep:
-            c_b = _gsel(cls4, b_lm)  # [B,Kb]
-            b_cost = b_cost + _gsel(
-                dpair4, c_b[..., None] * P1 + jnp.where(ok, bpk[..., 3], 0)
-            )
-        p_br = b_score[..., None] + b_cost  # [B,Kb,Db]
+        if use_cw:
+            # ---- compact branch expansion: pack the selected hyps'
+            # arcs contiguously into Wbr slots (CSR offsets by cumsum;
+            # slot -> hyp rank by a broadcast compare — cheap vector
+            # work next to the padded-fan gather + sort width it saves).
+            # Pruned (BIG) hyps consume no slots; slots beyond the last
+            # arc are masked to the sentinel.
+            deg_sel = jnp.where(b_score < BIG / 2, deg, 0)  # [B,Kb]
+            off = jnp.cumsum(deg_sel, axis=1) - deg_sel  # exclusive
+            s_iota = jnp.asarray(np.arange(Wbr, dtype=np.int32))
+            cnt = jnp.sum(
+                (off[:, :, None] <= s_iota[None, None, :]).astype(jnp.int32),
+                axis=1,
+            )  # [B,Wbr]: #hyps whose slot range starts at or before s
+            hh = jnp.clip(cnt - 1, 0, kbranch - 1)
+            # one row gather delivers every per-slot hyp column
+            hp = rowsel(
+                jnp.stack(
+                    [b_lm, b_bp, bc_i(b_score), bptr, off, deg_sel], axis=-1
+                ),
+                hh,
+            )  # [B,Wbr,6] int32 carrier
+            pos = s_iota[None, :] - hp[..., 4]
+            okc = (pos >= 0) & (pos < hp[..., 5])
+            a_idx = jnp.where(okc, hp[..., 3] + pos, 0)
+            bpk = branch_pack[a_idx]  # [B,Wbr,3(+1)]
+            br_state = jnp.where(okc, bpk[..., 0], SENT)
+            br_cls = jnp.where(okc, bpk[..., 2], 0)
+            b_cost = jnp.where(okc, bc_f(bpk[..., 1]), BIG)
+            if use_deep:
+                c_b = _gsel(cls4, hp[..., 0])  # [B,Wbr]
+                b_cost = b_cost + _gsel(
+                    dpair4, c_b * P1 + jnp.where(okc, bpk[..., 3], 0)
+                )
+            br_pre = bc_f(hp[..., 2]) + b_cost  # [B,Wbr]
+            br_lm = hp[..., 0]
+            br_bp = hp[..., 1]
+        else:
+            dslots = jnp.arange(Db, dtype=jnp.int32)
+            bi = bptr[..., None] + dslots
+            ok = dslots < deg[..., None]
+            bi = jnp.where(ok, bi, 0)
+            bpk = branch_pack[bi]  # [B,Kb,Db,3(+1)] (1 gather dst/cost/cls)
+            b_dst = jnp.where(ok, bpk[..., 0], SENT)
+            b_cls = jnp.where(ok, bpk[..., 2], 0)
+            b_cost = jnp.where(ok, bc_f(bpk[..., 1]), BIG)
+            if use_deep:
+                c_b = _gsel(cls4, b_lm)  # [B,Kb]
+                b_cost = b_cost + _gsel(
+                    dpair4, c_b[..., None] * P1 + jnp.where(ok, bpk[..., 3], 0)
+                )
+            p_br = b_score[..., None] + b_cost  # [B,Kb,Db]
+            br_state = b_dst.reshape(B, Wbr)
+            br_cls = b_cls.reshape(B, Wbr)
+            br_pre = p_br.reshape(B, Wbr)
+            br_lm = jnp.repeat(b_lm, Db, axis=1)
+            br_bp = jnp.repeat(b_bp, Db, axis=1)
 
         # root re-entry: top-H root hyps. The best history expands every
         # root arc; the others only the Gcap most promising (arrays are
@@ -921,16 +1015,13 @@ def _make_step(
 
         # ------------------------------------------- assemble candidates
         cand_state = jnp.concatenate(
-            [state_e, d1, d2, b_dst.reshape(B, kbranch * Db), *root_states],
-            axis=1,
+            [state_e, d1, d2, br_state, *root_states], axis=1
         )
         cand_lm = jnp.concatenate(
-            [lms_e, lms_e, lms_e, jnp.repeat(b_lm, Db, axis=1), *root_lms],
-            axis=1,
+            [lms_e, lms_e, lms_e, br_lm, *root_lms], axis=1
         )
         cand_bp = jnp.concatenate(
-            [bp_e, bp_e, bp_e, jnp.repeat(b_bp, Db, axis=1), *root_bps],
-            axis=1,
+            [bp_e, bp_e, bp_e, br_bp, *root_bps], axis=1
         )
 
         if use_defer:
@@ -941,8 +1032,7 @@ def _make_step(
             # key, so per-key winners are unchanged)
             cand_score = jnp.minimum(
                 jnp.concatenate(
-                    [p_loop, p_d1, p_d2, p_br.reshape(B, kbranch * Db), *root_pres],
-                    axis=1,
+                    [p_loop, p_d1, p_d2, br_pre, *root_pres], axis=1
                 ),
                 BIG,
             )
@@ -952,14 +1042,12 @@ def _make_step(
             # the survivors only (E indices instead of the full width)
             cand_pre = jnp.minimum(
                 jnp.concatenate(
-                    [p_loop, p_d1, p_d2, p_br.reshape(B, kbranch * Db), *root_pres],
-                    axis=1,
+                    [p_loop, p_d1, p_d2, br_pre, *root_pres], axis=1
                 ),
                 BIG,
             )
             cand_cls = jnp.concatenate(
-                [own_cls, d1_cls, d2_cls, b_cls.reshape(B, kbranch * Db), *root_clss],
-                axis=1,
+                [own_cls, d1_cls, d2_cls, br_cls, *root_clss], axis=1
             )
             nege, eidx = jax.lax.top_k(-cand_pre, E)
             e_pre = -nege
@@ -978,7 +1066,7 @@ def _make_step(
             c_loop = p_loop + fsel(emis_t, own_cls)
             c_d1 = p_d1 + fsel(emis_t, d1_cls)
             c_d2 = p_d2 + fsel(emis_t, d2_cls)
-            c_br = p_br + fsel(emis_t, b_cls)
+            c_br = br_pre + fsel(emis_t, br_cls)
             if use_rsel:
                 root_scores = []
             else:
@@ -996,8 +1084,7 @@ def _make_step(
                     )
             cand_score = jnp.minimum(
                 jnp.concatenate(
-                    [c_loop, c_d1, c_d2, c_br.reshape(B, kbranch * Db), *root_scores],
-                    axis=1,
+                    [c_loop, c_d1, c_d2, c_br, *root_scores], axis=1
                 ),
                 BIG,
             )
@@ -1101,8 +1188,8 @@ def _make_step(
         if ride_pk:
             # one row gather for we columns AND next frame's state rows
             combo = combo_pack[w_state]  # [B,KW,W*6(+1)+C_sp] int32
-            wpk = combo[..., : wmax * 6].reshape(B, KW, wmax, 6)
-            coff = wmax * 6
+            wpk = combo[..., : wmax * C_we].reshape(B, KW, wmax, C_we)
+            coff = wmax * C_we
             if use_bla:
                 sub_w = combo[..., coff]  # [B,KW] subtree ids
                 coff += 1
@@ -1141,17 +1228,21 @@ def _make_step(
             # otherwise multiplies the dominant selection width
             # (docs/PERF.md across-word table: 119 -> see bench).
             pre0 = jnp.where(
-                ww[..., 0] != WORD_NONE, we_base + bc_f(wpk[..., 0, 1]), BIG
+                ww[..., 0] != WORD_NONE,
+                we_base + bc_f(wpk[..., 0, 1])
+                + (bc_f(wpk[..., 0, 6]) if use_werank else 0.0),
+                BIG,
             )
             negh, hsel = jax.lax.top_k(-pre0, min(R, KW))  # [B, Rh]
             Rh = hsel.shape[1]
-            wpk_r = rowsel(wpk.reshape(B, KW, wmax * 6), hsel).reshape(
-                B, Rh, wmax, 6
+            wpk_r = rowsel(wpk.reshape(B, KW, wmax * C_we), hsel).reshape(
+                B, Rh, wmax, C_we
             )
             base_r = rowsel(we_base[..., None], hsel)[..., 0]  # [B, Rh]
             pre = jnp.where(
                 wpk_r[..., 0] != WORD_NONE,
-                base_r[..., None] + bc_f(wpk_r[..., 1]),
+                base_r[..., None] + bc_f(wpk_r[..., 1])
+                + (bc_f(wpk_r[..., 6]) if use_werank else 0.0),
                 BIG,
             ).reshape(B, Rh * wmax)
             neg_r, ridx = jax.lax.top_k(-pre, R)
@@ -1159,10 +1250,12 @@ def _make_step(
             roff = jnp.asarray(
                 np.arange(B, dtype=np.int32)[:, None] * (Rh * wmax)
             )
-            rsel = wpk_r.reshape(B * Rh * wmax, 6)[ridx + roff]  # [B,R,6]
+            rsel = wpk_r.reshape(B * Rh * wmax, C_we)[ridx + roff]  # [B,R,C_we]
             src = rowsel(hsel[..., None], ridx // wmax)[..., 0]
         else:
             wc = bc_f(wpk[..., 1])
+            if use_werank:
+                wc = wc + bc_f(wpk[..., 6])
             pre = jnp.where(
                 ww != WORD_NONE, we_base[..., None] + wc, BIG
             ).reshape(B, KW * wmax)
@@ -1172,8 +1265,14 @@ def _make_step(
             roff = jnp.asarray(
                 np.arange(B, dtype=np.int32)[:, None] * (KW * wmax)
             )
-            rsel = wpk.reshape(B * KW * wmax, 6)[ridx + roff]  # [B,R,6]
+            rsel = wpk.reshape(B * KW * wmax, C_we)[ridx + roff]  # [B,R,C_we]
             src = ridx // wmax
+        if use_werank:
+            # undo the unigram selection bias: survivors carry their true
+            # pre-LM path score; the exact LM cost replaces the estimate
+            r_pre = jnp.where(
+                r_pre < BIG / 2, r_pre - bc_f(rsel[..., 6]), r_pre
+            )
         r_word = rsel[..., 0]
         r_lemma = rsel[..., 2]
         r_next = rsel[..., 3]
@@ -1230,6 +1329,13 @@ def _make_step(
                 rnn_hs, jnp.where(keep, h_new, old_h), (0, t * R, 0)
             )
         r_score = jnp.where(r_pre < BIG / 2, r_pre + r_lmcost, BIG)
+        if cfg.word_end_beam < 1e8:
+            # word-end beam AFTER the exact LM cost (ref: word-end
+            # pruning prunes LM-scored word ends, not the pre-LM rank)
+            we_best = jnp.min(r_score, axis=1, keepdims=True)
+            r_score = jnp.where(
+                r_score > we_best + cfg.word_end_beam, BIG, r_score
+            )
         r_valid = (r_score < BIG / 2) & active
 
         rec_id = jnp.broadcast_to(

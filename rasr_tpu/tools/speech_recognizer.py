@@ -223,9 +223,12 @@ class SpeechRecognizerTool(Application):
             max_hyps=int(search.param("max-hyps", 1024)),
             beam=float(search.param("beam", 1e9)),
             word_end_limit=int(search.param("word-end-limit", 128)),
+            word_end_beam=float(search.param("word-end-beam", 1e9)),
+            word_end_rank_lm=bool(search.param("word-end-rank-lm", False)),
             root_hyps=int(search.param("root-hyps", 32)),
             root_arc_limit=int(search.param("root-arc-limit", 0)),
             branch_hyps=int(search.param("branch-hyps", 0)),
+            branch_width=int(search.param("branch-width", 0)),
             expansion_limit=int(search.param("expansion-limit", 0)),
             root_select=int(search.param("root-select", 0)),
             deferred_emission=bool(search.param("deferred-emission", False)),

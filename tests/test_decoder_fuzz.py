@@ -175,6 +175,10 @@ def test_decoder_fuzz_exact(seed):
     variant = dict(
         deferred_emission=bool(rng.integers(2)),
         force_unpacked_keys=bool(rng.integers(2)),
+        # compact branch expansion with a covering budget == dense fan
+        branch_width=int(rng.integers(2)) * 2048,
+        # LM-aware word-end rank: selection-only (exact at full R)
+        word_end_rank_lm=bool(rng.integers(2)),
     )
     dec = TreeDecoder(
         tree, tables,
