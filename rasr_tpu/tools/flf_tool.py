@@ -11,9 +11,13 @@ reference's FLF processing networks as a linear ``ops`` list:
     lm-file         = rescoring.arpa    # for op 'rescore'
     output-archive  = out.cache         # for op 'write'
 
-Ops: prune rescore best cn-decode fcn-decode nbest oracle evaluate write
-union intersect (vs second-archive; system combination) map (map-file)
-scale confidence.
+Ops: prune rescore rescore-am best cn-decode fcn-decode nbest oracle
+evaluate write union intersect (vs second-archive; system combination)
+map (map-file) scale confidence. 'rescore-am' (the legacy
+lattice-processor's acoustic rescoring) re-aligns every word arc over
+its time span under a new acoustic model, reading features from
+``feature-cache`` (lattice/rescore.py — one batched banded-Viterbi call
+per lattice).
 """
 
 from __future__ import annotations
@@ -59,6 +63,17 @@ class FlfTool(Application):
     second_archive = ParameterString("second-archive", default="")
     # orthography map for op 'map': lines of "<from> <to>"
     map_file = ParameterString("map-file", default="")
+    # op 'rescore-am' (the legacy lattice-processor's acoustic
+    # rescoring): re-align each word arc over its time span under the
+    # given acoustic model, reading features from a feature cache
+    # (the reference workflow: LatticeProcessor consumes feature caches)
+    feature_cache = ParameterString("feature-cache", default="")
+    lexicon_file = ParameterString("lexicon-file", default="")
+    mixture_file = ParameterString("mixture-file", default="")
+    cart_file = ParameterString("cart-file", default="")
+    states_per_phone = ParameterInt("states-per-phone", default=3)
+    silence_states = ParameterInt("silence-states", default=1)
+    rescore_am_scale = ParameterFloat("rescore-am-scale", default=1.0)
 
     def run(self, args: List[str]) -> int:
         ops = self.ops.split()
@@ -81,6 +96,33 @@ class FlfTool(Application):
                     parts = line.split()
                     if len(parts) >= 2:
                         orth_map[parts[0]] = parts[1]
+        am_ctx = None
+        if "rescore-am" in ops:
+            assert self.feature_cache and self.lexicon_file and self.mixture_file, (
+                "rescore-am needs feature-cache, lexicon-file, mixture-file"
+            )
+            from ..corpus.lexicon import Lexicon
+            from ..models.gmm import MixtureSet
+            from ..models.hmm import HmmTopology
+            from ..models.scorer import GmmFeatureScorer
+            from ..models.tying import CartStateTying, MonophoneStateTying
+            from ..pipeline.feature_extractor import load_features
+
+            lexicon = Lexicon.load(self.lexicon_file)
+            topo = HmmTopology(
+                states_per_phone=self.states_per_phone,
+                silence_states=self.silence_states,
+            )
+            if self.cart_file:
+                from ..models.cart import CartTree
+
+                tying = CartStateTying(CartTree.load(self.cart_file), lexicon)
+            else:
+                tying = MonophoneStateTying(lexicon, topo)
+            scorer = GmmFeatureScorer(
+                MixtureSet.load(self.mixture_file), scale=self.rescore_am_scale
+            )
+            am_ctx = (lexicon, tying, topo, scorer, load_features)
         second = open_archive(self.second_archive) if self.second_archive else None
         evaluator = CorpusEvaluator()
         oracle_errs, oracle_words = 0, 0
@@ -102,6 +144,13 @@ class FlfTool(Application):
                             for i, orth in enumerate(lat.lemma_orths)
                         }
                         lat = rescore_lm(lat, rescore_model, synt)
+                    elif op == "rescore-am":
+                        from ..lattice.rescore import rescore_am
+
+                        lexicon, tying, topo, scorer, load_features = am_ctx
+                        feats = load_features(self.feature_cache, name)
+                        emis = np.asarray(scorer(feats[None]))[0]  # [T, M]
+                        lat = rescore_am(lat, emis, lexicon, tying, topo)
                     elif op == "best":
                         _, path = best_path(lat, self.am_scale, self.lm_scale)
                         hyp_words = [

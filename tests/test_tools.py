@@ -323,14 +323,29 @@ def test_align_nn_and_util_tools(workdir):
     out = run_tool("rasr_tpu.tools.fsa_tool", "--fsa.op=draw", "c.att", cwd=cwd)
     assert "digraph" in out
 
-    # legacy lattice-processor alias over the recognition lattices
+    # legacy lattice-processor: its default workflow is ACOUSTIC lattice
+    # rescoring (rescore-am) — re-align every word arc under the AM from
+    # the feature cache, write the rescored archive, and the rescored
+    # lattices must still decode the toy corpus at 0 WER
     out = run_tool(
         "rasr_tpu.tools.lattice_processor",
         "--lattice-processor.lattice-archive=lat.cache",
         "--lattice-processor.corpus-file=toy.corpus",
-        "--lattice-processor.ops=best evaluate", cwd=cwd,
+        "--lattice-processor.feature-cache=feat.cache",
+        "--lattice-processor.lexicon-file=lexicon.xml",
+        "--lattice-processor.mixture-file=model.mix",
+        "--lattice-processor.states-per-phone=1",
+        "--lattice-processor.output-archive=lat_am.cache",
+        "--lattice-processor.ops=rescore-am best evaluate write", cwd=cwd,
     )
-    assert "WER:" in out
+    assert "WER: 0.0000" in out
+    out = run_tool(
+        "rasr_tpu.tools.flf_tool",
+        "--flf-tool.lattice-archive=lat_am.cache",
+        "--flf-tool.corpus-file=toy.corpus",
+        "--flf-tool.ops=best evaluate", cwd=cwd,
+    )
+    assert "WER: 0.0000" in out
 
 
 def test_network_image_cache(workdir):
