@@ -377,6 +377,12 @@ def _cross_backend_canary():
         ("bigram-la", t_in, compile_ngram(lm2), {"bigram_la": bla}, cfg),
         ("rnn-fusion", t_in, compile_ngram(lm2),
          {"rnn_fusion": None}, cfg),  # built per-device below
+        # compact branch expansion (hp rowsel int32 carrier) + LM-aware
+        # word-end rank (we_pack bias column + slot re-sort) + word-end
+        # beam: the newest packed transport paths, untimed by the bench
+        ("branch-width+we-rank", t_ax, compile_ngram(lm2), {},
+         dataclasses_replace(cfg, branch_hyps=8, branch_width=24,
+                             word_end_rank_lm=True, word_end_beam=60.0)),
     ]
     for name, tr, tb, kw, c in configs:
         results = {}

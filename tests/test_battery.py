@@ -120,3 +120,26 @@ def test_battery_cn_and_fcn_decode_quality(task):
         sf.add(align_tokens(task.refs[b], fc)[0])
     assert sc.errors <= sv.errors
     assert sf.errors <= sv.errors
+
+
+def test_battery_lm_aware_word_end_rank_at_tight_r(task, reference):
+    """LM-aware word-end selection (BeamConfig.word_end_rank_lm) at a
+    tight word-end limit: the LM-blind rank loses words the biased rank
+    keeps (full-grid evidence in BASELINE.md: K=256/beam=90/R=4 on the
+    1k-word task improves WER 9.8% -> 9.1% and search-error 6.2% ->
+    2.1%). The regression pins: ranked search error <= plain at the
+    scaled task's tight-R point, and ranked stays near the reference."""
+    tight_r = dict(
+        max_hyps=256, beam=90.0, word_end_limit=3, root_hyps=16,
+        lm_scale=LM_SCALE,
+    )
+    plain = run_operating_point(
+        task, BeamConfig(**tight_r), ref_scores=reference["_scores"]
+    )
+    ranked = run_operating_point(
+        task, BeamConfig(**tight_r, word_end_rank_lm=True),
+        ref_scores=reference["_scores"],
+    )
+    assert ranked["search_error_rate"] <= plain["search_error_rate"]
+    assert ranked["mean_degradation"] <= plain["mean_degradation"] + 1e-6
+    assert ranked["wer"] <= plain["wer"] + 1e-6
