@@ -589,18 +589,27 @@ def _make_step(
     # added at the root fan-out (subtree choice) and undone at word ends
     use_bla = bla is not None and la_coeff != 0.0
     use_deep = use_bla and bla.deep
+    gcap = min(cfg.root_arc_limit or G, G)
     if use_bla:
         Gla1 = bla.num_subtrees + 1
         cls4 = _pad4(bla.cls_of_lm)
         corr4 = _pad4((la_coeff * bla.corr).reshape(-1))
         sub4 = _pad4(bla.sub)
         sub_arc = bla.sub[tree.root_dst]  # [G] subtree of each root arc
+        # root corrections PRE-SELECTED per class at trace time: the
+        # root arcs' subtree ids are a STATIC index set, so the per-
+        # (class, arc) correction collapses to a tiny [C, G] table and
+        # the per-frame cost to H row gathers (width is nearly free) —
+        # HLO-profiled, the root-fan corr gathers were the largest
+        # bigram-lookahead hot-loop term (~0.4ms/frame at B=64, G=1537,
+        # gcap=160: 250k quarter-row gather indices -> ~1k rows)
+        corr_arc = (la_coeff * bla.corr)[:, sub_arc]  # [C, G]
+        corr_arc_cap = corr_arc[:, :gcap] if gcap < G else corr_arc
     if use_deep:
         # word-set granularity: within-word node-crossing deltas, one
         # quarter-row gather per dense/branch candidate section
         dpair4 = _pad4((la_coeff * bla.dpair).reshape(-1))
         P1 = bla.dpair.shape[1]
-    gcap = min(cfg.root_arc_limit or G, G)
     # root-selection (cfg.root_select): pre-emission top-R3 over the
     # root fan-out instead of carrying it through the main sorts
     Wr = G + max(hroot - 1, 0) * gcap
@@ -916,12 +925,9 @@ def _make_step(
             # class of the hyp's lm state x the arc's subtree (quarter-
             # row gathers on the shared corr table)
             c_h = _gsel(cls4, h_lm)  # [B,H]
-            bcorr0 = _gsel(corr4, c_h[:, :1] * Gla1 + sub_arc[None, :])
+            bcorr0 = corr_arc[c_h[:, 0]]  # [B,G]: one row per batch
             if hroot > 1:
-                bcorr_rest = _gsel(
-                    corr4,
-                    c_h[:, 1:, None] * Gla1 + sub_arc[None, None, :gcap],
-                )  # [B,H-1,gcap]
+                bcorr_rest = corr_arc_cap[c_h[:, 1:]]  # [B,H-1,gcap] rows
         if use_rsel:
             # pre-emission top-R3 over the whole root fan-out: ONE
             # narrow (value, index) sort replaces Wr slots in BOTH main
