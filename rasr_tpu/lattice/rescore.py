@@ -19,7 +19,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..align.graph import build_linear_graph
+from ..align.graph import OrthographyError, build_linear_graph, orth_to_lemmas
 from ..corpus.lexicon import Lexicon
 from ..models.hmm import HmmTopology, TransitionModel
 from ..ops.viterbi import BIG, viterbi_align
@@ -36,16 +36,31 @@ def rescore_am(
 ) -> Lattice:
     """Return a lattice whose word arcs carry re-aligned acoustic scores.
 
-    Per word arc (lemma, [t_from, t_to)): the arc's pronunciation is
-    compiled to a linear alignment graph (no optional silence — the
-    lattice's own silence arcs carry silence) and Viterbi-aligned over
-    ``emissions[t_from:t_to]``; the alignment cost becomes the arc's
-    ``am_score``. Arcs whose span cannot realize the word (span shorter
-    than the graph's minimum path, or an unknown orthography) get BIG —
-    they are impossible under the new model and vanish from best paths.
-    Epsilon arcs keep am 0. LM scores are untouched (rescore_lm exists
-    for those).
+    Per word arc (lemma, [t_from, t_to)): each of the lemma's
+    pronunciations is compiled to a linear alignment graph (no optional
+    silence — the lattice's own silence arcs carry silence) and
+    Viterbi-aligned over ``emissions[t_from:t_to]``; the arc's
+    ``am_score`` becomes the MIN cost over its pronunciation variants
+    (lattice arcs carry no pronunciation index, and the reference's
+    LatticeExtractor re-aligns the pronunciation the path realized —
+    the best-variant cost is the faithful lower envelope; all variants
+    batch into the same single viterbi_align call). Arcs whose span
+    cannot realize the word (span shorter than the graph's minimum
+    path) or whose orthography is not in the lexicon get BIG — they are
+    impossible under the new model and vanish from best paths. Epsilon
+    arcs keep am 0. LM scores are untouched (rescore_lm exists for
+    those).
     """
+    T_avail = int(np.asarray(emissions).shape[0])
+    used = [a.to_node for a in lattice.arcs] + [a.from_node for a in lattice.arcs]
+    if used:
+        t_max = int(np.asarray(lattice.node_time)[used].max())
+        if t_max > T_avail:
+            raise ValueError(
+                f"lattice node times reach frame {t_max} but the feature/"
+                f"emission stream has only {T_avail} frames — the feature "
+                "cache does not match the lattice (different frontend hop?)"
+            )
     spans, graphs, arc_ids = [], [], []
     new_arcs = [dataclasses.replace(a) for a in lattice.arcs]
     for ai, arc in enumerate(lattice.arcs):
@@ -59,16 +74,26 @@ def rescore_am(
             new_arcs[ai].am_score = BIG
             continue
         try:
-            g = build_linear_graph(
-                orth, lexicon, tying, topology, transitions,
-                optional_silence=False,
+            # one graph per pronunciation variant (min taken after the
+            # batched DP); multi-token orths use variant i of every
+            # lemma (clamped), which reduces to the per-pronunciation
+            # sweep for the single-word arcs decoders emit
+            n_var = max(
+                (len(l.pronunciations) or 1)
+                for l in orth_to_lemmas(orth, lexicon, allow_unknown=False)
             )
-        except Exception:
+            for vi in range(n_var):
+                g = build_linear_graph(
+                    orth, lexicon, tying, topology, transitions,
+                    optional_silence=False, pronunciation_index=vi,
+                    allow_unknown=False,
+                )
+                spans.append((lo, hi))
+                graphs.append(g)
+                arc_ids.append(ai)
+        except OrthographyError:
             new_arcs[ai].am_score = BIG
             continue
-        spans.append((lo, hi))
-        graphs.append(g)
-        arc_ids.append(ai)
     if not graphs:
         return Lattice(
             num_nodes=lattice.num_nodes, arcs=new_arcs,
@@ -102,9 +127,13 @@ def rescore_am(
         jnp.asarray(n_frames),
     )
     cost = np.asarray(cost)
+    for ai in set(arc_ids):
+        new_arcs[ai].am_score = BIG
     for i, ai in enumerate(arc_ids):
         c = float(cost[i])
-        new_arcs[ai].am_score = c if c < BIG / 2 else BIG
+        new_arcs[ai].am_score = min(
+            new_arcs[ai].am_score, c if c < BIG / 2 else BIG
+        )
     return Lattice(
         num_nodes=lattice.num_nodes, arcs=new_arcs,
         node_time=lattice.node_time,

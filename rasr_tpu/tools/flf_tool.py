@@ -98,12 +98,13 @@ class FlfTool(Application):
                         orth_map[parts[0]] = parts[1]
         am_ctx = None
         if "rescore-am" in ops:
-            assert self.feature_cache and self.lexicon_file and self.mixture_file, (
-                "rescore-am needs feature-cache, lexicon-file, mixture-file"
-            )
+            if not (self.feature_cache and self.lexicon_file and self.mixture_file):
+                raise ValueError(
+                    "rescore-am needs feature-cache, lexicon-file, mixture-file"
+                )
             from ..corpus.lexicon import Lexicon
             from ..models.gmm import MixtureSet
-            from ..models.hmm import HmmTopology
+            from ..models.hmm import HmmTopology, TransitionModel
             from ..models.scorer import GmmFeatureScorer
             from ..models.tying import CartStateTying, MonophoneStateTying
             from ..pipeline.feature_extractor import load_features
@@ -113,6 +114,10 @@ class FlfTool(Application):
                 states_per_phone=self.states_per_phone,
                 silence_states=self.silence_states,
             )
+            # TDPs baked into the rescored am scores must be matchable
+            # to the recognizer's: read <flf-tool>.tdp.speech.* /
+            # tdp.silence.* exactly like the recognizer does
+            transitions = TransitionModel.from_config(self)
             if self.cart_file:
                 from ..models.cart import CartTree
 
@@ -122,7 +127,7 @@ class FlfTool(Application):
             scorer = GmmFeatureScorer(
                 MixtureSet.load(self.mixture_file), scale=self.rescore_am_scale
             )
-            am_ctx = (lexicon, tying, topo, scorer, load_features)
+            am_ctx = (lexicon, tying, topo, transitions, scorer, load_features)
         second = open_archive(self.second_archive) if self.second_archive else None
         evaluator = CorpusEvaluator()
         oracle_errs, oracle_words = 0, 0
@@ -138,7 +143,8 @@ class FlfTool(Application):
                             lat, self.posterior_threshold, self.am_scale, self.lm_scale
                         )
                     elif op == "rescore":
-                        assert rescore_model is not None, "rescore needs lm-file"
+                        if rescore_model is None:
+                            raise ValueError("rescore needs lm-file")
                         synt = {
                             i: rescore_model.vocab.get(orth)
                             for i, orth in enumerate(lat.lemma_orths)
@@ -147,10 +153,10 @@ class FlfTool(Application):
                     elif op == "rescore-am":
                         from ..lattice.rescore import rescore_am
 
-                        lexicon, tying, topo, scorer, load_features = am_ctx
+                        lexicon, tying, topo, trans, scorer, load_features = am_ctx
                         feats = load_features(self.feature_cache, name)
                         emis = np.asarray(scorer(feats[None]))[0]  # [T, M]
-                        lat = rescore_am(lat, emis, lexicon, tying, topo)
+                        lat = rescore_am(lat, emis, lexicon, tying, topo, trans)
                     elif op == "best":
                         _, path = best_path(lat, self.am_scale, self.lm_scale)
                         hyp_words = [
@@ -174,7 +180,8 @@ class FlfTool(Application):
                         nb = n_best(lat, self.nbest, self.am_scale, self.lm_scale)
                         self.log("nbest", segment=name, count=len(nb))
                     elif op in ("union", "intersect"):
-                        assert second is not None, f"{op} needs second-archive"
+                        if second is None:
+                            raise ValueError(f"{op} needs second-archive")
                         other = Lattice.unpack(second.read(name))
                         lat = (union([lat, other]) if op == "union"
                                else intersect(lat, other))

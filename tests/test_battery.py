@@ -127,10 +127,15 @@ def test_battery_lm_aware_word_end_rank_at_tight_r(task, reference):
     tight word-end limit: the LM-blind rank loses words the biased rank
     keeps (full-grid evidence in BASELINE.md: K=256/beam=90/R=4 on the
     1k-word task improves WER 9.8% -> 9.1% and search-error 6.2% ->
-    2.1%). The regression pins: ranked search error <= plain at the
-    scaled task's tight-R point, and ranked stays near the reference."""
+    2.1%). The pin sits at R=2, where the effect on THIS scaled task is
+    multi-utterance-sized (measured: search error 0.30 -> 0.10, mean
+    degradation 6.93 -> 1.82, WER 6.2% -> 4.6%) — the r2 verdict's
+    lesson: never pin a near-tied float ordering (the old R=3 pin
+    asserted a 0.0008 difference on 1.79 with a 1e-6 margin and flipped
+    with unrelated decoder changes). Margins here are set at half the
+    measured effect size."""
     tight_r = dict(
-        max_hyps=256, beam=90.0, word_end_limit=3, root_hyps=16,
+        max_hyps=256, beam=90.0, word_end_limit=2, root_hyps=16,
         lm_scale=LM_SCALE,
     )
     plain = run_operating_point(
@@ -140,6 +145,8 @@ def test_battery_lm_aware_word_end_rank_at_tight_r(task, reference):
         task, BeamConfig(**tight_r, word_end_rank_lm=True),
         ref_scores=reference["_scores"],
     )
-    assert ranked["search_error_rate"] <= plain["search_error_rate"]
-    assert ranked["mean_degradation"] <= plain["mean_degradation"] + 1e-6
+    # measured gaps: se 0.20 (2 utts), deg 5.1 — assert half of each
+    assert ranked["search_error_rate"] <= plain["search_error_rate"] - 0.1
+    assert ranked["mean_degradation"] <= plain["mean_degradation"] - 2.5
+    # WER: ranked must not be worse (measured one word better)
     assert ranked["wer"] <= plain["wer"] + 1e-6

@@ -71,6 +71,54 @@ def test_rescore_flips_best_path_and_scores():
     assert out.arcs[0].lm_score == 0.0 and out.arcs[1].lm_score == 0.0
 
 
+def test_rescore_multi_pronunciation_takes_best_variant():
+    """A lemma with two pronunciations (AB / BA): the arc's rescored am
+    must be the min over variants (the lattice carries no pron index —
+    ADVICE r2: variant 0 alone can be arbitrarily worse than the variant
+    the path realized)."""
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["W"], [((["a", "b"]), 0.0), ((["b", "a"]), 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    M = tying.num_classes
+    T = 4
+    lat = Lattice(
+        num_nodes=2,
+        arcs=[LatticeArc(0, 1, 0, 0.0, 0.0)],
+        node_time=np.array([0, T]),
+        final_scores={1: 0.0},
+        lemma_orths=["W"],
+    )
+    # acoustics fit the SECOND pronunciation (b a)
+    emis = _planted_emissions(lex, tying, ["b", "b", "a", "a"], T, M)
+    out = rescore_am(lat, emis, lex, tying, topo, TransitionModel())
+    # min over variants aligns on planted zeros: TDP-only cost, far
+    # below the >=100 the first-variant-only alignment would pay
+    assert out.arcs[0].am_score < 50, out.arcs[0].am_score
+
+
+def test_rescore_oov_gets_big_and_time_mismatch_raises():
+    lex, topo, tying = _system()
+    M = tying.num_classes
+    lat = Lattice(
+        num_nodes=2,
+        arcs=[LatticeArc(0, 1, 0, 0.0, 0.0)],
+        node_time=np.array([0, 4]),
+        final_scores={1: 0.0},
+        lemma_orths=["NOSUCHWORD"],
+    )
+    emis = _planted_emissions(lex, tying, ["a", "a", "b", "b"], 4, M)
+    out = rescore_am(lat, emis, lex, tying, topo, TransitionModel())
+    assert out.arcs[0].am_score >= BIG / 2
+    # node times beyond the emission stream: clear error, not a numpy
+    # broadcast failure (ADVICE r2 — mismatched feature cache)
+    import pytest
+
+    with pytest.raises(ValueError, match="frames"):
+        rescore_am(lat, emis[:2], lex, tying, topo, TransitionModel())
+
+
 def test_rescore_marks_impossible_spans_and_keeps_eps():
     lex, topo, tying = _system()
     M = tying.num_classes
