@@ -361,6 +361,27 @@ def _bc_i(a):  # f32 bits -> int32
     return jax.lax.bitcast_convert_type(a, jnp.int32)
 
 
+def _ride_flags(cfg: "BeamConfig", bla, partitioned: bool):
+    """Bigram-lookahead carry-riding gates (shared by _make_step,
+    init_carry and the streaming restart — they must agree on the carry
+    layout).
+
+    ``ride_phi``: each beam slot carries its APPLIED correction phi2 as
+    a sort-payload column, so the word-end undo is a subtract instead
+    of a [B,KW] class lookup + corr gather. ``ride_cls`` (word-set
+    granularity only): the slot also carries its history class, feeding
+    the dense/branch node-crossing delta gathers without the per-frame
+    [B,K]/[B,Wbr] class lookups. Both are functions of the
+    recombination key (class of lm state x lookahead node of state), so
+    per-key winners carry the right values through the dedup sorts —
+    docs/PERF.md "Bigram-lookahead hot-loop cost" fix 2. Partitioned
+    beams keep the gather path (the all_gather merge strips payload)."""
+    use_bla = bla is not None and cfg.lm_scale * cfg.lookahead_scale != 0.0
+    ride_phi = use_bla and not partitioned
+    ride_cls = ride_phi and bla.deep
+    return ride_cls, ride_phi
+
+
 @dataclasses.dataclass(frozen=True)
 class BigramTables:
     """Device pytree of the bigram-lookahead tables (search/lookahead.py).
@@ -589,6 +610,10 @@ def _make_step(
     # added at the root fan-out (subtree choice) and undone at word ends
     use_bla = bla is not None and la_coeff != 0.0
     use_deep = use_bla and bla.deep
+    # carry-riding of (class, applied phi2): kills the per-frame
+    # [B,K]/[B,Wbr]/[B,KW] class lookups + the word-end undo gather at
+    # the cost of extra sort-payload operands (docs/PERF.md fix 2)
+    ride_cls, ride_phi = _ride_flags(cfg, bla, Pn > 1)
     gcap = min(cfg.root_arc_limit or G, G)
     if use_bla:
         Gla1 = bla.num_subtrees + 1
@@ -605,6 +630,9 @@ def _make_step(
         # gcap=160: 250k quarter-row gather indices -> ~1k rows)
         corr_arc = (la_coeff * bla.corr)[:, sub_arc]  # [C, G]
         corr_arc_cap = corr_arc[:, :gcap] if gcap < G else corr_arc
+        # flat quarter-row view for the root-select survivors' phi
+        # payload ([B,R3] indices — tiny next to the fan it replaces)
+        corr_arc4 = _pad4(corr_arc.reshape(-1))
     if use_deep:
         # word-set granularity: within-word node-crossing deltas, one
         # quarter-row gather per dense/branch candidate section
@@ -646,7 +674,10 @@ def _make_step(
         assert rnn_pool > 0
 
     state_pack, fold_bh, deg_bits = _build_state_pack(tree, cfg, bla)
-    carry0 = init_carry(B, cfg, lm, state_pack, rnn=rnn, rnn_pool=rnn_pool)
+    carry0 = init_carry(
+        B, cfg, lm, state_pack, bla=bla, partitioned=Pn > 1,
+        rnn=rnn, rnn_pool=rnn_pool,
+    )
     if not fold_bh:
         branch_head = jnp.stack(
             [tree.branch_ptr[:-1], tree.branch_deg], axis=1
@@ -708,14 +739,11 @@ def _make_step(
     C_sp = state_pack.shape[1]
     S1 = state_pack.shape[0]
     if ride_pk:
-        combo_cols = [we_pack.reshape(S1, wmax * C_we)]
-        if use_bla:
-            # per-state subtree id rides the word-end gather (one extra
-            # column on a row gather whose width is nearly free)
-            combo_cols.append(bla.sub[:, None])
-        combo_cols.append(state_pack)
-        combo_pack = jnp.concatenate(combo_cols, axis=1)
-        # [S+1, W*6 (+1) + C_sp]
+        # (ride_pk implies Pn == 1, so use_bla implies ride_phi: the
+        # word-end undo subtracts the CARRIED phi2 — no sub column)
+        combo_pack = jnp.concatenate(
+            [we_pack.reshape(S1, wmax * C_we), state_pack], axis=1
+        )  # [S+1, W*C_we + C_sp]
 
     if use_rsel:
         # root-selection path: (dst, cls) rows for the R3 survivors
@@ -780,11 +808,16 @@ def _make_step(
         return rows.reshape(Bx * N, C)[idx + off]
 
     def step(carry, inputs):
+        state, lms, score, bp, pk_c, fstate, flm, fscore, fbp = carry[:9]
+        ci = 9
+        if ride_cls:
+            cls_c = carry[ci]
+            ci += 1
+        if ride_phi:
+            phi_c = carry[ci]
+            ci += 1
         if use_rnn:
-            (state, lms, score, bp, pk_c, fstate, flm, fscore, fbp,
-             rnn_cs, rnn_hs) = carry
-        else:
-            state, lms, score, bp, pk_c, fstate, flm, fscore, fbp = carry
+            rnn_cs, rnn_hs = carry[ci], carry[ci + 1]
         emis_t, t = inputs
         active = (t < n_frames)[:, None]
 
@@ -821,17 +854,34 @@ def _make_step(
             # word-set lookahead: node-crossing delta per dense arc
             # (pair id 0 = within-node = zero row; loops never cross)
             Csp = state_pack.shape[1]
-            c_e = _gsel(cls4, lms_e)  # [B,K_loc] history class per hyp
-            p_d1 = p_d1 + _gsel(dpair4, c_e * P1 + pk[..., Csp - 2])
-            p_d2 = p_d2 + _gsel(dpair4, c_e * P1 + pk[..., Csp - 1])
+            # history class per hyp: carried (ride_cls) or gathered
+            c_e = cls_c if ride_cls else _gsel(cls4, lms_e)
+            d1_dphi = _gsel(dpair4, c_e * P1 + pk[..., Csp - 2])
+            d2_dphi = _gsel(dpair4, c_e * P1 + pk[..., Csp - 1])
+            p_d1 = p_d1 + d1_dphi
+            p_d2 = p_d2 + d2_dphi
+        if ride_phi:
+            # applied-correction payload per dense candidate (loops
+            # never cross lookahead nodes; first-phone granularity has
+            # zero within-word deltas by construction)
+            phi_loop = phi_c
+            phi_d1 = phi_c + d1_dphi if use_deep else phi_c
+            phi_d2 = phi_c + d2_dphi if use_deep else phi_c
 
         # packed beam rows (int32 carrier; score bits bitcast in): every
         # downstream selection gathers all four beam columns (+ folded
-        # branch head) with ONE row gather
+        # branch head, + carried class/phi) with ONE row gather
         beam_cols = [state_e, lms_e, bc_i(score_e), bp_e]
         if fold_bh:
             beam_cols.append(pk[..., 8])
-        beam_rows = jnp.stack(beam_cols, axis=-1)  # [B,K_loc,4(+1)] int32
+        i_cls = i_phi = None
+        if ride_cls:
+            i_cls = len(beam_cols)
+            beam_cols.append(cls_c)
+        if ride_phi:
+            i_phi = len(beam_cols)
+            beam_cols.append(bc_i(phi_c))
+        beam_rows = jnp.stack(beam_cols, axis=-1)  # [B,K_loc,4..7] int32
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
         has_branch = cls_raw < 0
@@ -866,12 +916,14 @@ def _make_step(
             )  # [B,Wbr]: #hyps whose slot range starts at or before s
             hh = jnp.clip(cnt - 1, 0, kbranch - 1)
             # one row gather delivers every per-slot hyp column
+            hp_cols = [b_lm, b_bp, bc_i(b_score), bptr, off, deg_sel]
+            if ride_cls:
+                hp_cols.append(b_rows[..., i_cls])
+            if ride_phi:
+                hp_cols.append(b_rows[..., i_phi])
             hp = rowsel(
-                jnp.stack(
-                    [b_lm, b_bp, bc_i(b_score), bptr, off, deg_sel], axis=-1
-                ),
-                hh,
-            )  # [B,Wbr,6] int32 carrier
+                jnp.stack(hp_cols, axis=-1), hh
+            )  # [B,Wbr,6(+2)] int32 carrier
             pos = s_iota[None, :] - hp[..., 4]
             okc = (pos >= 0) & (pos < hp[..., 5])
             a_idx = jnp.where(okc, hp[..., 3] + pos, 0)
@@ -880,13 +932,20 @@ def _make_step(
             br_cls = jnp.where(okc, bpk[..., 2], 0)
             b_cost = jnp.where(okc, bc_f(bpk[..., 1]), BIG)
             if use_deep:
-                c_b = _gsel(cls4, hp[..., 0])  # [B,Wbr]
-                b_cost = b_cost + _gsel(
+                c_b = hp[..., 6] if ride_cls else _gsel(cls4, hp[..., 0])
+                br_dphi = _gsel(
                     dpair4, c_b * P1 + jnp.where(okc, bpk[..., 3], 0)
                 )
+                b_cost = b_cost + br_dphi
             br_pre = bc_f(hp[..., 2]) + b_cost  # [B,Wbr]
             br_lm = hp[..., 0]
             br_bp = hp[..., 1]
+            if ride_phi:
+                br_phi = bc_f(hp[..., 7 if ride_cls else 6])
+                if use_deep:
+                    br_phi = br_phi + br_dphi
+            if ride_cls:
+                c_b_flat = c_b  # [B,Wbr] already per slot
         else:
             dslots = jnp.arange(Db, dtype=jnp.int32)
             bi = bptr[..., None] + dslots
@@ -897,16 +956,25 @@ def _make_step(
             b_cls = jnp.where(ok, bpk[..., 2], 0)
             b_cost = jnp.where(ok, bc_f(bpk[..., 1]), BIG)
             if use_deep:
-                c_b = _gsel(cls4, b_lm)  # [B,Kb]
-                b_cost = b_cost + _gsel(
+                c_b = (
+                    b_rows[..., i_cls] if ride_cls else _gsel(cls4, b_lm)
+                )  # [B,Kb]
+                br_dphi = _gsel(
                     dpair4, c_b[..., None] * P1 + jnp.where(ok, bpk[..., 3], 0)
-                )
+                )  # [B,Kb,Db]
+                b_cost = b_cost + br_dphi
             p_br = b_score[..., None] + b_cost  # [B,Kb,Db]
             br_state = b_dst.reshape(B, Wbr)
             br_cls = b_cls.reshape(B, Wbr)
             br_pre = p_br.reshape(B, Wbr)
             br_lm = jnp.repeat(b_lm, Db, axis=1)
             br_bp = jnp.repeat(b_bp, Db, axis=1)
+            if ride_phi:
+                br_phi = jnp.repeat(bc_f(b_rows[..., i_phi]), Db, axis=1)
+                if use_deep:
+                    br_phi = br_phi + br_dphi.reshape(B, Wbr)
+            if ride_cls:
+                c_b_flat = jnp.repeat(c_b, Db, axis=1)  # [B,Wbr]
 
         # root re-entry: top-H root hyps. The best history expands every
         # root arc; the others only the Gcap most promising (arrays are
@@ -923,8 +991,9 @@ def _make_step(
         if use_bla:
             # history-conditioned correction per (root hyp, root arc):
             # class of the hyp's lm state x the arc's subtree (quarter-
-            # row gathers on the shared corr table)
-            c_h = _gsel(cls4, h_lm)  # [B,H]
+            # row gathers on the shared corr table); class rides the
+            # beam rows when carried
+            c_h = h_rows[..., i_cls] if ride_cls else _gsel(cls4, h_lm)
             bcorr0 = corr_arc[c_h[:, 0]]  # [B,G]: one row per batch
             if hroot > 1:
                 bcorr_rest = corr_arc_cap[c_h[:, 1:]]  # [B,H-1,gcap] rows
@@ -964,19 +1033,31 @@ def _make_step(
             # guard is on the LM state count only.
             if L < (1 << 24):
                 hsel = jax.nn.one_hot(rs_h, hroot, dtype=jnp.float32)
-                hcols = jnp.stack(
-                    [h_lm.astype(jnp.float32), h_bp.astype(jnp.float32)],
-                    axis=-1,
-                )  # [B,H,2]
+                hcol_list = [
+                    h_lm.astype(jnp.float32), h_bp.astype(jnp.float32)
+                ]
+                if ride_phi:
+                    hcol_list.append(c_h.astype(jnp.float32))
+                hcols = jnp.stack(hcol_list, axis=-1)  # [B,H,2(+1)]
                 hr = jnp.matmul(
                     hsel, hcols, precision=jax.lax.Precision.HIGHEST
                 )
                 rs_lm = hr[..., 0].astype(jnp.int32)
                 rs_bp = hr[..., 1].astype(jnp.int32)
+                if ride_phi:
+                    rs_cls = hr[..., 2].astype(jnp.int32)
             else:
-                hr = rowsel(jnp.stack([h_lm, h_bp], axis=-1), rs_h)
+                hcol_list = [h_lm, h_bp] + ([c_h] if ride_phi else [])
+                hr = rowsel(jnp.stack(hcol_list, axis=-1), rs_h)
                 rs_lm = hr[..., 0]
                 rs_bp = hr[..., 1]
+                if ride_phi:
+                    rs_cls = hr[..., 2]
+            if ride_phi:
+                # the survivor's applied correction = exactly the
+                # corr_arc term inside rs_pre (gcap arcs are a prefix
+                # slice of the same [C, G] table)
+                rs_phi = _gsel(corr_arc4, rs_cls * G + rs_g)
             rp = root_pack[rs_g]  # [B,R3,2] (dst, cls) row gather
             rs_state = rp[..., 0]
             rs_cls = rp[..., 1]
@@ -993,6 +1074,8 @@ def _make_step(
             root_lms = []
             root_bps = []
             root_clss = []
+            root_phis = []
+            root_lcls = []
         else:
             p_root_best = h_score[:, :1, None] + root_arc_cost[None, None, :]
             if use_bla:
@@ -1002,6 +1085,10 @@ def _make_step(
             root_lms = [jnp.repeat(h_lm[:, :1], G, axis=1)]
             root_bps = [jnp.repeat(h_bp[:, :1], G, axis=1)]
             root_clss = [jnp.broadcast_to(tree.root_cls[None, :], (B, G))]
+            # payload sections: applied phi2 = the bcorr term just
+            # added (phi at the root itself is 0); class is inherited
+            root_phis = [bcorr0] if ride_phi else []
+            root_lcls = [jnp.repeat(c_h[:, :1], G, axis=1)] if ride_cls else []
             if hroot > 1:
                 p_root_rest = h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
                 if use_bla:
@@ -1018,6 +1105,12 @@ def _make_step(
                         tree.root_cls[None, None, :gcap], (B, hroot - 1, gcap)
                     ).reshape(B, (hroot - 1) * gcap)
                 )
+                if ride_phi:
+                    root_phis.append(
+                        bcorr_rest.reshape(B, (hroot - 1) * gcap)
+                    )
+                if ride_cls:
+                    root_lcls.append(jnp.repeat(c_h[:, 1:], gcap, axis=1))
 
         # ------------------------------------------- assemble candidates
         cand_state = jnp.concatenate(
@@ -1029,6 +1122,14 @@ def _make_step(
         cand_bp = jnp.concatenate(
             [bp_e, bp_e, bp_e, br_bp, *root_bps], axis=1
         )
+        if ride_phi:
+            cand_phi = jnp.concatenate(
+                [phi_loop, phi_d1, phi_d2, br_phi, *root_phis], axis=1
+            )
+        if ride_cls:
+            cand_lcls = jnp.concatenate(
+                [cls_c, cls_c, cls_c, c_b_flat, *root_lcls], axis=1
+            )
 
         if use_defer:
             # deferred emission: candidates carry pre-emission path
@@ -1057,13 +1158,21 @@ def _make_step(
             )
             nege, eidx = jax.lax.top_k(-cand_pre, E)
             e_pre = -nege
+            e_cols = [cand_state, cand_lm, cand_bp, cand_cls]
+            if ride_cls:
+                e_cols.append(cand_lcls)
+            if ride_phi:
+                e_cols.append(bc_i(cand_phi))  # int32 carrier
             erows = rowsel(
-                jnp.stack([cand_state, cand_lm, cand_bp, cand_cls], axis=-1),
-                eidx,
-            )  # [B,E,4]
+                jnp.stack(e_cols, axis=-1), eidx
+            )  # [B,E,4(+2)]
             cand_state = erows[..., 0]
             cand_lm = erows[..., 1]
             cand_bp = erows[..., 2]
+            if ride_cls:
+                cand_lcls = erows[..., 4]
+            if ride_phi:
+                cand_phi = bc_f(erows[..., 5 if ride_cls else 4])
             cand_score = jnp.where(
                 e_pre < BIG / 2, e_pre + fsel(emis_t, erows[..., 3]), BIG
             )
@@ -1112,39 +1221,57 @@ def _make_step(
         # and sorting values instead of top_k-then-gather skips the
         # index stack, its layout copy, and the row gather (HLO-profiled:
         # ~150us/frame at B=16, width 10241).
-        def recombine_topk(key_parts, score, bp, k):
+        def recombine_topk(key_parts, score, pays, k):
             """Dedup by key (keep per-key min score) then top-k by score.
 
-            key_parts: (packed_key,) or (state, lm). Returns key parts,
-            score, bp — each [B, k]."""
+            key_parts: (packed_key,) or (state, lm); ``pays`` is a tuple
+            of payload operands (bp, and the carried class/phi2 when
+            bigram-lookahead riding is on — both functions of the key,
+            so per-key winners carry the right values). Returns key
+            parts, score [B, k], payload tuple."""
+            nk = len(key_parts)
             s = jax.lax.sort(
-                (*key_parts, score, bp), dimension=1,
-                num_keys=len(key_parts) + 1, is_stable=False,
+                (*key_parts, score, *pays), dimension=1,
+                num_keys=nk + 1, is_stable=False,
             )
-            if len(key_parts) == 1:
+            if nk == 1:
                 diff = s[0][:, 1:] != s[0][:, :-1]
             else:
                 diff = (s[0][:, 1:] != s[0][:, :-1]) | (s[1][:, 1:] != s[1][:, :-1])
             first = jnp.concatenate([jnp.ones((B, 1), bool), diff], axis=1)
-            dscore = jnp.where(first, s[-2], BIG)
+            dscore = jnp.where(first, s[nk], BIG)
             out = jax.lax.sort(
-                (dscore, *s[: len(key_parts)], s[-1]), dimension=1,
+                (dscore, *s[:nk], *s[nk + 1 :]), dimension=1,
                 num_keys=1, is_stable=False,
             )
-            return out[1:-1], out[0][:, :k], out[-1][:, :k]
+            return (
+                out[1 : 1 + nk],
+                out[0][:, :k],
+                tuple(p[:, :k] for p in out[1 + nk :]),
+            )
 
+        cand_pays = (cand_bp,)
+        if ride_cls:
+            cand_pays += (cand_lcls,)
+        if ride_phi:
+            cand_pays += (cand_phi,)  # genuine f32 (not smuggled bits)
         if pack_keys:
             # (state, lm) packed into one int32 key
             cand_key = cand_state * jnp.int32(L) + cand_lm
-            keys, n_score, n_bp = recombine_topk(
-                (cand_key,), cand_score, cand_bp, topn
+            keys, n_score, n_pays = recombine_topk(
+                (cand_key,), cand_score, cand_pays, topn
             )
             n_key = keys[0][:, :topn]
         else:
-            keys, n_score, n_bp = recombine_topk(
-                (cand_state, cand_lm), cand_score, cand_bp, topn
+            keys, n_score, n_pays = recombine_topk(
+                (cand_state, cand_lm), cand_score, cand_pays, topn
             )
             n_state, n_lm = keys[0][:, :topn], keys[1][:, :topn]
+        n_bp = n_pays[0]
+        if ride_cls:
+            n_lcls = n_pays[1]
+        if ride_phi:
+            n_phi = n_pays[2 if ride_cls else 1]
 
         if Pn > 1:
             # ---- collective beam merge: gather every device's deduped
@@ -1163,13 +1290,13 @@ def _make_step(
             g_score = bc_f(gath[..., -2])
             g_bp = gath[..., -1]
             if pack_keys:
-                keys, n_score, n_bp = recombine_topk(
-                    (gath[..., 0],), g_score, g_bp, K
+                keys, n_score, (n_bp,) = recombine_topk(
+                    (gath[..., 0],), g_score, (g_bp,), K
                 )
                 n_key = keys[0][:, :K]
             else:
-                keys, n_score, n_bp = recombine_topk(
-                    (gath[..., 0], gath[..., 1]), g_score, g_bp, K
+                keys, n_score, (n_bp,) = recombine_topk(
+                    (gath[..., 0], gath[..., 1]), g_score, (g_bp,), K
                 )
                 n_state, n_lm = keys[0][:, :K], keys[1][:, :K]
         if pack_keys:
@@ -1186,20 +1313,24 @@ def _make_step(
             w_lm = jnp.concatenate([n_lm, rs_lm], axis=1)
             w_score = jnp.concatenate([n_score, rs_score], axis=1)
             w_bp = jnp.concatenate([n_bp, rs_bp], axis=1)
+            if ride_cls:
+                w_lcls = jnp.concatenate([n_lcls, rs_cls], axis=1)
+            if ride_phi:
+                w_phi = jnp.concatenate([n_phi, rs_phi], axis=1)
         else:
             w_state, w_lm, w_score, w_bp = n_state, n_lm, n_score, n_bp
+            if ride_cls:
+                w_lcls = n_lcls
+            if ride_phi:
+                w_phi = n_phi
         KW = K + R3
 
         # ------------------------------------------------- word ends
         if ride_pk:
             # one row gather for we columns AND next frame's state rows
-            combo = combo_pack[w_state]  # [B,KW,W*6(+1)+C_sp] int32
+            combo = combo_pack[w_state]  # [B,KW,W*C_we+C_sp] int32
             wpk = combo[..., : wmax * C_we].reshape(B, KW, wmax, C_we)
-            coff = wmax * C_we
-            if use_bla:
-                sub_w = combo[..., coff]  # [B,KW] subtree ids
-                coff += 1
-            spk_w = combo[..., coff:]  # [B,KW,C_sp]
+            spk_w = combo[..., wmax * C_we :]  # [B,KW,C_sp]
         else:
             wpk = we_pack[w_state]  # [B,KW,W,6] (1 gather, all we cols)
             if use_bla:
@@ -1216,9 +1347,15 @@ def _make_step(
         if use_la:
             # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
             we_base = w_score - la_coeff * (bc_f(wpk[..., 0, 4]) - la0)
-        if use_bla:
-            # undo the bigram correction phi2(s, l) = corr[class(l), sub(s)]
-            # (the re-entry root's phi2 is 0 — no add-back needed)
+        if ride_phi:
+            # undo the bigram correction: the applied phi2 rides each
+            # slot (sort payload) — a subtract instead of the [B,KW]
+            # class lookup + corr gather (the re-entry root's phi2 is 0
+            # so no add-back is ever needed)
+            we_base = we_base - w_phi
+        elif use_bla:
+            # partitioned beams: gather form (payload doesn't ride the
+            # all_gather merge)
             c_w = _gsel(cls4, w_lm)  # [B,KW]
             we_base = we_base - _gsel(corr4, c_w * Gla1 + sub_w)
         if wmax > 1:
@@ -1358,14 +1495,25 @@ def _make_step(
         # 333 vs 283 — the 4-operand sort loses MORE than the op-count
         # model predicts, don't redo); re-sorting the carry by state id
         # for gather locality also measured slower
-        m_core = jnp.stack(
-            [
-                jnp.concatenate([w_state, root_state], axis=1),
-                jnp.concatenate([w_lm, r_newlm], axis=1),
-                jnp.concatenate([w_bp, root_bp], axis=1),
-            ],
-            axis=-1,
-        )  # [B,KW+R,3] int32
+        m_cols = [
+            jnp.concatenate([w_state, root_state], axis=1),
+            jnp.concatenate([w_lm, r_newlm], axis=1),
+            jnp.concatenate([w_bp, root_bp], axis=1),
+        ]
+        if ride_cls:
+            # re-entry hyps take the class of their NEW lm state (a
+            # [B,R] lookup — the only per-frame class gather left)
+            m_cols.append(
+                jnp.concatenate([w_lcls, _gsel(cls4, r_newlm)], axis=1)
+            )
+        if ride_phi:
+            # re-entry hyps restart at a root: phi2 = 0
+            m_cols.append(
+                jnp.concatenate(
+                    [bc_i(w_phi), jnp.zeros((B, R), jnp.int32)], axis=1
+                )
+            )
+        m_core = jnp.stack(m_cols, axis=-1)  # [B,KW+R,3(+2)] int32
         if ride_pk:
             # append the state rows so the merge delivers next frame's
             # pk directly (word-end re-entries get a tiny [B,R] gather);
@@ -1387,11 +1535,18 @@ def _make_step(
         f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2[..., 0])
         f2_lm = f2[..., 1]
         f2_bp = f2[..., 2]
+        mcol = 3
+        if ride_cls:
+            f2_cls = f2[..., mcol]
+            mcol += 1
+        if ride_phi:
+            f2_phi = bc_f(f2[..., mcol])
+            mcol += 1
         if ride_pk:
             # a SENT-forced slot keeps whatever row rode along: its
             # score is BIG, so every expansion it seeds stays BIG and
             # loses recombination — same guarantees as the sentinel row
-            f2_pk = f2[..., 3:]
+            f2_pk = f2[..., mcol:]
         else:
             f2_pk = pk_c
 
@@ -1401,6 +1556,10 @@ def _make_step(
         score = jnp.where(active, f2_score, score)
         bp = jnp.where(active, f2_bp, bp)
         pk_n = jnp.where(active[:, :, None], f2_pk, pk_c)
+        if ride_cls:
+            cls_n = jnp.where(active, f2_cls, cls_c)
+        if ride_phi:
+            phi_n = jnp.where(active, f2_phi, phi_c)
 
         is_last = (t == n_frames - 1)[:, None]
         fstate = jnp.where(is_last, state, fstate)
@@ -1417,6 +1576,10 @@ def _make_step(
             jnp.where(r_valid, r_newlm, -1),
         )
         core = (state, lms, score, bp, pk_n, fstate, flm, fscore, fbp)
+        if ride_cls:
+            core = core + (cls_n,)
+        if ride_phi:
+            core = core + (phi_n,)
         if use_rnn:
             return core + (rnn_cs, rnn_hs), recs
         return core, recs
@@ -1426,7 +1589,7 @@ def _make_step(
 
 def init_carry(
     B: int, cfg: BeamConfig, lm: NgramTables, state_pack,
-    rnn=None, rnn_pool: int = 0,
+    bla=None, partitioned: bool = False, rnn=None, rnn_pool: int = 0,
 ):
     """Initial beam carry: one live hypothesis at the tree root in the
     LM start state (shared by offline scan and streaming restart).
@@ -1434,9 +1597,11 @@ def init_carry(
     ``state_pack`` is ``_build_state_pack(tree, cfg)[0]``: the carry
     rides each beam slot's packed state row across frames (all slots
     start at the tree root = row 0), saving the per-frame [B,K] row
-    re-gather (102us/frame HLO-profiled at B=64, K=1024). With RNN
-    fusion the carry also holds the record-keyed hidden-state ring
-    buffers (row ``rnn_pool`` = the <s> state)."""
+    re-gather (102us/frame HLO-profiled at B=64, K=1024). With bigram
+    lookahead (single-device) the carry also rides each slot's applied
+    correction phi2 (+ its history class at word-set granularity) —
+    see _ride_flags. With RNN fusion it additionally holds the
+    record-keyed hidden-state ring buffers (row ``rnn_pool`` = <s>)."""
     K = cfg.max_hyps
     state0 = jnp.full((B, K), 0, jnp.int32)
     lm0 = jnp.full((B, K), lm.start_state, jnp.int32)
@@ -1446,6 +1611,14 @@ def init_carry(
         state_pack[0][None, None, :], (B, K, state_pack.shape[1])
     )
     core = (state0, lm0, score0, bp0, pk0, state0, lm0, score0, bp0)
+    ride_cls, ride_phi = _ride_flags(cfg, bla, partitioned)
+    if ride_cls:
+        # every slot starts at the tree root in the LM start state
+        core = core + (
+            jnp.broadcast_to(bla.cls_of_lm[lm.start_state], (B, K)).astype(jnp.int32),
+        )
+    if ride_phi:
+        core = core + (jnp.zeros((B, K), jnp.float32),)  # phi(root) = 0
     if rnn is None:
         return core
     H = rnn.hidden
@@ -1580,7 +1753,8 @@ def _decode_scan(
         unroll=cfg.scan_unroll,
     )
     fstate, flm, fscore, fbp = carry[5:9]
-    rnn_pools = carry[9:11] if rnn is not None else None
+    # rnn pools sit LAST (after any bigram-lookahead payload entries)
+    rnn_pools = carry[-2:] if rnn is not None else None
     return _best_and_records(
         lm, lm_prep, recs, (fstate, flm, fscore, fbp), cfg, T, nfinal,
         rnn, rnn_pools,
@@ -1628,7 +1802,8 @@ def _finalize_stream(
     use the frozen finals captured in the scan; still-live utterances
     are finalized at the current frontier (the reference's
     getCurrentBestSentence semantics for partial hypotheses)."""
-    state, lms, score, bp, _pk, fstate, flm, fscore, fbp = carry
+    # carry may hold trailing bigram-lookahead payload entries
+    state, lms, score, bp, _pk, fstate, flm, fscore, fbp = carry[:9]
     c = captured[:, None]
     finals = (
         jnp.where(c, fstate, state),

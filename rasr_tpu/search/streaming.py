@@ -75,7 +75,9 @@ class StreamingDecoder:
         state_pack, _, _ = _build_state_pack(
             self.dec.tables, self.dec.cfg, self.dec.bla
         )
-        self._carry = init_carry(B, self.dec.cfg, self.dec.lm, state_pack)
+        self._carry = init_carry(
+            B, self.dec.cfg, self.dec.lm, state_pack, bla=self.dec.bla
+        )
         self._recs = []
         self._t = 0
         self._B = B
