@@ -363,6 +363,8 @@ def _cross_backend_canary():
         across_word=True,
     )
     bla = build_bigram_lookahead(t_in, lm2, num_classes=8)
+    bla_ax = build_bigram_lookahead(t_ax, lm2, num_classes=8)
+    assert bla_ax is not None, "across-word bigram lookahead must build"
     rnn = RnnLm.train_from_text(texts, embed_dim=8, hidden_dim=12, epochs=20)
 
     M = tying.num_classes
@@ -383,6 +385,10 @@ def _cross_backend_canary():
         ("branch-width+we-rank", t_ax, compile_ngram(lm2), {},
          dataclasses_replace(cfg, branch_hyps=8, branch_width=24,
                              word_end_rank_lm=True, word_end_beam=60.0)),
+        # across-word bigram lookahead (r3): sentinel-root crossing
+        # deltas + carried class/phi payload through the sorts
+        ("across-word+bigram-la", t_ax, compile_ngram(lm2),
+         {"bigram_la": bla_ax}, cfg),
     ]
     for name, tr, tb, kw, c in configs:
         results = {}

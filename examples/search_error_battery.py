@@ -71,12 +71,65 @@ def main():
     print(json.dumps({"point": "reference", "K": ref_cfg.max_hyps,
                       "beam": None, "wer": round(ref["wer"], 4)}))
 
+    mode = os.environ.get("BATTERY_MODE", "grid")
+    if mode == "scale-sweep":
+        # ---- lookahead_scale sweep at TIGHT beams (r2 verdict item 3):
+        # the reference runs its LM lookahead at reduced scale exactly
+        # because the min-potential over-commits tight beams. Columns:
+        # unigram and bigram, each at scale in {0.3, 0.5, 0.7, 1.0}.
+        from rasr_tpu.pipeline.battery import paired_bootstrap_delta
+
+        points = [(64, 60.0), (128, 60.0), (256, 60.0),
+                  (64, 90.0), (128, 90.0), (256, 90.0)]
+        scales = [1.0, 0.7, 0.5, 0.3]  # 1.0 first: the unigram@1.0 row
+        # is the baseline every bootstrap delta compares against
+        print("| K | beam | la | scale | WER | search-err | mean-degr |")
+        print("|---|------|----|-------|-----|-----------|-----------|")
+        for K, beam in points:
+            base = {}
+            for bi in (0, 1):
+                for sc in scales:
+                    cfg = BeamConfig(
+                        max_hyps=K, beam=beam, word_end_limit=64,
+                        root_hyps=16, lm_scale=lm_scale,
+                        lookahead_scale=sc,
+                    )
+                    t0 = time.time()
+                    r = run_operating_point(
+                        task, cfg, bigram=bool(bi), ref_scores=ref["_scores"]
+                    )
+                    la = "bigram" if bi else "unigram"
+                    if bi == 0 and sc == 1.0:
+                        base = r
+                    extra = ""
+                    if base and not (bi == 0 and sc == 1.0):
+                        bs = paired_bootstrap_delta(base, r)
+                        extra = (
+                            f" dWER={bs['delta']:+.4f} "
+                            f"[{bs['ci_lo']:+.4f},{bs['ci_hi']:+.4f}] "
+                            f"P(better)={bs['p_better']:.2f}"
+                        )
+                    print(
+                        f"| {K} | {beam:.0f} | {la} | {sc} | {r['wer']:.4f} "
+                        f"| {r['search_error_rate']:.3f} "
+                        f"| {r['mean_degradation']:.2f} |{extra}"
+                    )
+                    print(json.dumps({
+                        "point": f"K{K}_b{beam:.0f}_{la}_s{sc}",
+                        "wer": round(r["wer"], 4),
+                        "search_error_rate": round(r["search_error_rate"], 4),
+                        "mean_degradation": round(r["mean_degradation"], 3),
+                        "seconds": round(time.time() - t0, 1),
+                    }), file=sys.stderr)
+        return
+
     grid = [
         (64, 60.0), (64, 90.0), (64, 120.0),
         (128, 60.0), (128, 90.0), (128, 120.0),
         (256, 60.0), (256, 90.0), (256, 120.0),
         (512, 90.0), (512, 120.0),
     ]
+    la_scale = float(os.environ.get("BATTERY_LA_SCALE", "1.0"))
     print(f"| K | beam | la | WER | search-err | mean-degr |")
     print(f"|---|------|----|-----|-----------|-----------|")
     for K, beam in grid:
@@ -84,6 +137,7 @@ def main():
             cfg = BeamConfig(
                 max_hyps=K, beam=beam, word_end_limit=64, root_hyps=16,
                 lm_scale=lm_scale,
+                lookahead_scale=la_scale if bi else 1.0,
             )
             t0 = time.time()
             r = run_operating_point(

@@ -251,6 +251,8 @@ def run_operating_point(
     batch = batch or B
     stats = EditStats()
     scores = np.zeros(B, np.float64)
+    utt_errs = np.zeros(B, np.int64)
+    utt_ref = np.zeros(B, np.int64)
     for lo in range(0, B, batch):
         hi = min(lo + batch, B)
         results = dec.decode_scores(
@@ -261,6 +263,8 @@ def run_operating_point(
             scores[b] = res.score
             st, _ = align_tokens(task.refs[b], res.words)
             stats.add(st)
+            utt_errs[b] = st.errors
+            utt_ref[b] = st.reference_length
     out = {"wer": stats.wer, "errors": float(stats.errors),
            "ref_len": float(stats.reference_length),
            "mean_score": float(scores.mean())}
@@ -271,4 +275,33 @@ def run_operating_point(
             np.maximum(scores - ref_scores, 0.0).mean()
         )
     out["_scores"] = scores  # type: ignore[assignment]
+    # per-utterance stats for paired bootstrap CIs on WER deltas
+    out["_utt_errors"] = utt_errs  # type: ignore[assignment]
+    out["_utt_ref_len"] = utt_ref  # type: ignore[assignment]
     return out
+
+
+def paired_bootstrap_delta(
+    a: Dict, b: Dict, n_boot: int = 10000, seed: int = 0
+) -> Dict[str, float]:
+    """Paired utterance-level bootstrap of the WER delta (b - a).
+
+    Resamples utterances with replacement and recomputes both systems'
+    WER on the same sample — the standard paired test for recognition
+    results (utterance errors are correlated within an utterance, so a
+    word-level binomial overstates confidence). Returns the delta, its
+    95% interval, and P(b < a)."""
+    rng = np.random.default_rng(seed)
+    ea, eb = a["_utt_errors"], b["_utt_errors"]
+    ra, rb = a["_utt_ref_len"], b["_utt_ref_len"]
+    B = ea.shape[0]
+    idx = rng.integers(0, B, size=(n_boot, B))
+    wa = ea[idx].sum(axis=1) / np.maximum(ra[idx].sum(axis=1), 1)
+    wb = eb[idx].sum(axis=1) / np.maximum(rb[idx].sum(axis=1), 1)
+    d = wb - wa
+    return {
+        "delta": float(eb.sum() / max(rb.sum(), 1) - ea.sum() / max(ra.sum(), 1)),
+        "ci_lo": float(np.quantile(d, 0.025)),
+        "ci_hi": float(np.quantile(d, 0.975)),
+        "p_better": float((d < 0).mean()),
+    }

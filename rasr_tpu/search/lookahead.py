@@ -36,12 +36,16 @@ At the subtree head state h_g the combined potential is
 bigram lookahead value of the reference's lookahead network at that
 node, refined deeper in the tree by the unigram level only.
 
-Supported networks: the within-word prefix tree (every non-root state
-belongs to exactly one first-phone subtree). Across-word networks
-re-enter at context roots whose fan-out rides the branch CSR, where a
-subtree-constant correction would need per-arc deltas — unsupported
-(``build_bigram_lookahead`` returns None; callers fall back to
-unigram-only shaping).
+Supported networks: the within-word prefix tree and (word-set
+granularity) the ACROSS-WORD network — context-conditioned roots carry
+the zero sentinel correction, so word-end re-entries need no add-back
+and the arcs leaving a context root apply corr[c, head] through the
+same per-arc crossing-delta machinery as within-word node boundaries
+(the state-0 fan-out keeps the decoder's pre-selected corr_arc path).
+General WFST networks (non-root re-entries) return None; callers fall
+back to unigram-only shaping. First-phone granularity remains
+within-word-only (a context root's fan does not partition into
+first-phone subtrees).
 """
 
 from __future__ import annotations
@@ -134,47 +138,108 @@ def _state_subtrees(tree: PrefixTree) -> Optional[np.ndarray]:
     return sub
 
 
-def _spanning_intervals(tree: PrefixTree):
-    """DFS word-end intervals over the tree's chain-parent spanning tree.
+def _num_roots(tree: PrefixTree) -> int:
+    """Count the network's leading non-emitting root states.
 
-    Skip arcs give within-word states multiple in-arcs; the CHAIN parent
-    is always the in-arc with the largest source id (states are created
-    in chain order, and a skip source sits two chain slots back). A DFS
-    over chain arcs assigns every word-end INSTANCE a position such that
-    the set reachable below any state is the contiguous interval
-    [lo[s], hi[s]) — the prefix-tree form of the reference's condensed
-    lookahead network nodes. Returns (lo, hi, inst_words) or None when
-    the DFS cannot cover the network (non-tree structure)."""
+    Both builders (search/tree.py) allocate every root before the first
+    emitting state: the within-word tree has exactly one (state 0), the
+    across-word network has root/root#/root(f,G) as a contiguous prefix.
+    Roots are the only non-emitting states (loop cost BIG)."""
+    loops = np.asarray(tree.loop_cost)
+    n = 0
+    while n < tree.num_states and loops[n] >= BIG / 2:
+        n += 1
+    return max(n, 1)
+
+
+def _forest_intervals(tree: PrefixTree, n_roots: int):
+    """DFS word-end-instance intervals over the network's spanning
+    forest — VECTORIZED (level sweeps over numpy arrays instead of a
+    per-state Python DFS: across-word networks reach millions of
+    states; see docs/PERF.md).
+
+    Below the roots both search networks are forests: each state's
+    spanning parent is its largest non-root in-arc source (the CHAIN
+    parent — states are created in chain order and a skip source sits
+    earlier in the chain; shared first-phone arcs have only ROOT
+    in-arcs and become forest heads). Word-end instances are numbered
+    in DFS pre-order (own instances first, then children by state id),
+    so the instances reachable below s form the contiguous interval
+    [lo[s], hi[s]) — the dense form of the reference's condensed
+    lookahead network nodes. The interval property is VERIFIED post hoc
+    for every non-spanning arc (subtree containment) rather than
+    assumed; returns None when it fails (general WFST graphs)."""
     S = tree.num_states
     ptr = tree.arc_ptr.astype(np.int64)
     dst = tree.arc_dst.astype(np.int64)
     deg = ptr[1:] - ptr[:-1]
     src = np.repeat(np.arange(S, dtype=np.int64), deg)
+    if dst.size and np.any(src >= dst):
+        return None  # both builders emit low -> high arcs only
     parent = np.full(S, -1, np.int64)
-    np.maximum.at(parent, dst, src)
-    span = src == parent[dst]
-    nwe = (tree.we_word != WORD_NONE).sum(axis=1).astype(np.int64)
+    nr = src >= n_roots
+    np.maximum.at(parent, dst[nr], src[nr])
+    parent[:n_roots] = -1
+    par0 = np.maximum(parent, 0)
+
+    # depth by fixpoint iteration (depth <= max word-chain length)
+    depth = np.zeros(S, np.int64)
+    while True:
+        d2 = np.where(parent >= 0, depth[par0] + 1, 0)
+        if np.array_equal(d2, depth):
+            break
+        depth = d2
+    maxd = int(depth.max()) if S else 0
+
+    # subtree instance counts: reverse level sweep (children complete
+    # before their parent accumulates)
+    own = (tree.we_word != WORD_NONE).sum(axis=1).astype(np.int64)
+    own[:n_roots] = 0
+    cnt = own.copy()
+    for d in range(maxd, 0, -1):
+        m = depth == d  # depth > 0 implies parent >= 0
+        np.add.at(cnt, parent[m], cnt[m])
+
+    # sibling exclusive prefix (children grouped by parent, id order)
+    order = np.argsort(parent, kind="stable")
+    grp = parent[order]
+    csum = np.cumsum(cnt[order]) - cnt[order]
+    first = np.concatenate([[True], grp[1:] != grp[:-1]])
+    base_idx = np.maximum.accumulate(np.where(first, np.arange(S), 0))
+    sib = np.zeros(S, np.int64)
+    sib[order] = csum - csum[base_idx]
+
+    # lo: heads take consecutive base offsets (id order), children get
+    # lo[parent] + own[parent] + sibling prefix — forward level sweep
     lo = np.zeros(S, np.int64)
-    hi = np.zeros(S, np.int64)
-    visited = np.zeros(S, bool)
-    inst_words: List[int] = []
-    stack: List[Tuple[int, bool]] = [(0, False)]
-    while stack:
-        s, done = stack.pop()
-        if done:
-            hi[s] = len(inst_words)
-            continue
-        if visited[s]:
-            return None  # diamond: not a spanning tree
-        visited[s] = True
-        lo[s] = len(inst_words)
-        for k in range(int(nwe[s])):
-            inst_words.append(int(tree.we_word[s, k]))
-        stack.append((s, True))
-        for ai in range(int(ptr[s + 1]) - 1, int(ptr[s]) - 1, -1):
-            if span[ai]:
-                stack.append((int(dst[ai]), False))
-    return lo, hi, np.asarray(inst_words, np.int64)
+    heads = (parent < 0) & (np.arange(S) >= n_roots)
+    hc = cnt[heads]
+    lo[heads] = np.cumsum(hc) - hc
+    for d in range(0, maxd):
+        m = depth == (d + 1)
+        lo[m] = lo[par0[m]] + own[par0[m]] + sib[m]
+    hi = lo + cnt
+    total = int(hc.sum())
+    if total == 0:
+        return None
+
+    # instance words in pre-order positions
+    we = np.asarray(tree.we_word, np.int64)
+    live = we != WORD_NONE
+    live[:n_roots] = False
+    k_idx = np.cumsum(live, axis=1) - 1
+    pos = lo[:, None] + k_idx
+    inst_words = np.full(total, WORD_NONE, np.int64)
+    inst_words[pos[live]] = we[live]
+
+    # post-hoc interval validation: every non-spanning non-root arc
+    # u -> v must keep v's subtree inside u's interval, else the
+    # range-min over [lo, hi) would miss reachable words
+    nonspan = nr & (src != parent[dst])
+    u, v = src[nonspan], dst[nonspan]
+    if u.size and np.any((lo[u] > lo[v]) | (hi[v] > hi[u])):
+        return None
+    return lo, hi, inst_words
 
 
 def _sparse_min(v: np.ndarray):
@@ -328,12 +393,18 @@ def _build_wordset(
     tree: PrefixTree, lm: NgramLm, num_classes: int
 ) -> Optional[BigramLookahead]:
     """Condensed-network granularity: nodes = distinct reachable word
-    sets (DFS intervals), per-arc crossing deltas."""
-    if tree.num_final_states != 1:
-        return None
-    if tree.we_next is not None and np.any(tree.we_next != 0):
-        return None
-    spans = _spanning_intervals(tree)
+    sets (DFS intervals over the spanning forest), per-arc crossing
+    deltas. Handles BOTH the within-word prefix tree and the
+    across-word network (context-conditioned roots + grouped word-end
+    re-entries): every root carries the zero sentinel correction, so
+    re-entry needs no add-back, arcs LEAVING a context root cross
+    (sentinel -> head) and apply corr[c, head] via the same dpair
+    machinery the within-word crossings use — the state-0 fan-out
+    stays on the decoder's pre-selected corr_arc path."""
+    n_roots = _num_roots(tree)
+    if tree.we_next is not None and np.any(tree.we_next >= n_roots):
+        return None  # non-root re-entries (WFST junctions): unsupported
+    spans = _forest_intervals(tree, n_roots)
     if spans is None:
         return None
     lo, hi, inst_words = spans
@@ -341,78 +412,75 @@ def _build_wordset(
         return None
     S = tree.num_states
 
-    # ---- intern intervals into nodes (root + empty -> sentinel) ---------
-    node_of = np.zeros(S, np.int32)
-    node_key: Dict[Tuple[int, int], int] = {}
-    node_lo: List[int] = []
-    node_hi: List[int] = []
-    for s in range(1, S):
-        if hi[s] <= lo[s]:
-            node_of[s] = -1  # dead end: sentinel later
-            continue
-        key = (int(lo[s]), int(hi[s]))
-        nid = node_key.get(key)
-        if nid is None:
-            nid = len(node_lo)
-            node_key[key] = nid
-            node_lo.append(key[0])
-            node_hi.append(key[1])
-        node_of[s] = nid
-    N = len(node_lo)
+    # ---- intern intervals into nodes (roots + dead ends -> sentinel) ----
+    total = int(inst_words.shape[0])
+    valid = hi > lo
+    valid[:n_roots] = False
+    key = lo * np.int64(total + 1) + hi
+    uniq, inv = np.unique(key[valid], return_inverse=True)
+    N = int(uniq.size)
     if N == 0:
         return None
-    node_of[0] = N  # root carries no correction
-    node_of[node_of < 0] = N
-    nlo = np.asarray(node_lo, np.int64)
-    nhi = np.asarray(node_hi, np.int64)
+    node_of = np.full(S, N, np.int32)  # roots/dead ends: sentinel
+    node_of[valid] = inv.astype(np.int32)
+    nlo = uniq // np.int64(total + 1)
+    nhi = uniq % np.int64(total + 1)
 
     uni, anchors, state_class = _anchor_classes(lm, num_classes)
     C = len(anchors) + 1
     words_uniq = np.unique(inst_words[inst_words >= 0])
 
     # ---- corr[c, n] via range-min over the DFS word-instance order ------
-    uni_inst = np.where(
-        inst_words >= 0,
-        np.array([uni.get(int(w), 99.0) for w in inst_words], np.float64),
-        0.0,
-    )
+    # per-word cost tables are dense [Vmax+1] arrays so the per-INSTANCE
+    # expansion is one vectorized gather (across-word networks stack
+    # millions of word-end instances; a per-instance Python dict probe
+    # per anchor class does not scale)
+    v_max = int(words_uniq.max()) if words_uniq.size else 0
+    uni_tab = np.full(v_max + 1, 99.0, np.float64)
+    for w in words_uniq:
+        uni_tab[int(w)] = uni.get(int(w), 99.0)
+    inst_c = np.maximum(inst_words, 0)
+    is_word = inst_words >= 0
+    uni_inst = np.where(is_word, uni_tab[inst_c], 0.0)
     base = _range_min(_sparse_min(uni_inst), nlo, nhi)
     corr = np.zeros((C, N + 1), np.float32)
     for ci, u in enumerate(anchors):
         big_cost = _class_costs(lm, uni, u, words_uniq)
-        cost_inst = np.where(
-            inst_words >= 0,
-            np.array([big_cost.get(int(w), 99.0) for w in inst_words], np.float64),
-            0.0,
-        )
+        cost_tab = np.full(v_max + 1, 99.0, np.float64)
+        for w, cst in big_cost.items():
+            cost_tab[w] = cst
+        cost_inst = np.where(is_word, cost_tab[inst_c], 0.0)
         mins = _range_min(_sparse_min(cost_inst), nlo, nhi)
         corr[ci, :N] = (mins - base).astype(np.float32)
 
     # ---- per-arc node-crossing pairs ------------------------------------
+    # state-0 arcs are excluded (the decoder's root fan-out applies the
+    # correction via the trace-time corr_arc table); arcs out of the
+    # OTHER roots (across-word context roots — sentinel node, corr 0)
+    # cross like any within-word arc and land in dense/branch slots
     ptr = tree.arc_ptr.astype(np.int64)
     deg = ptr[1:] - ptr[:-1]
     src = np.repeat(np.arange(S, dtype=np.int64), deg)
     dst = tree.arc_dst.astype(np.int64)
     A = dst.shape[0]
-    ns = node_of[src]
-    nd = node_of[dst]
+    ns = node_of[src].astype(np.int64)
+    nd = node_of[dst].astype(np.int64)
     cross = (src >= 1) & (ns != nd)
     arc_pair = np.zeros(A, np.int32)
-    pair_key: Dict[Tuple[int, int], int] = {}
-    pairs: List[Tuple[int, int]] = []
-    for ai in np.flatnonzero(cross):
-        key = (int(ns[ai]), int(nd[ai]))
-        pid = pair_key.get(key)
-        if pid is None:
-            pid = len(pairs) + 1  # 0 = no crossing
-            pair_key[key] = pid
-            pairs.append(key)
-        arc_pair[ai] = pid
-    P = len(pairs)
+    ci = np.flatnonzero(cross)
+    upair, pinv = (
+        np.unique(ns[ci] * np.int64(N + 1) + nd[ci], return_inverse=True)
+        if ci.size
+        else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    )
+    arc_pair[ci] = (pinv + 1).astype(np.int32)  # 0 = no crossing
+    P = int(upair.size)
     dpair = np.zeros((C, P + 1), np.float32)
     if P:
-        pns = np.asarray([p[0] for p in pairs])
-        pnd = np.asarray([p[1] for p in pairs])
+        pns = upair // np.int64(N + 1)
+        pnd = upair % np.int64(N + 1)
+        # corr's column N (sentinel) is zero, so root-leaving arcs get
+        # the full corr[c, head] as their delta
         dpair[:, 1:] = corr[:, pnd] - corr[:, pns]
 
     return BigramLookahead(

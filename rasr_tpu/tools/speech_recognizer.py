@@ -169,7 +169,8 @@ class SpeechRecognizerTool(Application):
             if bla is None:
                 self.warning(
                     "lookahead-order=2 unsupported for this network "
-                    "(across-word/WFST); falling back to unigram shaping"
+                    "(non-root word-end re-entries — general WFST "
+                    "graphs); falling back to unigram shaping"
                 )
         if cache:
             save_tree(tree, cache + ".tree.npz")

@@ -581,20 +581,34 @@ def test_crossword_fuzz_exact(seed):
         else _RandomGroupTying(rng, len(lex.phonemes))
     )
     tree = build_prefix_tree(
-        lex, tying, topo, trans, lm_vocab=lm.vocab, across_word=True
+        lex, tying, topo, trans, lm_vocab=lm.vocab, across_word=True,
+        lm_unigrams={wid: lm.score((), wid) for wid in lm.vocab.values()},
     )
 
     M = tying.num_classes
     T = int(rng.integers(5, 7))
     lm_scale = float(rng.uniform(0.3, 1.5))
     emis = rng.uniform(0.0, 6.0, size=(1, T, M)).astype(np.float32)
-    dec = TreeDecoder(
-        tree, tables,
-        BeamConfig(max_hyps=1024, beam=1e9, word_end_limit=256,
-                   root_hyps=1024, lm_scale=lm_scale,
-                   deferred_emission=bool(rng.integers(2))),
-    )
+    cfg = BeamConfig(max_hyps=1024, beam=1e9, word_end_limit=256,
+                     root_hyps=1024, lm_scale=lm_scale,
+                     lookahead_scale=float(rng.uniform(0.2, 1.0)),
+                     deferred_emission=bool(rng.integers(2)))
+    dec = TreeDecoder(tree, tables, cfg)
     (res,) = dec.decode_scores(emis, np.array([T]))
+    # word-set bigram shaping on the across-word network must cancel
+    # exactly (random tying/TDPs/scales fuzz the crossing-delta and
+    # carried-phi machinery)
+    from rasr_tpu.search.lookahead import build_bigram_lookahead
+
+    bla = build_bigram_lookahead(tree, lm, num_classes=int(rng.integers(2, 6)))
+    assert bla is not None
+    (res_bla,) = TreeDecoder(tree, tables, cfg, bigram_la=bla).decode_scores(
+        emis, np.array([T])
+    )
+    np.testing.assert_allclose(res_bla.score, res.score, rtol=1e-4, atol=1e-3)
+    assert [l.primary_orth for l in res_bla.lemmas] == [
+        l.primary_orth for l in res.lemmas
+    ]
 
     # ---- batched oracle over all sequences reachable in T frames
     items = orths + ["[SILENCE]"]

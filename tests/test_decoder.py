@@ -585,20 +585,40 @@ def test_bigram_lookahead_beats_unigram_at_tight_beam():
     assert uni.orth != ex.orth  # the unigram-shaped search erred here
 
 
-def test_bigram_lookahead_unsupported_networks():
-    """Across-word networks (multiple roots, we_next re-entries) fall
-    back to unigram-only shaping: the builder returns None."""
+def test_bigram_lookahead_across_word_exact():
+    """Word-set bigram lookahead on the ACROSS-WORD network (r2 verdict
+    missing #1 — the production network shape): shaping must cancel
+    exactly (decode scores/words == the unshaped across-word decode
+    with pruning off; context roots carry the sentinel correction and
+    root-leaving arcs apply corr via the crossing deltas). First-phone
+    granularity remains within-word-only (returns None)."""
     from rasr_tpu.search.lookahead import build_bigram_lookahead
 
     lex, topo, tying, trans, lm, tables, tree, bla = _bigram_la_setup()
     aw = build_prefix_tree(
-        lex, tying, topo, trans, lm_vocab=lm.vocab, across_word=True
+        lex, tying, topo, trans, lm_vocab=lm.vocab, across_word=True,
+        lm_unigrams={wid: lm.score((), wid) for wid in lm.vocab.values()},
     )
-    for gran in ("first-phone", "word-set"):
-        assert (
-            build_bigram_lookahead(aw, lm, num_classes=8, granularity=gran)
-            is None
-        )
+    assert (
+        build_bigram_lookahead(aw, lm, num_classes=8, granularity="first-phone")
+        is None
+    )
+    bla_aw = build_bigram_lookahead(aw, lm, num_classes=8, granularity="word-set")
+    assert bla_aw is not None and bla_aw.deep
+    rng = np.random.default_rng(11)
+    M = tying.num_classes
+    B, T = 3, 18
+    emis = rng.uniform(0.0, 8.0, size=(B, T, M)).astype(np.float32)
+    n = np.array([T, T - 4, T - 7], np.int32)
+    cfg = BeamConfig(
+        max_hyps=1024, beam=1e9, word_end_limit=128, root_hyps=64,
+        lm_scale=2.0,
+    )
+    base = TreeDecoder(aw, tables, cfg).decode_scores(emis, n)
+    shaped = TreeDecoder(aw, tables, cfg, bigram_la=bla_aw).decode_scores(emis, n)
+    for r0, r1 in zip(base, shaped):
+        assert abs(r0.score - r1.score) < 1e-3, (r0.score, r1.score)
+        assert r0.words == r1.words
 
 
 def test_bigram_lookahead_partitioned_beam(rng):
