@@ -61,6 +61,9 @@ class BatteryTask:
     emissions: np.ndarray
     n_frames: np.ndarray
     refs: List[List[str]]
+    #: the LM training text (for building alternate-order n-grams or a
+    #: fused RNN LM over the same source; examples/rnn_fusion_battery.py)
+    train_text: Optional[List[List[str]]] = None
 
     def decoder(self, cfg: BeamConfig, bigram: bool = False) -> TreeDecoder:
         return TreeDecoder(
@@ -230,7 +233,7 @@ def build_battery_task(
         lexicon=lex, tying=tying, topology=topology,
         transitions=transitions, lm=lm, tables=tables, tree=tree,
         bigram_la=bla, scorer=scorer, emissions=emissions,
-        n_frames=n_frames, refs=refs,
+        n_frames=n_frames, refs=refs, train_text=text,
     )
 
 

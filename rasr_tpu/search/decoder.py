@@ -579,7 +579,10 @@ def _make_step(
     beam_par: int = 1,
     bla: Optional[BigramTables] = None,
     rnn=None,  # Optional[RnnFusionTables]
-    rnn_pool: int = 0,  # ring-buffer rows = R * T (trace-time, from T)
+    rnn_pool: int = 0,  # state-pool rows the scan will write into
+    rnn_off=0,  # row of the first record written at frame t=0:
+    # row(t, r) = rnn_off + t*R + r (offline: 0; streaming blocks:
+    # base past the compacted rows, minus t0*R — traced scalar)
 ):
     """Build the per-frame scan step + initial carry (shared by the
     offline whole-utterance scan and the streaming block feed).
@@ -666,12 +669,15 @@ def _make_step(
     bc_i = _bc_i
 
     # first-pass RNN-LM fusion (search/rnn_fusion.py): hidden states in
-    # a record-id-keyed ring buffer riding the carry; one batched LSTM
-    # step + vocab projection per frame over the R word-end records
+    # a bounded pool riding the carry; each hypothesis carries its
+    # state's POOL ROW as a sort-payload column (like the bigram-
+    # lookahead class/phi), so rows need no record-id keying and the
+    # pool compacts to the live set between streaming blocks. One
+    # batched LSTM step + vocab projection per frame over the R
+    # word-end records.
     use_rnn = rnn is not None
     if use_rnn:
         assert Pn == 1, "rnn fusion does not compose with beam partitioning"
-        assert rnn_pool > 0
 
     state_pack, fold_bh, deg_bits = _build_state_pack(tree, cfg, bla)
     carry0 = init_carry(
@@ -817,7 +823,7 @@ def _make_step(
             phi_c = carry[ci]
             ci += 1
         if use_rnn:
-            rnn_cs, rnn_hs = carry[ci], carry[ci + 1]
+            rnn_row_c, f_rnnrow, rnn_cs, rnn_hs = carry[ci : ci + 4]
         emis_t, t = inputs
         active = (t < n_frames)[:, None]
 
@@ -874,14 +880,17 @@ def _make_step(
         beam_cols = [state_e, lms_e, bc_i(score_e), bp_e]
         if fold_bh:
             beam_cols.append(pk[..., 8])
-        i_cls = i_phi = None
+        i_cls = i_phi = i_rnn = None
         if ride_cls:
             i_cls = len(beam_cols)
             beam_cols.append(cls_c)
         if ride_phi:
             i_phi = len(beam_cols)
             beam_cols.append(bc_i(phi_c))
-        beam_rows = jnp.stack(beam_cols, axis=-1)  # [B,K_loc,4..7] int32
+        if use_rnn:
+            i_rnn = len(beam_cols)
+            beam_cols.append(rnn_row_c)
+        beam_rows = jnp.stack(beam_cols, axis=-1)  # [B,K_loc,4..8] int32
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
         has_branch = cls_raw < 0
@@ -917,13 +926,19 @@ def _make_step(
             hh = jnp.clip(cnt - 1, 0, kbranch - 1)
             # one row gather delivers every per-slot hyp column
             hp_cols = [b_lm, b_bp, bc_i(b_score), bptr, off, deg_sel]
+            j_cls = j_phi = j_rnn = None
             if ride_cls:
+                j_cls = len(hp_cols)
                 hp_cols.append(b_rows[..., i_cls])
             if ride_phi:
+                j_phi = len(hp_cols)
                 hp_cols.append(b_rows[..., i_phi])
+            if use_rnn:
+                j_rnn = len(hp_cols)
+                hp_cols.append(b_rows[..., i_rnn])
             hp = rowsel(
                 jnp.stack(hp_cols, axis=-1), hh
-            )  # [B,Wbr,6(+2)] int32 carrier
+            )  # [B,Wbr,6(+3)] int32 carrier
             pos = s_iota[None, :] - hp[..., 4]
             okc = (pos >= 0) & (pos < hp[..., 5])
             a_idx = jnp.where(okc, hp[..., 3] + pos, 0)
@@ -932,7 +947,7 @@ def _make_step(
             br_cls = jnp.where(okc, bpk[..., 2], 0)
             b_cost = jnp.where(okc, bc_f(bpk[..., 1]), BIG)
             if use_deep:
-                c_b = hp[..., 6] if ride_cls else _gsel(cls4, hp[..., 0])
+                c_b = hp[..., j_cls] if ride_cls else _gsel(cls4, hp[..., 0])
                 br_dphi = _gsel(
                     dpair4, c_b * P1 + jnp.where(okc, bpk[..., 3], 0)
                 )
@@ -941,11 +956,13 @@ def _make_step(
             br_lm = hp[..., 0]
             br_bp = hp[..., 1]
             if ride_phi:
-                br_phi = bc_f(hp[..., 7 if ride_cls else 6])
+                br_phi = bc_f(hp[..., j_phi])
                 if use_deep:
                     br_phi = br_phi + br_dphi
             if ride_cls:
                 c_b_flat = c_b  # [B,Wbr] already per slot
+            if use_rnn:
+                br_rnn = hp[..., j_rnn]
         else:
             dslots = jnp.arange(Db, dtype=jnp.int32)
             bi = bptr[..., None] + dslots
@@ -975,6 +992,8 @@ def _make_step(
                     br_phi = br_phi + br_dphi.reshape(B, Wbr)
             if ride_cls:
                 c_b_flat = jnp.repeat(c_b, Db, axis=1)  # [B,Wbr]
+            if use_rnn:
+                br_rnn = jnp.repeat(b_rows[..., i_rnn], Db, axis=1)
 
         # root re-entry: top-H root hyps. The best history expands every
         # root arc; the others only the Gcap most promising (arrays are
@@ -1031,14 +1050,17 @@ def _make_step(
             # gather profiled 50us/frame (32768 rows). Ids must be exact
             # in f32 (< 2^24): bp ids are bounded by T*R << 2^24, so the
             # guard is on the LM state count only.
-            if L < (1 << 24):
+            # ids must be exact in f32 (< 2^24) for the one-hot matmul
+            if L < (1 << 24) and (not use_rnn or rnn_pool < (1 << 24)):
                 hsel = jax.nn.one_hot(rs_h, hroot, dtype=jnp.float32)
                 hcol_list = [
                     h_lm.astype(jnp.float32), h_bp.astype(jnp.float32)
                 ]
                 if ride_phi:
                     hcol_list.append(c_h.astype(jnp.float32))
-                hcols = jnp.stack(hcol_list, axis=-1)  # [B,H,2(+1)]
+                if use_rnn:
+                    hcol_list.append(h_rows[..., i_rnn].astype(jnp.float32))
+                hcols = jnp.stack(hcol_list, axis=-1)  # [B,H,2..4]
                 hr = jnp.matmul(
                     hsel, hcols, precision=jax.lax.Precision.HIGHEST
                 )
@@ -1046,13 +1068,21 @@ def _make_step(
                 rs_bp = hr[..., 1].astype(jnp.int32)
                 if ride_phi:
                     rs_cls = hr[..., 2].astype(jnp.int32)
+                if use_rnn:
+                    rs_rnn = hr[..., 3 if ride_phi else 2].astype(jnp.int32)
             else:
-                hcol_list = [h_lm, h_bp] + ([c_h] if ride_phi else [])
+                hcol_list = [h_lm, h_bp]
+                if ride_phi:
+                    hcol_list.append(c_h)
+                if use_rnn:
+                    hcol_list.append(h_rows[..., i_rnn])
                 hr = rowsel(jnp.stack(hcol_list, axis=-1), rs_h)
                 rs_lm = hr[..., 0]
                 rs_bp = hr[..., 1]
                 if ride_phi:
                     rs_cls = hr[..., 2]
+                if use_rnn:
+                    rs_rnn = hr[..., 3 if ride_phi else 2]
             if ride_phi:
                 # the survivor's applied correction = exactly the
                 # corr_arc term inside rs_pre (gcap arcs are a prefix
@@ -1076,6 +1106,7 @@ def _make_step(
             root_clss = []
             root_phis = []
             root_lcls = []
+            root_rnns = []
         else:
             p_root_best = h_score[:, :1, None] + root_arc_cost[None, None, :]
             if use_bla:
@@ -1089,6 +1120,10 @@ def _make_step(
             # added (phi at the root itself is 0); class is inherited
             root_phis = [bcorr0] if ride_phi else []
             root_lcls = [jnp.repeat(c_h[:, :1], G, axis=1)] if ride_cls else []
+            root_rnns = (
+                [jnp.repeat(h_rows[:, :1, i_rnn], G, axis=1)]
+                if use_rnn else []
+            )
             if hroot > 1:
                 p_root_rest = h_score[:, 1:, None] + root_arc_cost[None, None, :gcap]
                 if use_bla:
@@ -1111,6 +1146,10 @@ def _make_step(
                     )
                 if ride_cls:
                     root_lcls.append(jnp.repeat(c_h[:, 1:], gcap, axis=1))
+                if use_rnn:
+                    root_rnns.append(
+                        jnp.repeat(h_rows[:, 1:, i_rnn], gcap, axis=1)
+                    )
 
         # ------------------------------------------- assemble candidates
         cand_state = jnp.concatenate(
@@ -1129,6 +1168,11 @@ def _make_step(
         if ride_cls:
             cand_lcls = jnp.concatenate(
                 [cls_c, cls_c, cls_c, c_b_flat, *root_lcls], axis=1
+            )
+        if use_rnn:
+            rr = rnn_row_c
+            cand_rnn = jnp.concatenate(
+                [rr, rr, rr, br_rnn, *root_rnns], axis=1
             )
 
         if use_defer:
@@ -1159,20 +1203,28 @@ def _make_step(
             nege, eidx = jax.lax.top_k(-cand_pre, E)
             e_pre = -nege
             e_cols = [cand_state, cand_lm, cand_bp, cand_cls]
+            k_cls = k_phi = k_rnn = None
             if ride_cls:
+                k_cls = len(e_cols)
                 e_cols.append(cand_lcls)
             if ride_phi:
+                k_phi = len(e_cols)
                 e_cols.append(bc_i(cand_phi))  # int32 carrier
+            if use_rnn:
+                k_rnn = len(e_cols)
+                e_cols.append(cand_rnn)
             erows = rowsel(
                 jnp.stack(e_cols, axis=-1), eidx
-            )  # [B,E,4(+2)]
+            )  # [B,E,4(+3)]
             cand_state = erows[..., 0]
             cand_lm = erows[..., 1]
             cand_bp = erows[..., 2]
             if ride_cls:
-                cand_lcls = erows[..., 4]
+                cand_lcls = erows[..., k_cls]
             if ride_phi:
-                cand_phi = bc_f(erows[..., 5 if ride_cls else 4])
+                cand_phi = bc_f(erows[..., k_phi])
+            if use_rnn:
+                cand_rnn = erows[..., k_rnn]
             cand_score = jnp.where(
                 e_pre < BIG / 2, e_pre + fsel(emis_t, erows[..., 3]), BIG
             )
@@ -1255,6 +1307,11 @@ def _make_step(
             cand_pays += (cand_lcls,)
         if ride_phi:
             cand_pays += (cand_phi,)  # genuine f32 (not smuggled bits)
+        if use_rnn:
+            # rnn state row per candidate: NOT a function of the key —
+            # the per-key min-score winner's row survives, which IS the
+            # truncated-history recombination semantics (rnn_fusion.py)
+            cand_pays += (cand_rnn,)
         if pack_keys:
             # (state, lm) packed into one int32 key
             cand_key = cand_state * jnp.int32(L) + cand_lm
@@ -1268,10 +1325,15 @@ def _make_step(
             )
             n_state, n_lm = keys[0][:, :topn], keys[1][:, :topn]
         n_bp = n_pays[0]
+        pi = 1
         if ride_cls:
-            n_lcls = n_pays[1]
+            n_lcls = n_pays[pi]
+            pi += 1
         if ride_phi:
-            n_phi = n_pays[2 if ride_cls else 1]
+            n_phi = n_pays[pi]
+            pi += 1
+        if use_rnn:
+            n_rnn = n_pays[pi]
 
         if Pn > 1:
             # ---- collective beam merge: gather every device's deduped
@@ -1317,12 +1379,16 @@ def _make_step(
                 w_lcls = jnp.concatenate([n_lcls, rs_cls], axis=1)
             if ride_phi:
                 w_phi = jnp.concatenate([n_phi, rs_phi], axis=1)
+            if use_rnn:
+                w_rnnrow = jnp.concatenate([n_rnn, rs_rnn], axis=1)
         else:
             w_state, w_lm, w_score, w_bp = n_state, n_lm, n_score, n_bp
             if ride_cls:
                 w_lcls = n_lcls
             if ride_phi:
                 w_phi = n_phi
+            if use_rnn:
+                w_rnnrow = n_rnn
         KW = K + R3
 
         # ------------------------------------------------- word ends
@@ -1422,7 +1488,8 @@ def _make_step(
         # (two quarter-row fsels instead of this packed row gather
         # measured 331 vs 333 audio-s/s — the interleave copy the stack
         # pays here overlaps with other work; don't redo)
-        src_rows = rowsel(jnp.stack([w_lm, w_bp], axis=-1), src)  # [B,R,2]
+        src_cols = [w_lm, w_bp] + ([w_rnnrow] if use_rnn else [])
+        src_rows = rowsel(jnp.stack(src_cols, axis=-1), src)  # [B,R,2(+1)]
         r_srclm = src_rows[..., 0]
         r_srcbp = src_rows[..., 1]
 
@@ -1436,13 +1503,13 @@ def _make_step(
         r_newlm = jnp.where(is_lm_word, lm_next, r_srclm)
         if use_rnn:
             # fused RNN-LM score + state update for the R records. The
-            # source hypothesis's hidden state is keyed by its last
-            # word-end record (r_srcbp); -1 = the <s> init row.
+            # source hypothesis's hidden state sits at its CARRIED pool
+            # row (r_srcrow — payload column, no record-id keying).
             from .rnn_fusion import cell_step, word_scores
 
-            src_row = jnp.where(r_srcbp < 0, rnn_pool, r_srcbp)  # [B,R]
-            h_src = rowsel(rnn_hs, src_row)  # [B,R,H]
-            c_src = rowsel(rnn_cs, src_row)
+            r_srcrow = src_rows[..., 2]  # [B,R]
+            h_src = rowsel(rnn_hs, r_srcrow)  # [B,R,H]
+            c_src = rowsel(rnn_cs, r_srcrow)
             wid = rnn.word_map[jnp.maximum(r_word, 0)]  # [B,R]
             scored = is_lm_word & (wid >= 0)
             wcost = word_scores(rnn, h_src, jnp.maximum(wid, 0))
@@ -1459,18 +1526,22 @@ def _make_step(
             c_new = jnp.where(adv, c_new, c_src)
             h_new = jnp.where(adv, h_new, h_src)
             keep = active[..., None]
+            row0 = rnn_off + t * R  # this frame's fresh pool rows
             old_c = jax.lax.dynamic_slice(
-                rnn_cs, (0, t * R, 0), (B, R, rnn_cs.shape[2])
+                rnn_cs, (0, row0, 0), (B, R, rnn_cs.shape[2])
             )
             old_h = jax.lax.dynamic_slice(
-                rnn_hs, (0, t * R, 0), (B, R, rnn_hs.shape[2])
+                rnn_hs, (0, row0, 0), (B, R, rnn_hs.shape[2])
             )
             rnn_cs = jax.lax.dynamic_update_slice(
-                rnn_cs, jnp.where(keep, c_new, old_c), (0, t * R, 0)
+                rnn_cs, jnp.where(keep, c_new, old_c), (0, row0, 0)
             )
             rnn_hs = jax.lax.dynamic_update_slice(
-                rnn_hs, jnp.where(keep, h_new, old_h), (0, t * R, 0)
+                rnn_hs, jnp.where(keep, h_new, old_h), (0, row0, 0)
             )
+            # re-entry hyps point at this frame's rows
+            new_rnnrow = row0 + jnp.arange(R, dtype=jnp.int32)[None, :]
+            new_rnnrow = jnp.broadcast_to(new_rnnrow, (B, R))
         r_score = jnp.where(r_pre < BIG / 2, r_pre + r_lmcost, BIG)
         if cfg.word_end_beam < 1e8:
             # word-end beam AFTER the exact LM cost (ref: word-end
@@ -1513,7 +1584,9 @@ def _make_step(
                     [bc_i(w_phi), jnp.zeros((B, R), jnp.int32)], axis=1
                 )
             )
-        m_core = jnp.stack(m_cols, axis=-1)  # [B,KW+R,3(+2)] int32
+        if use_rnn:
+            m_cols.append(jnp.concatenate([w_rnnrow, new_rnnrow], axis=1))
+        m_core = jnp.stack(m_cols, axis=-1)  # [B,KW+R,3(+3)] int32
         if ride_pk:
             # append the state rows so the merge delivers next frame's
             # pk directly (word-end re-entries get a tiny [B,R] gather);
@@ -1542,6 +1615,9 @@ def _make_step(
         if ride_phi:
             f2_phi = bc_f(f2[..., mcol])
             mcol += 1
+        if use_rnn:
+            f2_rnn = f2[..., mcol]
+            mcol += 1
         if ride_pk:
             # a SENT-forced slot keeps whatever row rode along: its
             # score is BIG, so every expansion it seeds stays BIG and
@@ -1560,12 +1636,16 @@ def _make_step(
             cls_n = jnp.where(active, f2_cls, cls_c)
         if ride_phi:
             phi_n = jnp.where(active, f2_phi, phi_c)
+        if use_rnn:
+            rnn_row_n = jnp.where(active, f2_rnn, rnn_row_c)
 
         is_last = (t == n_frames - 1)[:, None]
         fstate = jnp.where(is_last, state, fstate)
         flm = jnp.where(is_last, lms, flm)
         fscore = jnp.where(is_last, score, fscore)
         fbp = jnp.where(is_last, bp, fbp)
+        if use_rnn:
+            f_rnnrow = jnp.where(is_last, rnn_row_n, f_rnnrow)
 
         recs = (
             jnp.where(r_valid, r_lemma, -1),
@@ -1581,7 +1661,7 @@ def _make_step(
         if ride_phi:
             core = core + (phi_n,)
         if use_rnn:
-            return core + (rnn_cs, rnn_hs), recs
+            return core + (rnn_row_n, f_rnnrow, rnn_cs, rnn_hs), recs
         return core, recs
 
     return step, carry0
@@ -1621,17 +1701,21 @@ def init_carry(
         core = core + (jnp.zeros((B, K), jnp.float32),)  # phi(root) = 0
     if rnn is None:
         return core
+    # bounded state pool: rnn_pool writable rows + the <s> init row at
+    # index rnn_pool; every slot starts pointing at the init row (the
+    # per-hyp row is a sort-payload column — see _make_step)
     H = rnn.hidden
     cs = jnp.zeros((B, rnn_pool + 1, H), jnp.float32)
     hs = jnp.zeros((B, rnn_pool + 1, H), jnp.float32)
     cs = cs.at[:, rnn_pool].set(rnn.init_c)
     hs = hs.at[:, rnn_pool].set(rnn.init_h)
-    return core + (cs, hs)
+    row0 = jnp.full((B, K), rnn_pool, jnp.int32)
+    return core + (row0, row0, cs, hs)
 
 
 def _best_and_records(
     lm, lm_prep, recs, finals, cfg: BeamConfig, T: int, nfinal: int = 1,
-    rnn=None, rnn_pools=None,
+    rnn=None, rnn_pools=None, f_rnnrow=None,
 ):
     """Final best-hypothesis selection + device traceback walk (the tail
     shared by the offline scan and the streaming finalize).
@@ -1650,16 +1734,15 @@ def _best_and_records(
     )
     end_cost = jnp.where(lm.end_word >= 0, cfg.lm_scale * end_cost.reshape(fstate.shape), 0.0)
     if rnn is not None and rnn.end_wid >= 0:
-        # fused RNN </s> cost from the final hyps' record-keyed states
+        # fused RNN </s> cost from the final hyps' carried pool rows
         from .rnn_fusion import word_scores
 
         _, rnn_hs = rnn_pools
-        P = rnn_hs.shape[1] - 1
-        row = jnp.where(fbp < 0, P, fbp)  # [B,K]
+        Pp = rnn_hs.shape[1]
         off = jnp.asarray(
-            (np.arange(B, dtype=np.int32) * (P + 1)).reshape(B, 1)
+            (np.arange(B, dtype=np.int32) * Pp).reshape(B, 1)
         )
-        h = rnn_hs.reshape(B * (P + 1), -1)[row + off]  # [B,K,H]
+        h = rnn_hs.reshape(B * Pp, -1)[f_rnnrow + off]  # [B,K,H]
         end_cost = end_cost + rnn.weight * word_scores(
             rnn, h, jnp.full(fstate.shape, rnn.end_wid, jnp.int32)
         )
@@ -1753,15 +1836,18 @@ def _decode_scan(
         unroll=cfg.scan_unroll,
     )
     fstate, flm, fscore, fbp = carry[5:9]
-    # rnn pools sit LAST (after any bigram-lookahead payload entries)
+    # rnn entries sit LAST: (rnn_row, f_rnnrow, cs, hs)
     rnn_pools = carry[-2:] if rnn is not None else None
+    f_rnnrow = carry[-3] if rnn is not None else None
     return _best_and_records(
         lm, lm_prep, recs, (fstate, flm, fscore, fbp), cfg, T, nfinal,
-        rnn, rnn_pools,
+        rnn, rnn_pools, f_rnnrow,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "wmax", "hroot", "kbranch"))
+@partial(
+    jax.jit, static_argnames=("cfg", "wmax", "hroot", "kbranch", "rnn_base")
+)
 def _decode_block(
     tree: TreeTables,
     lm: NgramTables,
@@ -1770,22 +1856,57 @@ def _decode_block(
     t0: jnp.ndarray,  # scalar: global index of the block's first frame
     n_frames: jnp.ndarray,  # [B] total frames (may exceed what's fed)
     bla,  # Optional[BigramTables]
+    rnn,  # Optional[RnnFusionTables]
     carry,
     cfg: BeamConfig,
     wmax: int,
     hroot: int,
     kbranch: int,
+    rnn_base: int = 0,  # first pool row this block writes (2K after
+    # the streaming compaction; see streaming.py)
 ):
     """One streaming feed: advance the beam over a block of frames.
     ``t0`` is traced, so every same-shaped block reuses one executable.
-    (RNN fusion is offline-only: the ring buffer sizes to R * T.)"""
+    With RNN fusion the carry's state pool must hold rnn_base + R * Tb
+    rows (the streaming compaction sizes it per feed)."""
     B, Tb, M = emissions.shape
+    rnn_pool = int(carry[-2].shape[1]) if rnn is not None else 0
     step, _ = _make_step(
         tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch,
-        bla=bla,
+        bla=bla, rnn=rnn, rnn_pool=rnn_pool,
+        rnn_off=rnn_base - t0 * cfg.word_end_limit,
     )
     ts = t0 + jnp.arange(Tb, dtype=jnp.int32)
     return jax.lax.scan(step, carry, (jnp.swapaxes(emissions, 0, 1), ts))
+
+
+@partial(jax.jit, static_argnames=("tb_rows",))
+def _compact_rnn_carry(carry, tb_rows: int):
+    """Streaming RNN-fusion pool compaction (between feeds): the only
+    rows any FUTURE read can touch are those referenced by the live
+    beam (rnn_row) and by frozen finals (f_rnnrow) — at most 2K per
+    batch row. Gather them into slots [0, 2K), rewrite the row payload
+    columns, and size the pool for the next block's writes: fixed
+    memory 2K + R*Tb rows regardless of utterance length (the r2
+    verdict's bounded-pool ask; the reference caches per-history
+    states with quantized/compressed storage, src/Lm/TF*)."""
+    rnn_row, f_rnnrow, cs, hs = carry[-4:]
+    B, K = rnn_row.shape
+    Pp, H = cs.shape[1], cs.shape[2]
+    off = jnp.asarray((np.arange(B, dtype=np.int32) * Pp).reshape(B, 1))
+
+    def compact(pool):
+        flat = pool.reshape(B * Pp, H)
+        new = jnp.zeros((B, 2 * K + tb_rows, H), pool.dtype)
+        new = new.at[:, :K].set(flat[rnn_row + off])
+        return new.at[:, K : 2 * K].set(flat[f_rnnrow + off])
+
+    new_row = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :], (B, K)
+    )
+    return carry[:-4] + (
+        new_row, new_row + K, compact(cs), compact(hs)
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "nfinal"))
@@ -1797,12 +1918,13 @@ def _finalize_stream(
     captured: jnp.ndarray,  # [B] bool: n_frames was reached during feeds
     cfg: BeamConfig,
     nfinal: int = 1,
+    rnn=None,
 ):
     """Streaming finalize: utterances whose declared length was reached
     use the frozen finals captured in the scan; still-live utterances
     are finalized at the current frontier (the reference's
     getCurrentBestSentence semantics for partial hypotheses)."""
-    # carry may hold trailing bigram-lookahead payload entries
+    # carry may hold trailing bigram-lookahead / rnn payload entries
     state, lms, score, bp, _pk, fstate, flm, fscore, fbp = carry[:9]
     c = captured[:, None]
     finals = (
@@ -1811,8 +1933,14 @@ def _finalize_stream(
         jnp.where(c, fscore, score),
         jnp.where(c, fbp, bp),
     )
+    rnn_pools = f_rnnrow = None
+    if rnn is not None:
+        rnn_row, f_rnnrow_c = carry[-4], carry[-3]
+        rnn_pools = carry[-2:]
+        f_rnnrow = jnp.where(c, f_rnnrow_c, rnn_row)
     return _best_and_records(
-        lm, lm_prep, recs, finals, cfg, recs[0].shape[0], nfinal
+        lm, lm_prep, recs, finals, cfg, recs[0].shape[0], nfinal,
+        rnn, rnn_pools, f_rnnrow,
     )
 
 

@@ -4,30 +4,36 @@ Re-implements the role of the reference's in-search neural LM
 (ref: src/Lm/TF* — Lm::TFRecurrentLanguageModel: an RNN LM scored
 DURING decoding with per-history hidden-state caching and batched
 score requests; recombination stays on truncated histories). The TPU
-re-design exploits a structural fact of this decoder: a hypothesis's
-word history is identified by its traceback record id (``bp`` — the
-last word-end record), so RNN hidden states live in a ring buffer
-KEYED BY RECORD ID inside the scan carry:
+re-design: RNN hidden states live in a POOL inside the scan carry and
+each hypothesis carries its state's pool ROW as a sort-payload column
+(like the bigram-lookahead class/phi payload — search/decoder.py):
 
 * per frame, the R word-end records batch ONE LSTM step + full-vocab
-  projection on the MXU (their source states are one row gather by
-  ``bp``); the new states write one contiguous ring-buffer slice;
-* hypotheses carry no state vectors — the beam merge/recombination
-  machinery is untouched, and every decoder configuration (root-select,
-  deferred emission, streaming blocks) composes for free;
+  projection on the MXU (their source states are one row gather at the
+  carried rows); the new states write one contiguous pool slice and
+  the re-entry hypotheses point at it;
+* hypotheses carry a single int32 row — not state vectors — so the
+  payload rides the recombination sorts at negligible cost and every
+  decoder configuration (root-select, deferred emission, compact
+  branch expansion, streaming blocks) composes;
 * recombination remains EXACT n-gram-state equality: two hypotheses
   with equal (tree_state, lm_state) but different RNN histories merge
-  and the min-score path's state survives — precisely the reference's
-  on-the-fly rescoring semantics with truncated-history recombination.
-  With an n-gram automaton of order >= the utterance length the
-  truncation is vacuous and fusion scores are exact path scores
-  (the parity tests use this).
+  and the min-score path's state (row) survives — precisely the
+  reference's on-the-fly rescoring semantics with truncated-history
+  recombination. With an n-gram automaton of order >= the utterance
+  length the truncation is vacuous and fusion scores are exact path
+  scores (the parity tests use this).
+
+Memory is BOUNDED: offline scans size the pool to R * T writable rows
+for one utterance batch; STREAMING compacts the pool between feeds to
+the <= 2K rows any future read can reach (live beam + frozen finals —
+decoder._compact_rnn_carry) and re-sizes it to 2K + R * Tb per block,
+so an arbitrarily long stream decodes at fixed memory — the role of
+the reference's compressed per-history state cache (src/Lm/TF*).
 
 The fused score of a word-end is ``lm_scale * ngram + weight * rnn``
 (log-linear interpolation); silence and OOV words leave the RNN state
-unchanged (OOV pays a fixed penalty). Exactness requires the ring
-buffer to cover the utterance (P = R * T rows — set by the decoder at
-trace time); memory is the opt-in cost: [B, R*T + 1, 2H] floats.
+unchanged (OOV pays a fixed penalty).
 """
 
 from __future__ import annotations

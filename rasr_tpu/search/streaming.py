@@ -27,6 +27,7 @@ from .decoder import (
     DecodeResult,
     TreeDecoder,
     _build_state_pack,
+    _compact_rnn_carry,
     _decode_block,
     _finalize_stream,
     init_carry,
@@ -56,11 +57,6 @@ class StreamingDecoder:
     """
 
     def __init__(self, decoder: TreeDecoder):
-        if getattr(decoder, "rnn", None) is not None:
-            raise ValueError(
-                "rnn fusion is offline-only (the state ring buffer "
-                "sizes to R * T at trace time)"
-            )
         self.dec = decoder
         self._carry = None
         self._recs: list = []
@@ -76,7 +72,8 @@ class StreamingDecoder:
             self.dec.tables, self.dec.cfg, self.dec.bla
         )
         self._carry = init_carry(
-            B, self.dec.cfg, self.dec.lm, state_pack, bla=self.dec.bla
+            B, self.dec.cfg, self.dec.lm, state_pack, bla=self.dec.bla,
+            rnn=self.dec.rnn, rnn_pool=0,
         )
         self._recs = []
         self._t = 0
@@ -93,6 +90,15 @@ class StreamingDecoder:
         assert self._carry is not None, "restart() first"
         cfg = self.dec.cfg
         kbranch = cfg.branch_hyps or cfg.max_hyps
+        rnn_base = 0
+        if self.dec.rnn is not None:
+            # bounded-pool compaction: keep only the <=2K live state
+            # rows, then size the pool for this block's R*Tb writes —
+            # fixed memory per feed regardless of stream length
+            rnn_base = 2 * cfg.max_hyps
+            self._carry = _compact_rnn_carry(
+                self._carry, cfg.word_end_limit * emissions.shape[1]
+            )
         self._carry, recs = _decode_block(
             self.dec.tables,
             self.dec.lm,
@@ -101,11 +107,13 @@ class StreamingDecoder:
             jnp.int32(self._t),
             jnp.asarray(self._n_frames),
             self.dec.bla,
+            self.dec.rnn,
             self._carry,
             cfg,
             self.dec.tree.max_word_ends,
             min(cfg.root_hyps, cfg.max_hyps),
             min(kbranch, cfg.max_hyps),
+            rnn_base=rnn_base,
         )
         self._recs.append(recs)
         self._t += emissions.shape[1]
@@ -141,6 +149,7 @@ class StreamingDecoder:
             captured,
             self.dec.cfg,
             self.dec.tree.num_final_states,
+            self.dec.rnn,
         )
         self.dec._last_device_records = records
         self.dec._last_n_frames_dev = np.minimum(self._n_frames, self._t)

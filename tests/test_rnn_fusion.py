@@ -187,3 +187,52 @@ def test_rnn_fusion_changes_the_answer(setup, rnnlm, rng):
         if a.orth != b.orth or abs(a.score - b.score) > 1e-3:
             differs += 1
     assert differs > 0
+
+
+def test_rnn_fusion_streaming_blocks_match_offline(setup, rng):
+    """STREAMING RNN fusion (r2 verdict item 6): block feeds with the
+    bounded-pool compaction between blocks must reproduce the offline
+    fused decode exactly — the pool holds only 2K live rows + R*Tb
+    block rows regardless of stream length."""
+    from rasr_tpu.search.streaming import StreamingDecoder
+
+    lex, topo, tying, trans, lm, tables, tree, fusion = setup
+    M = tying.num_classes
+    T, B = 9, 2
+    cfg = BeamConfig(
+        max_hyps=128, beam=1e9, word_end_limit=32, root_hyps=128,
+        lm_scale=0.7,
+    )
+    dec = TreeDecoder(tree, tables, cfg, rnn_fusion=fusion)
+    emis = rng.uniform(0.0, 6.0, size=(B, T, M)).astype(np.float32)
+    nfr = np.array([T, T - 3], np.int32)
+    offline = dec.decode_scores(emis, nfr)
+
+    sd = StreamingDecoder(dec).restart(B, n_frames=nfr)
+    for lo in (0, 3, 6):  # three uneven blocks: 3 + 3 + 3
+        sd.feed(emis[:, lo : lo + 3])
+    online = sd.finalize()
+    for a, b in zip(offline, online):
+        np.testing.assert_allclose(b.score, a.score, rtol=1e-5, atol=1e-4)
+        assert a.words == b.words
+
+
+def test_rnn_fusion_streaming_memory_is_bounded(setup, rng):
+    """The pool never grows past 2K + R*Tb rows no matter how many
+    blocks are fed (the O(R*T) ring is gone)."""
+    from rasr_tpu.search.streaming import StreamingDecoder
+
+    lex, topo, tying, trans, lm, tables, tree, fusion = setup
+    M = tying.num_classes
+    cfg = BeamConfig(
+        max_hyps=64, beam=1e9, word_end_limit=16, root_hyps=64,
+        lm_scale=0.7,
+    )
+    dec = TreeDecoder(tree, tables, cfg, rnn_fusion=fusion)
+    sd = StreamingDecoder(dec).restart(1)
+    Tb = 4
+    cap = 2 * cfg.max_hyps + cfg.word_end_limit * Tb
+    for _ in range(6):  # 24 frames fed; ring form would need R*24 rows
+        sd.feed(rng.uniform(0.0, 6.0, size=(1, Tb, M)).astype(np.float32))
+        assert sd._carry[-2].shape[1] == cap
+    assert sd.finalize()[0].score < 1e29
