@@ -72,6 +72,69 @@ def main():
                       "beam": None, "wer": round(ref["wer"], 4)}))
 
     mode = os.environ.get("BATTERY_MODE", "grid")
+    if mode == "corr-sweep":
+        # ---- follow-up to scale-sweep: the plain lookahead_scale
+        # conflates the (helpful) unigram level with the (over-
+        # committing) history correction. Sweep the CORRECTION scale
+        # alone at tight beams, and compare order-2 vs order-3 anchors.
+        from rasr_tpu.pipeline.battery import (
+            build_battery_task as _bt, paired_bootstrap_delta,
+        )
+
+        task3 = None
+        points = [(64, 60.0), (128, 60.0), (256, 60.0), (256, 90.0)]
+        print("| K | beam | la | corr-scale | WER | search-err | mean-degr |")
+        print("|---|------|----|-----------|-----|-----------|-----------|")
+        for K, beam in points:
+            base = None
+            for name, bi, csc, tk in (
+                ("unigram", 0, 1.0, None),
+                ("bigram", 1, 1.0, None),
+                ("bigram", 1, 0.5, None),
+                ("bigram", 1, 0.25, None),
+                ("trigram", 1, 0.5, 3),
+                ("trigram", 1, 1.0, 3),
+            ):
+                t = task
+                if tk == 3:
+                    if task3 is None:
+                        task3 = _bt(
+                            num_words=int(os.environ.get("BATTERY_WORDS", "1000")),
+                            num_utts=int(os.environ.get("BATTERY_UTTS", "48")),
+                            n_train_sentences=int(os.environ.get("BATTERY_TRAIN", "12000")),
+                            noise=float(os.environ.get("BATTERY_NOISE", "3.0")),
+                            separation=float(os.environ.get("BATTERY_SEP", "1.3")),
+                            homophone_frac=float(os.environ.get("BATTERY_HOMO", "0.05")),
+                            lookahead_classes=int(os.environ.get("BATTERY_LA_CLASSES", "1200")),
+                            lookahead_order=3,
+                            seed=int(os.environ.get("BATTERY_SEED", "0")),
+                        )
+                    t = task3
+                cfg = BeamConfig(
+                    max_hyps=K, beam=beam, word_end_limit=64,
+                    root_hyps=16, lm_scale=lm_scale,
+                    lookahead_corr_scale=csc,
+                )
+                r = run_operating_point(
+                    t, cfg, bigram=bool(bi), ref_scores=ref["_scores"]
+                )
+                if base is None:
+                    base = r
+                    extra = ""
+                else:
+                    bs = paired_bootstrap_delta(base, r)
+                    extra = (
+                        f" dWER={bs['delta']:+.4f} "
+                        f"[{bs['ci_lo']:+.4f},{bs['ci_hi']:+.4f}] "
+                        f"P(better)={bs['p_better']:.2f}"
+                    )
+                print(
+                    f"| {K} | {beam:.0f} | {name} | {csc} | {r['wer']:.4f} "
+                    f"| {r['search_error_rate']:.3f} "
+                    f"| {r['mean_degradation']:.2f} |{extra}",
+                    flush=True,
+                )
+        return
     if mode == "scale-sweep":
         # ---- lookahead_scale sweep at TIGHT beams (r2 verdict item 3):
         # the reference runs its LM lookahead at reduced scale exactly

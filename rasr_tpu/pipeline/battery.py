@@ -133,6 +133,34 @@ def _markov_text(
     return sents
 
 
+class GroupedContextTying:
+    """Context-grouped triphone tying for the ACROSS-WORD battery:
+    (center, left-group, right-group, boundary, hmm-state) — the CART
+    shape at controlled resolution, so word-boundary contexts actually
+    change acoustics and the across-word network has bite (same design
+    as the crossword exactness fuzz's random tying)."""
+
+    def __init__(self, rng, num_phones: int, groups: int = 3):
+        self.table: Dict[Tuple, int] = {}
+        self.lgroup = {0: 0}
+        self.rgroup = {0: 0}
+        for p in range(1, num_phones + 2):
+            self.lgroup[p] = 1 + int(rng.integers(groups))
+            self.rgroup[p] = 1 + int(rng.integers(groups))
+
+    def classify(self, state) -> int:
+        a = state.allophone
+        key = (
+            a.center, self.lgroup.get(a.left, 0),
+            self.rgroup.get(a.right, 0), a.boundary, state.state,
+        )
+        return self.table.setdefault(key, len(self.table))
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.table)
+
+
 def build_battery_task(
     num_words: int = 1000,
     num_phones: int = 25,
@@ -145,7 +173,10 @@ def build_battery_task(
     n_train_sentences: int = 20000,
     seed: int = 0,
     lookahead_classes: int = 64,
+    lookahead_order: int = 2,
     markov_support: int = 12,
+    across_word: bool = False,
+    context_groups: int = 3,
 ) -> BatteryTask:
     """Build the task + a planted test corpus.
 
@@ -153,11 +184,21 @@ def build_battery_task(
     are N(0, separation^2) in feat_dim dims; observed features are the
     planted class mean + noise*N(0,1). At the defaults, adjacent-class
     emission costs overlap enough that the acoustics alone cannot pick
-    the word — the LM must, which is what stresses pruning."""
+    the word — the LM must, which is what stresses pruning.
+
+    ``across_word=True``: context-grouped triphone tying + the
+    across-word search network; planted state sequences come from the
+    TRUE cross-word alignment graphs (align/graph.py across_word), so
+    word-boundary acoustics depend on the neighbors and the grouped
+    roots / word-end fan / (r3) across-word bigram lookahead all carry
+    real search load."""
     rng = np.random.default_rng(seed)
     lex = _make_lexicon(rng, num_words, num_phones, homophone_frac)
     topology = HmmTopology(states_per_phone=3, silence_states=1)
-    tying = MonophoneStateTying(lex, topology)
+    if across_word:
+        tying = GroupedContextTying(rng, len(lex.phonemes), context_groups)
+    else:
+        tying = MonophoneStateTying(lex, topology)
     transitions = TransitionModel()
 
     word_lemmas = [l for l in lex.lemmata if not l.special]
@@ -168,20 +209,32 @@ def build_battery_task(
     unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
     tree = build_prefix_tree(
         lex, tying, topology, transitions, lm_vocab=lm.vocab,
-        lm_unigrams=unigrams,
+        lm_unigrams=unigrams, across_word=across_word,
     )
-    bla = build_bigram_lookahead(tree, lm, num_classes=lookahead_classes)
+    bla = build_bigram_lookahead(
+        tree, lm, num_classes=lookahead_classes, order=lookahead_order
+    )
 
-    # ---- GMM with controlled separation; features from its own means --
-    M = tying.num_classes
-    means = (separation * rng.normal(size=(M, 1, feat_dim))).astype(np.float32)
-    ms = MixtureSet(
-        means=means,
-        variances=np.ones((M, 1, feat_dim), np.float32),
-        weights=np.ones((M, 1), np.float32),
-        num_densities=np.ones(M, np.int32),
-    )
-    scorer = GmmFeatureScorer(ms, scale=1.0)
+    def make_gmm():
+        M = tying.num_classes
+        means = (
+            separation * rng.normal(size=(M, 1, feat_dim))
+        ).astype(np.float32)
+        ms = MixtureSet(
+            means=means,
+            variances=np.ones((M, 1, feat_dim), np.float32),
+            weights=np.ones((M, 1), np.float32),
+            num_densities=np.ones(M, np.int32),
+        )
+        return means, GmmFeatureScorer(ms, scale=1.0)
+
+    if not across_word:
+        # rng draw ORDER is part of the task identity: the within-word
+        # battery draws means BEFORE the test corpus (pinned regression
+        # numbers depend on it); the across-word variant must draw them
+        # AFTER planting because the interning context tying grows
+        # until every planted alignment graph has been classified
+        means, scorer = make_gmm()
 
     # ---- planted test corpus (same Markov chain as the LM training) --
     test_sents = _markov_text(rng, word_orths, num_utts, markov_support)
@@ -202,22 +255,48 @@ def build_battery_task(
         return out
 
     sil_lemma = next(l for l in lex.lemmata if l.special == "silence")
-    sil_cls = states_of(sil_lemma)
 
     seqs: List[List[int]] = []
     refs: List[List[str]] = []
-    for sent in test_sents:
-        seq: List[int] = list(sil_cls) * int(rng.integers(1, 3))
-        for w in sent:
-            for c in states_of(lemma_of[w]):
-                # 1-3 frames per state (geometric-ish durations)
+    if across_word:
+        # planted chains from the TRUE cross-word alignment graphs
+        from ..align.graph import build_linear_graph
+
+        sil_orth = sil_lemma.primary_orth
+        for sent in test_sents:
+            toks = [sil_orth]
+            for w in sent:
+                toks.append(w)
+                if rng.uniform() < 0.2:
+                    toks.append(sil_orth)
+            toks.append(sil_orth)
+            g = build_linear_graph(
+                " ".join(toks), lex, tying, topology, transitions,
+                optional_silence=False, across_word=True,
+            )
+            seq: List[int] = []
+            for c in g.emission_ids:
                 for _ in range(1 + int(rng.integers(0, 3))):
-                    seq.append(c)
-            if rng.uniform() < 0.2:
-                seq.extend(sil_cls * int(rng.integers(1, 3)))
-        seq.extend(sil_cls)
-        seqs.append(seq)
-        refs.append(sent)
+                    seq.append(int(c))
+            seqs.append(seq)
+            refs.append(sent)
+    else:
+        sil_cls = states_of(sil_lemma)
+        for sent in test_sents:
+            seq: List[int] = list(sil_cls) * int(rng.integers(1, 3))
+            for w in sent:
+                for c in states_of(lemma_of[w]):
+                    # 1-3 frames per state (geometric-ish durations)
+                    for _ in range(1 + int(rng.integers(0, 3))):
+                        seq.append(c)
+                if rng.uniform() < 0.2:
+                    seq.extend(sil_cls * int(rng.integers(1, 3)))
+            seq.extend(sil_cls)
+            seqs.append(seq)
+            refs.append(sent)
+
+    if across_word:
+        means, scorer = make_gmm()
 
     T = max(len(s) for s in seqs)
     feats = np.zeros((num_utts, T, feat_dim), np.float32)

@@ -341,6 +341,14 @@ class BeamConfig:
     #: potential shaping — path scores are unchanged, pruning becomes
     #: LM-aware (ref: LM lookahead fold-in). 0 disables.
     lookahead_scale: float = 1.0
+    #: EXTRA weight on the bigram/trigram CORRECTION level only (level
+    #: 2 of the two-level potential, x lm_scale x lookahead_scale).
+    #: The battery showed the full-strength history-conditioned min
+    #: over-commits TIGHT beams while the unigram level helps at full
+    #: strength — the reference's separate (smaller) lookahead-LM
+    #: scale is exactly this knob (src/Search/LmLookahead.*). Still
+    #: exact shaping at any value.
+    lookahead_corr_scale: float = 1.0
     #: lax.scan unroll factor for the frame loop. >1 duplicates the step
     #: body, letting XLA fuse/overlap across consecutive frames
     #: (dispatch + layout-copy slop); results are identical. Costs
@@ -376,7 +384,11 @@ def _ride_flags(cfg: "BeamConfig", bla, partitioned: bool):
     per-key winners carry the right values through the dedup sorts —
     docs/PERF.md "Bigram-lookahead hot-loop cost" fix 2. Partitioned
     beams keep the gather path (the all_gather merge strips payload)."""
-    use_bla = bla is not None and cfg.lm_scale * cfg.lookahead_scale != 0.0
+    use_bla = (
+        bla is not None
+        and cfg.lm_scale * cfg.lookahead_scale * cfg.lookahead_corr_scale
+        != 0.0
+    )
     ride_phi = use_bla and not partitioned
     ride_cls = ride_phi and bla.deep
     return ride_cls, ride_phi
@@ -579,6 +591,8 @@ def _make_step(
     beam_par: int = 1,
     bla: Optional[BigramTables] = None,
     rnn=None,  # Optional[RnnFusionTables]
+    rec_cap: int = 0,  # traceback record-id bound (R * T) when known:
+    # enables packing (bp, class) into ONE sort-payload operand
     rnn_pool: int = 0,  # state-pool rows the scan will write into
     rnn_off=0,  # row of the first record written at frame t=0:
     # row(t, r) = rnn_off + t*R + r (offline: 0; streaming blocks:
@@ -611,17 +625,29 @@ def _make_step(
     # correction potential, CONSTANT within each first-phone subtree —
     # so every dense/loop/branch/skip delta is zero; the correction is
     # added at the root fan-out (subtree choice) and undone at word ends
-    use_bla = bla is not None and la_coeff != 0.0
+    corr_coeff = la_coeff * cfg.lookahead_corr_scale
+    use_bla = bla is not None and corr_coeff != 0.0
     use_deep = use_bla and bla.deep
     # carry-riding of (class, applied phi2): kills the per-frame
     # [B,K]/[B,Wbr]/[B,KW] class lookups + the word-end undo gather at
     # the cost of extra sort-payload operands (docs/PERF.md fix 2)
     ride_cls, ride_phi = _ride_flags(cfg, bla, Pn > 1)
+    # (bp, class) pack into one int32 payload operand when the record
+    # cap is known and fits: each extra variadic-sort operand measured
+    # ~+30us/sort/frame at the bench width (HLO profile 2026-08-21:
+    # 148us @3 operands -> 209us @5), so halving the LA payload width
+    # buys back most of the sort overhead for free vector pack/unpack
+    Cn = bla.num_classes if use_bla else 1
+    pack_pc = bool(
+        ride_cls and rec_cap > 0 and (rec_cap + 1) * Cn < 2**31
+    )
+    # class rides its own payload column only when it can't pack
+    ride_cls_col = ride_cls and not pack_pc
     gcap = min(cfg.root_arc_limit or G, G)
     if use_bla:
         Gla1 = bla.num_subtrees + 1
         cls4 = _pad4(bla.cls_of_lm)
-        corr4 = _pad4((la_coeff * bla.corr).reshape(-1))
+        corr4 = _pad4((corr_coeff * bla.corr).reshape(-1))
         sub4 = _pad4(bla.sub)
         sub_arc = bla.sub[tree.root_dst]  # [G] subtree of each root arc
         # root corrections PRE-SELECTED per class at trace time: the
@@ -631,7 +657,7 @@ def _make_step(
         # HLO-profiled, the root-fan corr gathers were the largest
         # bigram-lookahead hot-loop term (~0.4ms/frame at B=64, G=1537,
         # gcap=160: 250k quarter-row gather indices -> ~1k rows)
-        corr_arc = (la_coeff * bla.corr)[:, sub_arc]  # [C, G]
+        corr_arc = (corr_coeff * bla.corr)[:, sub_arc]  # [C, G]
         corr_arc_cap = corr_arc[:, :gcap] if gcap < G else corr_arc
         # flat quarter-row view for the root-select survivors' phi
         # payload ([B,R3] indices — tiny next to the fan it replaces)
@@ -639,7 +665,7 @@ def _make_step(
     if use_deep:
         # word-set granularity: within-word node-crossing deltas, one
         # quarter-row gather per dense/branch candidate section
-        dpair4 = _pad4((la_coeff * bla.dpair).reshape(-1))
+        dpair4 = _pad4((corr_coeff * bla.dpair).reshape(-1))
         P1 = bla.dpair.shape[1]
     # root-selection (cfg.root_select): pre-emission top-R3 over the
     # root fan-out instead of carrying it through the main sorts
@@ -877,11 +903,12 @@ def _make_step(
         # packed beam rows (int32 carrier; score bits bitcast in): every
         # downstream selection gathers all four beam columns (+ folded
         # branch head, + carried class/phi) with ONE row gather
-        beam_cols = [state_e, lms_e, bc_i(score_e), bp_e]
+        bp_pay = (bp_e + 1) * Cn + cls_c if pack_pc else bp_e
+        beam_cols = [state_e, lms_e, bc_i(score_e), bp_pay]
         if fold_bh:
             beam_cols.append(pk[..., 8])
         i_cls = i_phi = i_rnn = None
-        if ride_cls:
+        if ride_cls and not pack_pc:
             i_cls = len(beam_cols)
             beam_cols.append(cls_c)
         if ride_phi:
@@ -927,7 +954,7 @@ def _make_step(
             # one row gather delivers every per-slot hyp column
             hp_cols = [b_lm, b_bp, bc_i(b_score), bptr, off, deg_sel]
             j_cls = j_phi = j_rnn = None
-            if ride_cls:
+            if ride_cls and not pack_pc:
                 j_cls = len(hp_cols)
                 hp_cols.append(b_rows[..., i_cls])
             if ride_phi:
@@ -947,7 +974,12 @@ def _make_step(
             br_cls = jnp.where(okc, bpk[..., 2], 0)
             b_cost = jnp.where(okc, bc_f(bpk[..., 1]), BIG)
             if use_deep:
-                c_b = hp[..., j_cls] if ride_cls else _gsel(cls4, hp[..., 0])
+                if pack_pc:
+                    c_b = hp[..., 1] % Cn  # class rides inside bp
+                elif ride_cls:
+                    c_b = hp[..., j_cls]
+                else:
+                    c_b = _gsel(cls4, hp[..., 0])
                 br_dphi = _gsel(
                     dpair4, c_b * P1 + jnp.where(okc, bpk[..., 3], 0)
                 )
@@ -959,7 +991,7 @@ def _make_step(
                 br_phi = bc_f(hp[..., j_phi])
                 if use_deep:
                     br_phi = br_phi + br_dphi
-            if ride_cls:
+            if ride_cls_col:
                 c_b_flat = c_b  # [B,Wbr] already per slot
             if use_rnn:
                 br_rnn = hp[..., j_rnn]
@@ -973,9 +1005,13 @@ def _make_step(
             b_cls = jnp.where(ok, bpk[..., 2], 0)
             b_cost = jnp.where(ok, bc_f(bpk[..., 1]), BIG)
             if use_deep:
-                c_b = (
-                    b_rows[..., i_cls] if ride_cls else _gsel(cls4, b_lm)
-                )  # [B,Kb]
+                if pack_pc:
+                    c_b = b_rows[..., 3] % Cn
+                elif ride_cls:
+                    c_b = b_rows[..., i_cls]
+                else:
+                    c_b = _gsel(cls4, b_lm)
+                # [B,Kb]
                 br_dphi = _gsel(
                     dpair4, c_b[..., None] * P1 + jnp.where(ok, bpk[..., 3], 0)
                 )  # [B,Kb,Db]
@@ -990,7 +1026,7 @@ def _make_step(
                 br_phi = jnp.repeat(bc_f(b_rows[..., i_phi]), Db, axis=1)
                 if use_deep:
                     br_phi = br_phi + br_dphi.reshape(B, Wbr)
-            if ride_cls:
+            if ride_cls_col:
                 c_b_flat = jnp.repeat(c_b, Db, axis=1)  # [B,Wbr]
             if use_rnn:
                 br_rnn = jnp.repeat(b_rows[..., i_rnn], Db, axis=1)
@@ -1012,7 +1048,12 @@ def _make_step(
             # class of the hyp's lm state x the arc's subtree (quarter-
             # row gathers on the shared corr table); class rides the
             # beam rows when carried
-            c_h = h_rows[..., i_cls] if ride_cls else _gsel(cls4, h_lm)
+            if pack_pc:
+                c_h = h_rows[..., 3] % Cn
+            elif ride_cls:
+                c_h = h_rows[..., i_cls]
+            else:
+                c_h = _gsel(cls4, h_lm)
             bcorr0 = corr_arc[c_h[:, 0]]  # [B,G]: one row per batch
             if hroot > 1:
                 bcorr_rest = corr_arc_cap[c_h[:, 1:]]  # [B,H-1,gcap] rows
@@ -1051,12 +1092,18 @@ def _make_step(
             # in f32 (< 2^24): bp ids are bounded by T*R << 2^24, so the
             # guard is on the LM state count only.
             # ids must be exact in f32 (< 2^24) for the one-hot matmul
-            if L < (1 << 24) and (not use_rnn or rnn_pool < (1 << 24)):
+            # (h_bp may carry the packed (bp+1)*C + class payload)
+            need_cls_col = ride_phi and not pack_pc
+            if (
+                L < (1 << 24)
+                and (not use_rnn or rnn_pool < (1 << 24))
+                and (not pack_pc or (rec_cap + 1) * Cn < (1 << 24))
+            ):
                 hsel = jax.nn.one_hot(rs_h, hroot, dtype=jnp.float32)
                 hcol_list = [
                     h_lm.astype(jnp.float32), h_bp.astype(jnp.float32)
                 ]
-                if ride_phi:
+                if need_cls_col:
                     hcol_list.append(c_h.astype(jnp.float32))
                 if use_rnn:
                     hcol_list.append(h_rows[..., i_rnn].astype(jnp.float32))
@@ -1064,25 +1111,20 @@ def _make_step(
                 hr = jnp.matmul(
                     hsel, hcols, precision=jax.lax.Precision.HIGHEST
                 )
-                rs_lm = hr[..., 0].astype(jnp.int32)
-                rs_bp = hr[..., 1].astype(jnp.int32)
-                if ride_phi:
-                    rs_cls = hr[..., 2].astype(jnp.int32)
-                if use_rnn:
-                    rs_rnn = hr[..., 3 if ride_phi else 2].astype(jnp.int32)
+                hr = hr.astype(jnp.int32)
             else:
                 hcol_list = [h_lm, h_bp]
-                if ride_phi:
+                if need_cls_col:
                     hcol_list.append(c_h)
                 if use_rnn:
                     hcol_list.append(h_rows[..., i_rnn])
                 hr = rowsel(jnp.stack(hcol_list, axis=-1), rs_h)
-                rs_lm = hr[..., 0]
-                rs_bp = hr[..., 1]
-                if ride_phi:
-                    rs_cls = hr[..., 2]
-                if use_rnn:
-                    rs_rnn = hr[..., 3 if ride_phi else 2]
+            rs_lm = hr[..., 0]
+            rs_bp = hr[..., 1]
+            if ride_phi:
+                rs_cls = (rs_bp % Cn) if pack_pc else hr[..., 2]
+            if use_rnn:
+                rs_rnn = hr[..., 3 if need_cls_col else 2]
             if ride_phi:
                 # the survivor's applied correction = exactly the
                 # corr_arc term inside rs_pre (gcap arcs are a prefix
@@ -1119,7 +1161,9 @@ def _make_step(
             # payload sections: applied phi2 = the bcorr term just
             # added (phi at the root itself is 0); class is inherited
             root_phis = [bcorr0] if ride_phi else []
-            root_lcls = [jnp.repeat(c_h[:, :1], G, axis=1)] if ride_cls else []
+            root_lcls = (
+                [jnp.repeat(c_h[:, :1], G, axis=1)] if ride_cls_col else []
+            )
             root_rnns = (
                 [jnp.repeat(h_rows[:, :1, i_rnn], G, axis=1)]
                 if use_rnn else []
@@ -1144,7 +1188,7 @@ def _make_step(
                     root_phis.append(
                         bcorr_rest.reshape(B, (hroot - 1) * gcap)
                     )
-                if ride_cls:
+                if ride_cls_col:
                     root_lcls.append(jnp.repeat(c_h[:, 1:], gcap, axis=1))
                 if use_rnn:
                     root_rnns.append(
@@ -1159,13 +1203,13 @@ def _make_step(
             [lms_e, lms_e, lms_e, br_lm, *root_lms], axis=1
         )
         cand_bp = jnp.concatenate(
-            [bp_e, bp_e, bp_e, br_bp, *root_bps], axis=1
+            [bp_pay, bp_pay, bp_pay, br_bp, *root_bps], axis=1
         )
         if ride_phi:
             cand_phi = jnp.concatenate(
                 [phi_loop, phi_d1, phi_d2, br_phi, *root_phis], axis=1
             )
-        if ride_cls:
+        if ride_cls_col:
             cand_lcls = jnp.concatenate(
                 [cls_c, cls_c, cls_c, c_b_flat, *root_lcls], axis=1
             )
@@ -1204,7 +1248,7 @@ def _make_step(
             e_pre = -nege
             e_cols = [cand_state, cand_lm, cand_bp, cand_cls]
             k_cls = k_phi = k_rnn = None
-            if ride_cls:
+            if ride_cls_col:
                 k_cls = len(e_cols)
                 e_cols.append(cand_lcls)
             if ride_phi:
@@ -1219,7 +1263,7 @@ def _make_step(
             cand_state = erows[..., 0]
             cand_lm = erows[..., 1]
             cand_bp = erows[..., 2]
-            if ride_cls:
+            if ride_cls_col:
                 cand_lcls = erows[..., k_cls]
             if ride_phi:
                 cand_phi = bc_f(erows[..., k_phi])
@@ -1303,7 +1347,7 @@ def _make_step(
             )
 
         cand_pays = (cand_bp,)
-        if ride_cls:
+        if ride_cls_col:
             cand_pays += (cand_lcls,)
         if ride_phi:
             cand_pays += (cand_phi,)  # genuine f32 (not smuggled bits)
@@ -1324,11 +1368,15 @@ def _make_step(
                 (cand_state, cand_lm), cand_score, cand_pays, topn
             )
             n_state, n_lm = keys[0][:, :topn], keys[1][:, :topn]
-        n_bp = n_pays[0]
         pi = 1
-        if ride_cls:
-            n_lcls = n_pays[pi]
-            pi += 1
+        if pack_pc:
+            n_bp = n_pays[0] // Cn - 1
+            n_lcls = n_pays[0] % Cn
+        else:
+            n_bp = n_pays[0]
+            if ride_cls:
+                n_lcls = n_pays[pi]
+                pi += 1
         if ride_phi:
             n_phi = n_pays[pi]
             pi += 1
@@ -1374,7 +1422,9 @@ def _make_step(
             w_state = jnp.concatenate([n_state, rs_state], axis=1)
             w_lm = jnp.concatenate([n_lm, rs_lm], axis=1)
             w_score = jnp.concatenate([n_score, rs_score], axis=1)
-            w_bp = jnp.concatenate([n_bp, rs_bp], axis=1)
+            w_bp = jnp.concatenate(
+                [n_bp, (rs_bp // Cn - 1) if pack_pc else rs_bp], axis=1
+            )
             if ride_cls:
                 w_lcls = jnp.concatenate([n_lcls, rs_cls], axis=1)
             if ride_phi:
@@ -1566,17 +1616,24 @@ def _make_step(
         # 333 vs 283 — the 4-operand sort loses MORE than the op-count
         # model predicts, don't redo); re-sorting the carry by state id
         # for gather locality also measured slower
-        m_cols = [
-            jnp.concatenate([w_state, root_state], axis=1),
-            jnp.concatenate([w_lm, r_newlm], axis=1),
-            jnp.concatenate([w_bp, root_bp], axis=1),
-        ]
         if ride_cls:
             # re-entry hyps take the class of their NEW lm state (a
             # [B,R] lookup — the only per-frame class gather left)
-            m_cols.append(
-                jnp.concatenate([w_lcls, _gsel(cls4, r_newlm)], axis=1)
+            cls_new = _gsel(cls4, r_newlm)
+        if pack_pc:
+            m_bp_col = jnp.concatenate(
+                [(w_bp + 1) * Cn + w_lcls, (root_bp + 1) * Cn + cls_new],
+                axis=1,
             )
+        else:
+            m_bp_col = jnp.concatenate([w_bp, root_bp], axis=1)
+        m_cols = [
+            jnp.concatenate([w_state, root_state], axis=1),
+            jnp.concatenate([w_lm, r_newlm], axis=1),
+            m_bp_col,
+        ]
+        if ride_cls_col:
+            m_cols.append(jnp.concatenate([w_lcls, cls_new], axis=1))
         if ride_phi:
             # re-entry hyps restart at a root: phi2 = 0
             m_cols.append(
@@ -1607,9 +1664,13 @@ def _make_step(
         f2_score = -neg2
         f2_state = jnp.where(f2_score >= BIG / 2, SENT, f2[..., 0])
         f2_lm = f2[..., 1]
-        f2_bp = f2[..., 2]
+        if pack_pc:
+            f2_bp = f2[..., 2] // Cn - 1
+            f2_cls = f2[..., 2] % Cn
+        else:
+            f2_bp = f2[..., 2]
         mcol = 3
-        if ride_cls:
+        if ride_cls_col:
             f2_cls = f2[..., mcol]
             mcol += 1
         if ride_phi:
@@ -1828,7 +1889,8 @@ def _decode_scan(
     rnn_pool = cfg.word_end_limit * T if rnn is not None else 0
     step, carry0 = _make_step(
         tree, lm, lm_prep, n_frames, cfg, B, M, wmax, hroot, kbranch,
-        beam_axis, beam_par, bla, rnn, rnn_pool,
+        beam_axis, beam_par, bla, rnn,
+        rec_cap=cfg.word_end_limit * T, rnn_pool=rnn_pool,
     )
     ts = jnp.arange(T, dtype=jnp.int32)
     carry, recs = jax.lax.scan(

@@ -268,27 +268,54 @@ def _range_min(tables, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return out
 
 
-def _anchor_classes(lm: NgramLm, num_classes: int):
-    """History classes by most recent word: top-(num_classes-1) unigram
-    words anchor their own exact bigram row (always including <s>); the
-    rest share a neutral class whose correction is zero."""
+def _anchor_classes(lm: NgramLm, num_classes: int, order: int = 2):
+    """History classes: anchors are CONTEXT TUPLES, states map to the
+    most specific anchor their LM context hits.
+
+    ``order=2``: top-(num_classes-1) unigram words anchor their own
+    exact bigram row (always including ``<s>``); the rest share a
+    neutral class whose correction is zero (pure unigram shaping —
+    graceful degradation). ``order=3``: the budget splits between
+    last-word anchors and LAST-TWO-WORD pair anchors (the most
+    probable bigram histories by uni(u) + cost(v|u)); a state whose
+    last two words hit a pair anchor conditions on the exact trigram
+    row, else falls back to its last-word bigram row, else neutral —
+    a class hierarchy, still exact shaping (corr may be ANY function
+    of the class)."""
     uni = {wid: lm.score((), wid) for wid in lm.vocab.values()}
     bos = lm.vocab.get("<s>")
     ranked = sorted(uni, key=lambda w: uni[w])
-    anchors: List[int] = [] if bos is None else [bos]
+    word_budget = (
+        num_classes - 1 if order < 3 else max((num_classes - 1) // 2, 1)
+    )
+    anchors: List[Tuple[int, ...]] = [] if bos is None else [(bos,)]
     for w in ranked:
-        if len(anchors) >= num_classes - 1:
+        if len(anchors) >= word_budget:
             break
-        if w not in anchors:
-            anchors.append(w)
+        if (w,) not in anchors:
+            anchors.append((w,))
+    if order >= 3:
+        pair_rank = {
+            key: uni.get(key[0], 99.0) + cost
+            for key, (cost, _bo) in lm.ngrams.items()
+            if len(key) == 2
+        }
+        for key in sorted(pair_rank, key=pair_rank.get):
+            if len(anchors) >= num_classes - 1:
+                break
+            anchors.append(key)
     C = len(anchors) + 1
     other = C - 1
     contexts = state_contexts(lm)
     state_class = np.full(len(contexts), other, np.int32)
-    a_of = {u: i for i, u in enumerate(anchors)}
+    a_of = {a: i for i, a in enumerate(anchors)}
     for i, ctx in enumerate(contexts):
-        if ctx:
-            state_class[i] = a_of.get(ctx[-1], other)
+        if not ctx:
+            continue
+        c = a_of.get(tuple(ctx[-2:])) if len(ctx) >= 2 else None
+        if c is None:
+            c = a_of.get((ctx[-1],), other)
+        state_class[i] = c
     return uni, anchors, state_class
 
 
@@ -307,31 +334,66 @@ def _class_costs(lm: NgramLm, uni, u: int, words: np.ndarray) -> Dict[int, float
     }
 
 
+def _class_costs_ctx(
+    lm: NgramLm, uni, ctx: Tuple[int, ...], words: np.ndarray
+) -> Dict[int, float]:
+    """cost(w | ctx) for a 1- or 2-word anchor context (backoff chain
+    trigram -> bo(u,v) + bigram -> bo(v) + unigram)."""
+    if len(ctx) == 1:
+        return _class_costs(lm, uni, ctx[0], words)
+    u, v = int(ctx[0]), int(ctx[1])
+    e = lm.ngrams.get((u, v))
+    bo_uv = e[1] if e is not None else 0.0
+    row_v = _class_costs(lm, uni, v, words)
+    out = {}
+    for w in words:
+        w = int(w)
+        tri = lm.ngrams.get((u, v, w))
+        out[w] = tri[0] if tri is not None else bo_uv + row_v[w]
+    return out
+
+
 def build_bigram_lookahead(
     tree: PrefixTree,
     lm: NgramLm,
     num_classes: int = 64,
     granularity: str = "word-set",
+    order: int = 2,
 ) -> Optional[BigramLookahead]:
-    """Compile bigram lookahead tables for ``tree`` against ``lm``.
+    """Compile higher-order lookahead tables for ``tree`` against ``lm``.
 
     ``num_classes`` bounds the corr table height: ``num_classes - 1``
-    anchor words (most probable last words, ``<s>`` always included)
-    plus one neutral class. ``granularity``: "word-set" (condensed
-    lookahead network, per-arc deltas — the reference-faithful
-    resolution) or "first-phone" (subtree-constant correction, zero
-    per-expansion cost). Returns None for unsupported networks."""
+    anchor contexts (most probable last words, ``<s>`` always included;
+    ``order=3`` adds last-two-word pair anchors with exact TRIGRAM rows
+    — SURVEY §2.5 "full-order sparse" reach, hierarchically backed off
+    to the bigram/neutral classes) plus one neutral class.
+    ``granularity``: "word-set" (condensed lookahead network, per-arc
+    deltas — the reference-faithful resolution) or "first-phone"
+    (subtree-constant correction, zero per-expansion cost). Returns
+    None for unsupported networks."""
     if num_classes < 2:
         return None
     if granularity not in ("word-set", "first-phone"):
         raise ValueError(f"unknown lookahead granularity {granularity!r}")
+    if order not in (2, 3):
+        raise ValueError(f"lookahead order must be 2 or 3, got {order}")
     if granularity == "word-set":
-        return _build_wordset(tree, lm, num_classes)
-    return _build_first_phone(tree, lm, num_classes)
+        return _build_wordset(tree, lm, num_classes, order)
+    return _build_first_phone(tree, lm, num_classes, order)
+
+
+def _anchors_array(anchors) -> "np.ndarray":
+    """Anchor context tuples -> padded [C-1, max_len] int32 (-1 pad,
+    context in the trailing columns)."""
+    ml = max((len(a) for a in anchors), default=1)
+    aw = np.full((len(anchors), ml), -1, np.int32)
+    for i, a in enumerate(anchors):
+        aw[i, ml - len(a):] = a
+    return aw
 
 
 def _build_first_phone(
-    tree: PrefixTree, lm: NgramLm, num_classes: int
+    tree: PrefixTree, lm: NgramLm, num_classes: int, order: int = 2
 ) -> Optional[BigramLookahead]:
     sub = _state_subtrees(tree)
     if sub is None:
@@ -354,7 +416,7 @@ def _build_first_phone(
     if g_of_end.size == 0:
         return None
 
-    uni, anchors, state_class = _anchor_classes(lm, num_classes)
+    uni, anchors, state_class = _anchor_classes(lm, num_classes, order)
     C = len(anchors) + 1
 
     # ---- corr[c, g] ------------------------------------------------------
@@ -370,7 +432,7 @@ def _build_first_phone(
     corr = np.zeros((C, G + 1), np.float32)
     words_uniq = np.unique(w_of_end[w_of_end >= 0])
     for ci, u in enumerate(anchors):
-        big_cost = _class_costs(lm, uni, u, words_uniq)
+        big_cost = _class_costs_ctx(lm, uni, u, words_uniq)
         costs_c = np.where(
             w_of_end >= 0,
             np.array([big_cost.get(int(w), 99.0) for w in w_of_end], np.float64),
@@ -385,12 +447,12 @@ def _build_first_phone(
         sub_state=sub,
         state_class=state_class,
         corr=corr,
-        anchor_words=np.asarray(anchors, np.int32),
+        anchor_words=_anchors_array(anchors),
     )
 
 
 def _build_wordset(
-    tree: PrefixTree, lm: NgramLm, num_classes: int
+    tree: PrefixTree, lm: NgramLm, num_classes: int, order: int = 2
 ) -> Optional[BigramLookahead]:
     """Condensed-network granularity: nodes = distinct reachable word
     sets (DFS intervals over the spanning forest), per-arc crossing
@@ -426,7 +488,7 @@ def _build_wordset(
     nlo = uniq // np.int64(total + 1)
     nhi = uniq % np.int64(total + 1)
 
-    uni, anchors, state_class = _anchor_classes(lm, num_classes)
+    uni, anchors, state_class = _anchor_classes(lm, num_classes, order)
     C = len(anchors) + 1
     words_uniq = np.unique(inst_words[inst_words >= 0])
 
@@ -445,7 +507,7 @@ def _build_wordset(
     base = _range_min(_sparse_min(uni_inst), nlo, nhi)
     corr = np.zeros((C, N + 1), np.float32)
     for ci, u in enumerate(anchors):
-        big_cost = _class_costs(lm, uni, u, words_uniq)
+        big_cost = _class_costs_ctx(lm, uni, u, words_uniq)
         cost_tab = np.full(v_max + 1, 99.0, np.float64)
         for w, cst in big_cost.items():
             cost_tab[w] = cst
@@ -487,7 +549,7 @@ def _build_wordset(
         sub_state=node_of,
         state_class=state_class,
         corr=corr,
-        anchor_words=np.asarray(anchors, np.int32),
+        anchor_words=_anchors_array(anchors),
         arc_pair=arc_pair,
         dpair=dpair,
     )

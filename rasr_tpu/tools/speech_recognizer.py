@@ -165,7 +165,10 @@ class SpeechRecognizerTool(Application):
         )
         bla = None
         if la_order >= 2:
-            bla = build_bigram_lookahead(tree, lm, num_classes=la_classes)
+            bla = build_bigram_lookahead(
+                tree, lm, num_classes=la_classes,
+                order=min(la_order, 3),
+            )
             if bla is None:
                 self.warning(
                     "lookahead-order=2 unsupported for this network "

@@ -585,6 +585,65 @@ def test_bigram_lookahead_beats_unigram_at_tight_beam():
     assert uni.orth != ex.orth  # the unigram-shaped search erred here
 
 
+def test_trigram_lookahead_exact_and_conditions_on_pairs():
+    """Order-3 lookahead (r2 verdict item 8): pair anchors carry exact
+    trigram rows; shaping still cancels exactly (pruning-off decode ==
+    unshaped), and the class map actually distinguishes two-word
+    histories that share a last word."""
+    from rasr_tpu.models.lm.ngram_tpu import state_contexts
+    from rasr_tpu.search.lookahead import build_bigram_lookahead
+
+    lex, topo, tying, trans, _, _, _, _ = _bigram_la_setup()
+    # order-3 LM over the same lexicon: trigram contexts exist, and
+    # p(.|A,Z) != p(.|C,Z) so pair anchors genuinely discriminate
+    rng = np.random.default_rng(2)
+    words = ["A", "C", "E", "Z"]
+    text3 = []
+    for _i in range(80):
+        s = [words[rng.integers(4)]]
+        for _j in range(4):
+            prev2 = tuple(s[-2:]) if len(s) >= 2 else None
+            nxt = "E" if prev2 == ("A", "Z") else (
+                "C" if prev2 == ("C", "Z") else words[rng.integers(4)]
+            )
+            s.append(nxt)
+        text3.append(s)
+    lm = NgramLm.train_from_text(text3, order=3)
+    tables = compile_ngram(lm)
+    unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
+    tree = build_prefix_tree(
+        lex, tying, topo, trans, lm_vocab=lm.vocab, lm_unigrams=unigrams
+    )
+    bla3 = build_bigram_lookahead(tree, lm, num_classes=32, order=3)
+    assert bla3 is not None
+    # some anchors must be pairs (two live columns in the padded array)
+    assert bla3.anchor_words.shape[1] == 2
+    assert (bla3.anchor_words[:, 0] >= 0).any()
+    # pair-anchored states with the same LAST word but different
+    # second-to-last words must (somewhere) take different classes
+    ctxs = state_contexts(lm)
+    by_last = {}
+    for i, ctx in enumerate(ctxs):
+        if len(ctx) >= 2:
+            by_last.setdefault(ctx[-1], set()).add(int(bla3.state_class[i]))
+    assert any(len(cs) > 1 for cs in by_last.values())
+
+    rng = np.random.default_rng(5)
+    M = tying.num_classes
+    B, T = 2, 14
+    emis = rng.uniform(0.0, 8.0, size=(B, T, M)).astype(np.float32)
+    n = np.full(B, T, np.int32)
+    cfg = BeamConfig(
+        max_hyps=1024, beam=1e9, word_end_limit=128, root_hyps=64,
+        lm_scale=2.0,
+    )
+    base = TreeDecoder(tree, tables, cfg).decode_scores(emis, n)
+    shaped = TreeDecoder(tree, tables, cfg, bigram_la=bla3).decode_scores(emis, n)
+    for r0, r1 in zip(base, shaped):
+        assert abs(r0.score - r1.score) < 1e-3
+        assert r0.words == r1.words
+
+
 def test_bigram_lookahead_across_word_exact():
     """Word-set bigram lookahead on the ACROSS-WORD network (r2 verdict
     missing #1 — the production network shape): shaping must cancel
