@@ -179,11 +179,27 @@ def test_decoder_fuzz_exact(seed):
         branch_width=int(rng.integers(2)) * 2048,
         # LM-aware word-end rank: selection-only (exact at full R)
         word_end_rank_lm=bool(rng.integers(2)),
+        # root-select with a covering budget: exact scores
+        root_select=int(rng.integers(2)) * 4096,
+        # correction scale: shaping must cancel at ANY value
+        lookahead_corr_scale=float(rng.choice([1.0, 0.5])),
     )
+    # bigram/trigram lookahead shaping (word-set): exercises the
+    # carried class/phi payload + packed (bp, class) operand through
+    # every other config variant — must cancel exactly
+    bla = None
+    if rng.integers(2):
+        from rasr_tpu.search.lookahead import build_bigram_lookahead
+
+        bla = build_bigram_lookahead(
+            tree, lm, num_classes=int(rng.integers(2, 8)),
+            order=int(rng.integers(2, 4)),
+        )
     dec = TreeDecoder(
         tree, tables,
         BeamConfig(max_hyps=512, beam=1e9, word_end_limit=128,
                    root_hyps=512, lm_scale=lm_scale, **variant),
+        bigram_la=bla,
     )
     (res,) = dec.decode_scores(emis, np.array([T]))
     # horizon T covers every decodable sequence: each token uses >=1 frame
