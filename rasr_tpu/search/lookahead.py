@@ -544,6 +544,26 @@ def _build_wordset(
         # corr's column N (sentinel) is zero, so root-leaving arcs get
         # the full corr[c, head] as their delta
         dpair[:, 1:] = corr[:, pnd] - corr[:, pns]
+        # dedup identical delta COLUMNS: with num_classes anchors most
+        # node crossings share a correction pattern and the majority
+        # are all-zero (measured on the 5k-word bench network: 4739
+        # pair columns -> 1046 unique, 3013 zero), so the hot dpair
+        # table shrinks ~4x — under the decoder's ~1.1MB VMEM pin
+        # budget, where per-candidate gathers run ~1.5ns/row instead
+        # of HBM speed (docs/PERF.md). Values are unchanged: exactness
+        # (phi telescoping) is untouched.
+        uniq, inv = np.unique(dpair.T, axis=0, return_inverse=True)
+        inv = inv.reshape(-1)  # numpy 2.x keeps the extra axis
+        zi = int(np.flatnonzero(np.all(uniq == 0, axis=1))[0])
+        if zi != 0:
+            order = np.arange(uniq.shape[0])
+            order[0], order[zi] = zi, 0
+            uniq = uniq[order]
+            remap = np.empty_like(order)
+            remap[order] = np.arange(order.size)
+            inv = remap[inv]
+        arc_pair = inv[arc_pair].astype(np.int32)
+        dpair = np.ascontiguousarray(uniq.T, dtype=np.float32)
 
     return BigramLookahead(
         sub_state=node_of,

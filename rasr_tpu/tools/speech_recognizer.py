@@ -237,6 +237,13 @@ class SpeechRecognizerTool(Application):
             root_select=int(search.param("root-select", 0)),
             deferred_emission=bool(search.param("deferred-emission", False)),
             lookahead_scale=float(search.param("lookahead-scale", 1.0)),
+            # separate weight on the bigram/trigram CORRECTION level
+            # (the reference's lookahead-LM scale; battery evidence in
+            # BASELINE.md — full-strength corrections over-commit
+            # tight beams)
+            lookahead_corr_scale=float(
+                search.param("lookahead-corr-scale", 1.0)
+            ),
             lm_scale=float(search.param("lm-scale", 10.0)),
         )
         rnn_fusion = None
