@@ -174,6 +174,7 @@ def build_battery_task(
     seed: int = 0,
     lookahead_classes: int = 64,
     lookahead_order: int = 2,
+    lookahead_smooth: float = 0.0,
     markov_support: int = 12,
     across_word: bool = False,
     context_groups: int = 3,
@@ -212,7 +213,8 @@ def build_battery_task(
         lm_unigrams=unigrams, across_word=across_word,
     )
     bla = build_bigram_lookahead(
-        tree, lm, num_classes=lookahead_classes, order=lookahead_order
+        tree, lm, num_classes=lookahead_classes, order=lookahead_order,
+        smooth=lookahead_smooth,
     )
 
     def make_gmm():

@@ -255,6 +255,22 @@ def _sparse_min(v: np.ndarray):
     return tables
 
 
+def _range_softmin(vals, nlo, nhi, tau: float) -> np.ndarray:
+    """Smoothed range minimum: -tau * log(sum_{[lo,hi)} exp(-v/tau)).
+
+    The exact min over a node's words is the sharpest admissible
+    potential but credits only the SINGLE best continuation; at tight
+    beams that over-commits (battery evidence, BASELINE.md). The
+    softmin credits probability MASS — many decent continuations rank
+    above one great one — which is the reference's smoothed lookahead
+    remedy. Any value is still exact shaping. Computed with one prefix
+    sum instead of the sparse range-min tables."""
+    e = np.exp(-vals / tau)
+    p = np.concatenate([[0.0], np.cumsum(e)])
+    sums = p[nhi] - p[nlo]
+    return -tau * np.log(np.maximum(sums, 1e-300))
+
+
 def _range_min(tables, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Vectorized min over [lo, hi) per row (requires hi > lo)."""
     width = hi - lo
@@ -359,6 +375,7 @@ def build_bigram_lookahead(
     num_classes: int = 64,
     granularity: str = "word-set",
     order: int = 2,
+    smooth: float = 0.0,
 ) -> Optional[BigramLookahead]:
     """Compile higher-order lookahead tables for ``tree`` against ``lm``.
 
@@ -378,7 +395,7 @@ def build_bigram_lookahead(
     if order not in (2, 3):
         raise ValueError(f"lookahead order must be 2 or 3, got {order}")
     if granularity == "word-set":
-        return _build_wordset(tree, lm, num_classes, order)
+        return _build_wordset(tree, lm, num_classes, order, smooth)
     return _build_first_phone(tree, lm, num_classes, order)
 
 
@@ -452,7 +469,8 @@ def _build_first_phone(
 
 
 def _build_wordset(
-    tree: PrefixTree, lm: NgramLm, num_classes: int, order: int = 2
+    tree: PrefixTree, lm: NgramLm, num_classes: int, order: int = 2,
+    smooth: float = 0.0,
 ) -> Optional[BigramLookahead]:
     """Condensed-network granularity: nodes = distinct reachable word
     sets (DFS intervals over the spanning forest), per-arc crossing
@@ -504,7 +522,10 @@ def _build_wordset(
     inst_c = np.maximum(inst_words, 0)
     is_word = inst_words >= 0
     uni_inst = np.where(is_word, uni_tab[inst_c], 0.0)
-    base = _range_min(_sparse_min(uni_inst), nlo, nhi)
+    if smooth > 0.0:
+        base = _range_softmin(uni_inst, nlo, nhi, smooth)
+    else:
+        base = _range_min(_sparse_min(uni_inst), nlo, nhi)
     corr = np.zeros((C, N + 1), np.float32)
     for ci, u in enumerate(anchors):
         big_cost = _class_costs_ctx(lm, uni, u, words_uniq)
@@ -512,7 +533,10 @@ def _build_wordset(
         for w, cst in big_cost.items():
             cost_tab[w] = cst
         cost_inst = np.where(is_word, cost_tab[inst_c], 0.0)
-        mins = _range_min(_sparse_min(cost_inst), nlo, nhi)
+        if smooth > 0.0:
+            mins = _range_softmin(cost_inst, nlo, nhi, smooth)
+        else:
+            mins = _range_min(_sparse_min(cost_inst), nlo, nhi)
         corr[ci, :N] = (mins - base).astype(np.float32)
 
     # ---- per-arc node-crossing pairs ------------------------------------

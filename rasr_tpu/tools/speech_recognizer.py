@@ -125,6 +125,7 @@ class SpeechRecognizerTool(Application):
 
         la_order = int(search.param("lookahead-order", 1))
         la_classes = int(search.param("lookahead-classes", 64))
+        la_smooth = float(search.param("lookahead-smooth", 0.0))
         cache = self.network_cache
         if cache:
             h = hashlib.sha1()
@@ -135,7 +136,7 @@ class SpeechRecognizerTool(Application):
             h.update(str(self.states_per_phone).encode())
             h.update(str(bool(self.across_word)).encode())
             h.update(self.skip_scope.encode())
-            h.update(f"la{la_order}/{la_classes}".encode())
+            h.update(f"la{la_order}/{la_classes}/{la_smooth}".encode())
             # the TDPs are baked into the tree's loop/arc/word-end costs
             h.update(repr(transitions).encode())
             key = h.hexdigest()
@@ -168,6 +169,7 @@ class SpeechRecognizerTool(Application):
             bla = build_bigram_lookahead(
                 tree, lm, num_classes=la_classes,
                 order=min(la_order, 3),
+                smooth=la_smooth,
             )
             if bla is None:
                 self.warning(

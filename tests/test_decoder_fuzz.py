@@ -194,6 +194,7 @@ def test_decoder_fuzz_exact(seed):
         bla = build_bigram_lookahead(
             tree, lm, num_classes=int(rng.integers(2, 8)),
             order=int(rng.integers(2, 4)),
+            smooth=float(rng.choice([0.0, 1.0])),
         )
     dec = TreeDecoder(
         tree, tables,
