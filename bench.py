@@ -241,6 +241,9 @@ def build_setup(
             deferred_emission=bool(int(os.environ.get("BENCH_DEFER", "1"))),
             # frame-loop unroll (cross-frame fusion of dispatch/layout slop)
             scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+            # "survivor" = the reference's lazy lookahead activation
+            # (with BENCH_LA_ORDER=2; NOT exact — see BeamConfig)
+            lookahead_update=os.environ.get("BENCH_LA_UPDATE", "arc"),
             lm_scale=10.0,
         ),
     )

@@ -81,7 +81,20 @@ def main():
             build_battery_task as _bt, paired_bootstrap_delta,
         )
 
-        task3 = None
+        def build_variant(**kw):
+            return _bt(
+                num_words=int(os.environ.get("BATTERY_WORDS", "1000")),
+                num_utts=int(os.environ.get("BATTERY_UTTS", "48")),
+                n_train_sentences=int(os.environ.get("BATTERY_TRAIN", "12000")),
+                noise=float(os.environ.get("BATTERY_NOISE", "3.0")),
+                separation=float(os.environ.get("BATTERY_SEP", "1.3")),
+                homophone_frac=float(os.environ.get("BATTERY_HOMO", "0.05")),
+                lookahead_classes=int(os.environ.get("BATTERY_LA_CLASSES", "1200")),
+                seed=int(os.environ.get("BATTERY_SEED", "0")),
+                **kw,
+            )
+
+        task3 = task_sm = None
         points = [(64, 60.0), (128, 60.0), (256, 60.0), (256, 90.0)]
         print("| K | beam | la | corr-scale | WER | search-err | mean-degr |")
         print("|---|------|----|-----------|-----|-----------|-----------|")
@@ -92,24 +105,19 @@ def main():
                 ("bigram", 1, 1.0, None),
                 ("bigram", 1, 0.5, None),
                 ("bigram", 1, 0.25, None),
+                ("bigram-smooth", 1, 1.0, "sm"),
                 ("trigram", 1, 0.5, 3),
                 ("trigram", 1, 1.0, 3),
             ):
                 t = task
                 if tk == 3:
                     if task3 is None:
-                        task3 = _bt(
-                            num_words=int(os.environ.get("BATTERY_WORDS", "1000")),
-                            num_utts=int(os.environ.get("BATTERY_UTTS", "48")),
-                            n_train_sentences=int(os.environ.get("BATTERY_TRAIN", "12000")),
-                            noise=float(os.environ.get("BATTERY_NOISE", "3.0")),
-                            separation=float(os.environ.get("BATTERY_SEP", "1.3")),
-                            homophone_frac=float(os.environ.get("BATTERY_HOMO", "0.05")),
-                            lookahead_classes=int(os.environ.get("BATTERY_LA_CLASSES", "1200")),
-                            lookahead_order=3,
-                            seed=int(os.environ.get("BATTERY_SEED", "0")),
-                        )
+                        task3 = build_variant(lookahead_order=3)
                     t = task3
+                elif tk == "sm":
+                    if task_sm is None:
+                        task_sm = build_variant(lookahead_smooth=1.0)
+                    t = task_sm
                 cfg = BeamConfig(
                     max_hyps=K, beam=beam, word_end_limit=64,
                     root_hyps=16, lm_scale=lm_scale,

@@ -349,6 +349,21 @@ class BeamConfig:
     #: scale is exactly this knob (src/Search/LmLookahead.*). Still
     #: exact shaping at any value.
     lookahead_corr_scale: float = 1.0
+    #: when the word-set correction level updates (word-set granularity,
+    #: single device):
+    #: * "arc" (default, EXACT): every dense/branch candidate gathers
+    #:   its node-crossing delta, so same-key candidates always carry
+    #:   identical phi2 and recombination is exact potential shaping;
+    #: * "survivor" (the reference's LAZY lookahead activation,
+    #:   src/Search/LmLookahead.* — lookahead values update when a
+    #:   tree copy's node is entered, not per expansion): candidates
+    #:   expand with their SOURCE node's correction and phi2 refreshes
+    #:   once for the K+R3 survivors after top-K. Kills the dominant
+    #:   per-candidate delta gathers (~0.3ms/frame at bench shape);
+    #:   recombination of paths from different lookahead nodes may
+    #:   keep a path whose shaped (not true) score wins — quality
+    #:   measured on the battery, NOT exact (opt-in).
+    lookahead_update: str = "arc"
     #: lax.scan unroll factor for the frame loop. >1 duplicates the step
     #: body, letting XLA fuse/overlap across consecutive frames
     #: (dispatch + layout-copy slop); results are identical. Costs
@@ -567,9 +582,11 @@ def _build_state_pack(tree: TreeTables, cfg: BeamConfig, bla=None):
     if (
         bla is not None
         and bla.deep
-        and cfg.lm_scale * cfg.lookahead_scale != 0.0
+        and cfg.lm_scale * cfg.lookahead_scale * cfg.lookahead_corr_scale
+        != 0.0
+        and cfg.lookahead_update != "survivor"
     ):
-        # same gate as _make_step's use_deep — the carry must agree
+        # same gate as _make_step's deep_arc — the carry must agree
         state_pack = jnp.concatenate(
             [state_pack, bla.pair1[:, None], bla.pair2[:, None]], axis=1
         )  # [..., +2]: dense-arc node-crossing pair ids
@@ -628,6 +645,13 @@ def _make_step(
     corr_coeff = la_coeff * cfg.lookahead_corr_scale
     use_bla = bla is not None and corr_coeff != 0.0
     use_deep = use_bla and bla.deep
+    # survivor (lazy) correction updates: refresh phi2 once per frame
+    # for the K+R3 survivors instead of per expansion candidate — the
+    # reference's lazy lookahead activation; NOT exact (see BeamConfig)
+    lazy_phi = (
+        use_deep and cfg.lookahead_update == "survivor" and Pn == 1
+    )
+    deep_arc = use_deep and not lazy_phi
     # carry-riding of (class, applied phi2): kills the per-frame
     # [B,K]/[B,Wbr]/[B,KW] class lookups + the word-end undo gather at
     # the cost of extra sort-payload operands (docs/PERF.md fix 2)
@@ -662,7 +686,7 @@ def _make_step(
         # flat quarter-row view for the root-select survivors' phi
         # payload ([B,R3] indices — tiny next to the fan it replaces)
         corr_arc4 = _pad4(corr_arc.reshape(-1))
-    if use_deep:
+    if deep_arc:
         # word-set granularity: within-word node-crossing deltas, one
         # quarter-row gather per dense/branch candidate section
         dpair4 = _pad4((corr_coeff * bla.dpair).reshape(-1))
@@ -721,7 +745,7 @@ def _make_step(
         bc_i(tree.branch_cost + (la_coeff * tree.branch_dla if use_la else 0.0)),
         tree.branch_cls,
     ]
-    if use_deep:
+    if deep_arc:
         branch_cols.append(bla.pair_br)  # node-crossing pair per branch arc
     branch_pack = jnp.stack(branch_cols, axis=1)  # [A', 3(+1)] int32
     use_werank = cfg.word_end_rank_lm
@@ -772,10 +796,14 @@ def _make_step(
     S1 = state_pack.shape[0]
     if ride_pk:
         # (ride_pk implies Pn == 1, so use_bla implies ride_phi: the
-        # word-end undo subtracts the CARRIED phi2 — no sub column)
-        combo_pack = jnp.concatenate(
-            [we_pack.reshape(S1, wmax * C_we), state_pack], axis=1
-        )  # [S+1, W*C_we + C_sp]
+        # word-end undo subtracts the CARRIED phi2 — no sub column
+        # unless survivor-mode refreshes need the node id per survivor)
+        combo_cols = [we_pack.reshape(S1, wmax * C_we)]
+        if lazy_phi:
+            combo_cols.append(bla.sub[:, None])
+        combo_cols.append(state_pack)
+        combo_pack = jnp.concatenate(combo_cols, axis=1)
+        # [S+1, W*C_we (+1) + C_sp]
 
     if use_rsel:
         # root-selection path: (dst, cls) rows for the R3 survivors
@@ -882,7 +910,7 @@ def _make_step(
         d2_cls = pk[..., 6]
         p_d2 = score_e + bc_f(pk[..., 5])
         own_cls = jnp.where(cls_raw < 0, -cls_raw - 1, cls_raw)
-        if use_deep:
+        if deep_arc:
             # word-set lookahead: node-crossing delta per dense arc
             # (pair id 0 = within-node = zero row; loops never cross)
             Csp = state_pack.shape[1]
@@ -895,10 +923,11 @@ def _make_step(
         if ride_phi:
             # applied-correction payload per dense candidate (loops
             # never cross lookahead nodes; first-phone granularity has
-            # zero within-word deltas by construction)
+            # zero within-word deltas by construction; survivor mode
+            # carries the SOURCE node's correction until the refresh)
             phi_loop = phi_c
-            phi_d1 = phi_c + d1_dphi if use_deep else phi_c
-            phi_d2 = phi_c + d2_dphi if use_deep else phi_c
+            phi_d1 = phi_c + d1_dphi if deep_arc else phi_c
+            phi_d2 = phi_c + d2_dphi if deep_arc else phi_c
 
         # packed beam rows (int32 carrier; score bits bitcast in): every
         # downstream selection gathers all four beam columns (+ folded
@@ -973,7 +1002,7 @@ def _make_step(
             br_state = jnp.where(okc, bpk[..., 0], SENT)
             br_cls = jnp.where(okc, bpk[..., 2], 0)
             b_cost = jnp.where(okc, bc_f(bpk[..., 1]), BIG)
-            if use_deep:
+            if deep_arc:
                 if pack_pc:
                     c_b = hp[..., 1] % Cn  # class rides inside bp
                 elif ride_cls:
@@ -989,7 +1018,7 @@ def _make_step(
             br_bp = hp[..., 1]
             if ride_phi:
                 br_phi = bc_f(hp[..., j_phi])
-                if use_deep:
+                if deep_arc:
                     br_phi = br_phi + br_dphi
             if ride_cls_col:
                 c_b_flat = c_b  # [B,Wbr] already per slot
@@ -1004,7 +1033,7 @@ def _make_step(
             b_dst = jnp.where(ok, bpk[..., 0], SENT)
             b_cls = jnp.where(ok, bpk[..., 2], 0)
             b_cost = jnp.where(ok, bc_f(bpk[..., 1]), BIG)
-            if use_deep:
+            if deep_arc:
                 if pack_pc:
                     c_b = b_rows[..., 3] % Cn
                 elif ride_cls:
@@ -1024,7 +1053,7 @@ def _make_step(
             br_bp = jnp.repeat(b_bp, Db, axis=1)
             if ride_phi:
                 br_phi = jnp.repeat(bc_f(b_rows[..., i_phi]), Db, axis=1)
-                if use_deep:
+                if deep_arc:
                     br_phi = br_phi + br_dphi.reshape(B, Wbr)
             if ride_cls_col:
                 c_b_flat = jnp.repeat(c_b, Db, axis=1)  # [B,Wbr]
@@ -1444,13 +1473,27 @@ def _make_step(
         # ------------------------------------------------- word ends
         if ride_pk:
             # one row gather for we columns AND next frame's state rows
-            combo = combo_pack[w_state]  # [B,KW,W*C_we+C_sp] int32
+            combo = combo_pack[w_state]  # [B,KW,W*C_we(+1)+C_sp] int32
             wpk = combo[..., : wmax * C_we].reshape(B, KW, wmax, C_we)
-            spk_w = combo[..., wmax * C_we :]  # [B,KW,C_sp]
+            coff = wmax * C_we
+            if lazy_phi:
+                sub_w = combo[..., coff]  # [B,KW] lookahead-node ids
+                coff += 1
+            spk_w = combo[..., coff:]  # [B,KW,C_sp]
         else:
             wpk = we_pack[w_state]  # [B,KW,W,6] (1 gather, all we cols)
             if use_bla:
                 sub_w = _gsel(sub4, w_state)
+        if lazy_phi:
+            # survivor refresh (the lazy lookahead activation): the
+            # K+R3 survivors pull their CURRENT node's correction in
+            # ONE [B,KW] gather, replacing the per-candidate crossing
+            # deltas; scores move by (fresh - carried)
+            phi_fresh = _gsel(corr4, w_lcls * Gla1 + sub_w)
+            w_score = jnp.where(
+                w_score < BIG / 2, w_score + (phi_fresh - w_phi), w_score
+            )
+            w_phi = phi_fresh
         if use_defer:
             # survivors' current-frame emission (cls rides the word-end
             # gather; one KW-row fsel replaces the candidate-wide ones)
