@@ -52,7 +52,9 @@ def make_pallas_gather(S, C, N, rows_per_step=8):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            # whole table resident in VMEM (3.6MB fits; in-kernel
+            # dynamic loads are only legal from VMEM/SMEM refs)
+            in_specs=[pl.BlockSpec((S, C), lambda i, idx: (0, 0))],
             out_specs=pl.BlockSpec(
                 (rows_per_step, C), lambda i, idx: (i, 0)
             ),

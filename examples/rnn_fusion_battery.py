@@ -63,9 +63,14 @@ def main():
         num_words=int(os.environ.get("RNNB_WORDS", "300")),
         num_utts=int(os.environ.get("RNNB_UTTS", "48")),
         n_train_sentences=int(os.environ.get("RNNB_TRAIN", "6000")),
-        noise=float(os.environ.get("RNNB_NOISE", "2.5")),
+        noise=float(os.environ.get("RNNB_NOISE", "2.8")),
         separation=1.3,
         lm_order=4,
+        # SECOND-order Markov source: the battery default source is
+        # first-order, which a bigram LM captures EXACTLY (measured:
+        # 2gram == 4gram WER there — no headroom for fusion). Order 2
+        # makes truncated-history recombination genuinely lossy.
+        markov_order=int(os.environ.get("RNNB_MARKOV", "2")),
         seed=int(os.environ.get("RNNB_SEED", "0")),
     )
     lm_scale = float(os.environ.get("RNNB_LM_SCALE", "3.0"))

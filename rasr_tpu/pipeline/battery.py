@@ -111,23 +111,61 @@ def _make_lexicon(
 
 
 def _markov_text(
-    rng, words: List[str], n_sentences: int, support: int = 12
+    rng, words: List[str], n_sentences: int, support: int = 12,
+    order: int = 1,
 ) -> List[List[str]]:
-    """Sentences from a sparse first-order Markov chain: each word has
+    """Sentences from a sparse Markov chain: each history has
     ``support`` successors with Dirichlet weights — histories genuinely
-    predict words, so the 4-gram LM (and its lookahead) has teeth."""
+    predict words, so the n-gram LM (and its lookahead) has teeth.
+
+    ``order=1`` (default): successors keyed on the previous word (the
+    historical battery source — note a BIGRAM LM captures it exactly).
+    ``order=2``: successors keyed on the previous TWO words (lazily
+    materialized), so LM order genuinely matters — the source for
+    truncated-recombination studies (RNN fusion, trigram lookahead)."""
     V = len(words)
-    succ = {w: rng.choice(V, size=support, replace=False) for w in range(V)}
-    sprob = {
-        w: rng.dirichlet(np.full(support, 0.3)).astype(np.float64)
-        for w in range(V)
-    }
+    if order <= 1:
+        # HISTORICAL path — the rng draw order here is part of every
+        # pinned battery task's identity; do not touch
+        succ = {w: rng.choice(V, size=support, replace=False) for w in range(V)}
+        sprob = {
+            w: rng.dirichlet(np.full(support, 0.3)).astype(np.float64)
+            for w in range(V)
+        }
+        sents = []
+        for _ in range(n_sentences):
+            w = int(rng.integers(V))
+            sent = [words[w]]
+            for _ in range(int(rng.integers(3, 8))):
+                w = int(rng.choice(succ[w], p=sprob[w]))
+                sent.append(words[w])
+            sents.append(sent)
+        return sents
+
+    cache: Dict[Tuple[int, int], Tuple] = {}
+
+    def succ_of(key):
+        e = cache.get(key)
+        if e is None:
+            # deterministic per-history sub-rng: lazily materialized
+            # order-2 histories stay consistent across samples
+            sub = np.random.default_rng((key[0] + 1) * 1000003 + key[1])
+            e = (
+                sub.choice(V, size=support, replace=False),
+                sub.dirichlet(np.full(support, 0.3)).astype(np.float64),
+            )
+            cache[key] = e
+        return e
+
     sents = []
     for _ in range(n_sentences):
         w = int(rng.integers(V))
         sent = [words[w]]
+        prev2 = -1
         for _ in range(int(rng.integers(3, 8))):
-            w = int(rng.choice(succ[w], p=sprob[w]))
+            cand, p = succ_of((prev2, w))
+            prev2 = w
+            w = int(rng.choice(cand, p=p))
             sent.append(words[w])
         sents.append(sent)
     return sents
@@ -176,6 +214,7 @@ def build_battery_task(
     lookahead_order: int = 2,
     lookahead_smooth: float = 0.0,
     markov_support: int = 12,
+    markov_order: int = 1,
     across_word: bool = False,
     context_groups: int = 3,
 ) -> BatteryTask:
@@ -204,7 +243,9 @@ def build_battery_task(
 
     word_lemmas = [l for l in lex.lemmata if not l.special]
     word_orths = [l.primary_orth for l in word_lemmas]
-    text = _markov_text(rng, word_orths, n_train_sentences, markov_support)
+    text = _markov_text(
+        rng, word_orths, n_train_sentences, markov_support, markov_order
+    )
     lm = NgramLm.train_from_text(text, order=lm_order)
     tables = compile_ngram(lm)
     unigrams = {wid: lm.score((), wid) for wid in lm.vocab.values()}
@@ -239,7 +280,9 @@ def build_battery_task(
         means, scorer = make_gmm()
 
     # ---- planted test corpus (same Markov chain as the LM training) --
-    test_sents = _markov_text(rng, word_orths, num_utts, markov_support)
+    test_sents = _markov_text(
+        rng, word_orths, num_utts, markov_support, markov_order
+    )
     lemma_of = {l.primary_orth: l for l in word_lemmas}
     sil_states = topology.silence_states
 

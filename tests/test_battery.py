@@ -150,3 +150,46 @@ def test_battery_lm_aware_word_end_rank_at_tight_r(task, reference):
     assert ranked["mean_degradation"] <= plain["mean_degradation"] - 2.5
     # WER: ranked must not be worse (measured one word better)
     assert ranked["wer"] <= plain["wer"] + 1e-6
+
+
+def test_battery_across_word_variant_parity_and_shaping():
+    """Across-word battery (r3): context-grouped triphone tying + the
+    across-word network with planted TRUE cross-word alignments. Pins:
+    (a) the wide decode solves the task, (b) the production point holds
+    parity, (c) bigram shaping (across-word word-set lookahead) is
+    exact at the wide point and does not cost accuracy at production.
+    Tight-beam behaviour is documented in BASELINE.md (probe tables) —
+    mixed by regime, like the within-word battery."""
+    task = build_battery_task(
+        num_words=200, num_utts=8, n_train_sentences=3000,
+        noise=2.8, separation=1.2, lookahead_classes=250, seed=1,
+        across_word=True,
+    )
+    assert task.bigram_la is not None and task.bigram_la.deep
+    ref_cfg = BeamConfig(
+        max_hyps=1024, beam=1e9, word_end_limit=128, root_hyps=64,
+        lm_scale=LM_SCALE,
+    )
+    ref = run_operating_point(task, ref_cfg)
+    ref_bla = run_operating_point(task, ref_cfg, bigram=True)
+    # exactness on the across-word network: shaping cancels
+    np.testing.assert_allclose(
+        ref_bla["mean_score"], ref["mean_score"], rtol=1e-6
+    )
+    assert 0.0 <= ref["wer"] < 0.25
+    # measured (2026-08-21): plain unigram shaping DEGRADES this point
+    # (WER 2.1% -> 6.4%, mean degradation 2.35) while bigram shaping
+    # restores reference parity (2.1%, degradation 0.0004) — the
+    # across-word network re-enters at context roots where word
+    # identity commits LATE, exactly where history-conditioned
+    # potentials pay. Margins at ~half the measured effects.
+    prod = BeamConfig(
+        max_hyps=256, beam=90.0, word_end_limit=64, root_hyps=16,
+        branch_hyps=64, lm_scale=LM_SCALE,
+    )
+    r = run_operating_point(task, prod, ref_scores=ref["_scores"])
+    rb = run_operating_point(task, prod, bigram=True, ref_scores=ref["_scores"])
+    assert rb["wer"] <= ref["wer"] + 0.005          # bigram: parity
+    assert rb["mean_degradation"] < 1.0
+    assert rb["wer"] <= r["wer"] - 0.02             # and beats unigram
+    assert rb["mean_degradation"] <= r["mean_degradation"] - 1.0
