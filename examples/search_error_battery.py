@@ -72,6 +72,49 @@ def main():
                       "beam": None, "wer": round(ref["wer"], 4)}))
 
     mode = os.environ.get("BATTERY_MODE", "grid")
+    if mode == "power":
+        # ---- statistical power upgrade (r2 verdict item 5): the
+        # production-relevant points at BATTERY_UTTS=200+, with paired
+        # utterance-bootstrap CIs so the "<=0.5% absolute" claims carry
+        # intervals instead of word counts.
+        from rasr_tpu.pipeline.battery import paired_bootstrap_delta
+
+        points = [(128, 90.0), (256, 90.0), (512, 90.0), (256, 120.0)]
+        print("| K | beam | la | WER | search-err | mean-degr | dWER(bi-uni) [95% CI] |")
+        print("|---|------|----|-----|-----------|-----------|----------------------|")
+        for K, beam in points:
+            rows = {}
+            for bi in (0, 1):
+                cfg = BeamConfig(
+                    max_hyps=K, beam=beam, word_end_limit=64,
+                    root_hyps=16, lm_scale=lm_scale,
+                )
+                rows[bi] = run_operating_point(
+                    task, cfg, bigram=bool(bi), ref_scores=ref["_scores"]
+                )
+            bs = paired_bootstrap_delta(rows[0], rows[1])
+            for bi in (0, 1):
+                r = rows[bi]
+                d = (
+                    f"{bs['delta']:+.4f} [{bs['ci_lo']:+.4f},{bs['ci_hi']:+.4f}]"
+                    f" P(bi better)={bs['p_better']:.2f}" if bi else ""
+                )
+                print(
+                    f"| {K} | {beam:.0f} | {'bigram' if bi else 'unigram'} "
+                    f"| {r['wer']:.4f} | {r['search_error_rate']:.3f} "
+                    f"| {r['mean_degradation']:.2f} | {d} |", flush=True,
+                )
+            # ref-parity deltas with CIs (the <=0.5% absolute criterion)
+            for bi in (0, 1):
+                bs_ref = paired_bootstrap_delta(ref, rows[bi])
+                print(json.dumps({
+                    "point": f"K{K}_b{beam:.0f}",
+                    "la": "bigram" if bi else "unigram",
+                    "wer": round(rows[bi]["wer"], 4),
+                    "dwer_vs_ref": round(bs_ref["delta"], 4),
+                    "ci": [round(bs_ref["ci_lo"], 4), round(bs_ref["ci_hi"], 4)],
+                }), file=sys.stderr, flush=True)
+        return
     if mode == "corr-sweep":
         # ---- follow-up to scale-sweep: the plain lookahead_scale
         # conflates the (helpful) unigram level with the (over-
