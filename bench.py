@@ -170,6 +170,10 @@ def build_setup(
         bla = build_bigram_lookahead(
             tree, lm,
             num_classes=int(os.environ.get("BENCH_LA_CLASSES", "64")),
+            # 3 = trigram (last-two-word pair) anchors — only
+            # meaningful with BENCH_LM_ORDER >= 3
+            order=min(int(os.environ.get("BENCH_LA_ORDER", "2")), 3),
+            smooth=float(os.environ.get("BENCH_LA_SMOOTH", "0.0")),
         )
         assert bla is not None, "bigram lookahead unsupported for this network"
 
