@@ -246,6 +246,11 @@ class SpeechRecognizerTool(Application):
             lookahead_corr_scale=float(
                 search.param("lookahead-corr-scale", 1.0)
             ),
+            # "survivor" = lazy correction updates (the reference's
+            # activation-on-node-entry; NOT exact — see BeamConfig)
+            lookahead_update=str(
+                search.param("lookahead-update", "arc")
+            ),
             lm_scale=float(search.param("lm-scale", 10.0)),
         )
         rnn_fusion = None

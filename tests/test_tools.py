@@ -417,6 +417,19 @@ def test_recognizer_bigram_lookahead(workdir):
     assert "WER: 0.0000" in out2
     log = (workdir / "sr2.log").read_text()
     assert "network image loaded" in log
+    # order-3 + smoothed + corr-scaled + survivor updates (r3 knobs)
+    # through the CLI surface — 0 WER must hold (shaping/laziness only
+    # affects pruning, and the toy task is solvable at these widths)
+    args3 = [a for a in args if "lookahead-order" not in a
+             and "network-cache" not in a and "log-file" not in a] + [
+        "--speech-recognizer.search.lookahead-order=3",
+        "--speech-recognizer.search.lookahead-smooth=1.0",
+        "--speech-recognizer.search.lookahead-corr-scale=0.5",
+        "--speech-recognizer.search.lookahead-update=survivor",
+        "--speech-recognizer.log-file=sr3.log",
+    ]
+    out3 = run_tool("rasr_tpu.tools.speech_recognizer", *args3, cwd=cwd)
+    assert "WER: 0.0000" in out3
 
 
 def test_recognizer_rnn_fusion(workdir):
