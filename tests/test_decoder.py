@@ -644,6 +644,28 @@ def test_trigram_lookahead_exact_and_conditions_on_pairs():
         assert r0.words == r1.words
 
 
+def test_wordset_lookahead_rejects_wfst_style_networks():
+    """The condensed-network builder must fall back (return None) for
+    networks it cannot prove interval-safe: word-end re-entries at
+    NON-root states (WFST junctions) and graphs with high->low arcs."""
+    import copy
+
+    from rasr_tpu.search.lookahead import build_bigram_lookahead
+
+    lex, topo, tying, trans, lm, tables, tree, _ = _bigram_la_setup()
+    # (a) re-entry at an emitting state = WFST-style junction
+    t1 = copy.deepcopy(tree)
+    t1.we_next = np.zeros_like(t1.we_word)
+    ws = int(np.flatnonzero(t1.we_word[:, 0] != -1)[0])
+    t1.we_next[ws, 0] = ws  # re-enter at itself (any non-root works)
+    assert build_bigram_lookahead(t1, lm, num_classes=8) is None
+    # (b) an arc running high -> low breaks the builders' invariant
+    t2 = copy.deepcopy(tree)
+    t2.arc_dst = t2.arc_dst.copy()
+    t2.arc_dst[-1] = 1  # last arc now points backwards
+    assert build_bigram_lookahead(t2, lm, num_classes=8) is None
+
+
 def test_survivor_lookahead_update_bounded():
     """lookahead-update=survivor (the reference's LAZY lookahead
     activation): scores must remain VALID path scores bounded by the
