@@ -912,12 +912,21 @@ def _make_step(
         own_cls = jnp.where(cls_raw < 0, -cls_raw - 1, cls_raw)
         if deep_arc:
             # word-set lookahead: node-crossing delta per dense arc
-            # (pair id 0 = within-node = zero row; loops never cross)
+            # (pair id 0 = within-node = zero row; loops never cross).
+            # d1+d2 deltas ride ONE gather dispatch ([B, 2K] indices)
             Csp = state_pack.shape[1]
             # history class per hyp: carried (ride_cls) or gathered
             c_e = cls_c if ride_cls else _gsel(cls4, lms_e)
-            d1_dphi = _gsel(dpair4, c_e * P1 + pk[..., Csp - 2])
-            d2_dphi = _gsel(dpair4, c_e * P1 + pk[..., Csp - 1])
+            cp = c_e * P1
+            dd = _gsel(
+                dpair4,
+                jnp.concatenate(
+                    [cp + pk[..., Csp - 2], cp + pk[..., Csp - 1]], axis=1
+                ),
+            )
+            Kl = pk.shape[1]
+            d1_dphi = dd[:, :Kl]
+            d2_dphi = dd[:, Kl:]
             p_d1 = p_d1 + d1_dphi
             p_d2 = p_d2 + d2_dphi
         if ride_phi:
