@@ -647,10 +647,17 @@ def _make_step(
     use_deep = use_bla and bla.deep
     # survivor (lazy) correction updates: refresh phi2 once per frame
     # for the K+R3 survivors instead of per expansion candidate — the
-    # reference's lazy lookahead activation; NOT exact (see BeamConfig)
-    lazy_phi = (
-        use_deep and cfg.lookahead_update == "survivor" and Pn == 1
-    )
+    # reference's lazy lookahead activation; NOT exact (see BeamConfig).
+    # Does NOT compose with beam partitioning: the refresh rides the
+    # phi payload (single-device only), and _build_state_pack already
+    # dropped the pair columns the arc-exact fallback would need —
+    # falling back silently would read garbage columns, so refuse.
+    lazy_phi = use_deep and cfg.lookahead_update == "survivor"
+    if lazy_phi and Pn > 1:
+        raise ValueError(
+            "lookahead-update=survivor does not compose with beam "
+            "partitioning (use the exact 'arc' updates there)"
+        )
     deep_arc = use_deep and not lazy_phi
     # carry-riding of (class, applied phi2): kills the per-frame
     # [B,K]/[B,Wbr]/[B,KW] class lookups + the word-end undo gather at
