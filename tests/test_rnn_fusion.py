@@ -236,3 +236,39 @@ def test_rnn_fusion_streaming_memory_is_bounded(setup, rng):
         sd.feed(rng.uniform(0.0, 6.0, size=(1, Tb, M)).astype(np.float32))
         assert sd._carry[-2].shape[1] == cap
     assert sd.finalize()[0].score < 1e29
+
+
+def test_rnn_fusion_composes_with_bigram_lookahead(setup, rng):
+    """RNN fusion + bigram-lookahead shaping TOGETHER (both ride carry
+    extras through the sorts): shaping must cancel (same fused scores
+    as fusion alone), offline and via streaming blocks."""
+    from rasr_tpu.search.lookahead import build_bigram_lookahead
+    from rasr_tpu.search.streaming import StreamingDecoder
+
+    lex, topo, tying, trans, lm, tables, tree, fusion = setup
+    bla = build_bigram_lookahead(tree, lm, num_classes=4)
+    assert bla is not None
+    M = tying.num_classes
+    T, B = 8, 2
+    emis = rng.uniform(0.0, 6.0, size=(B, T, M)).astype(np.float32)
+    nfr = np.full(B, T, np.int32)
+    cfg = BeamConfig(
+        max_hyps=64, beam=1e9, word_end_limit=16, root_hyps=64,
+        lm_scale=0.7,
+    )
+    plain = TreeDecoder(tree, tables, cfg, rnn_fusion=fusion).decode_scores(
+        emis, nfr
+    )
+    dec = TreeDecoder(
+        tree, tables, cfg, bigram_la=bla, rnn_fusion=fusion
+    )
+    both = dec.decode_scores(emis, nfr)
+    for a, b in zip(plain, both):
+        np.testing.assert_allclose(b.score, a.score, rtol=1e-5, atol=1e-4)
+        assert a.words == b.words
+    sd = StreamingDecoder(dec).restart(B, n_frames=nfr)
+    for lo in (0, 4):
+        sd.feed(emis[:, lo : lo + 4])
+    for a, b in zip(both, sd.finalize()):
+        np.testing.assert_allclose(b.score, a.score, rtol=1e-5, atol=1e-4)
+        assert a.words == b.words
