@@ -394,6 +394,10 @@ def build_bigram_lookahead(
         raise ValueError(f"unknown lookahead granularity {granularity!r}")
     if order not in (2, 3):
         raise ValueError(f"lookahead order must be 2 or 3, got {order}")
+    if order == 3 and not any(len(k) >= 3 for k in lm.ngrams):
+        # no trigrams in the LM: pair anchors would collapse to their
+        # bigram fallbacks while HALVING the word-anchor budget
+        order = 2
     if granularity == "word-set":
         return _build_wordset(tree, lm, num_classes, order, smooth)
     return _build_first_phone(tree, lm, num_classes, order)
