@@ -1167,14 +1167,20 @@ def _make_step(
             rs_lm = hr[..., 0]
             rs_bp = hr[..., 1]
             if ride_phi:
-                rs_cls = (rs_bp % Cn) if pack_pc else hr[..., 2]
+                # HISTORY class of the source hyp — deliberately named
+                # apart from rs_cls below, which is the destination
+                # state's EMISSION class (a same-name clobber here once
+                # corrupted the packed (bp, class) payload: emission
+                # classes >= num_classes overflowed into the bp field —
+                # caught by the 24-seed deep fuzz, 2026-08-21)
+                rs_lcls = (rs_bp % Cn) if pack_pc else hr[..., 2]
             if use_rnn:
                 rs_rnn = hr[..., 3 if need_cls_col else 2]
             if ride_phi:
                 # the survivor's applied correction = exactly the
                 # corr_arc term inside rs_pre (gcap arcs are a prefix
                 # slice of the same [C, G] table)
-                rs_phi = _gsel(corr_arc4, rs_cls * G + rs_g)
+                rs_phi = _gsel(corr_arc4, rs_lcls * G + rs_g)
             rp = root_pack[rs_g]  # [B,R3,2] (dst, cls) row gather
             rs_state = rp[..., 0]
             rs_cls = rp[..., 1]
@@ -1471,7 +1477,7 @@ def _make_step(
                 [n_bp, (rs_bp // Cn - 1) if pack_pc else rs_bp], axis=1
             )
             if ride_cls:
-                w_lcls = jnp.concatenate([n_lcls, rs_cls], axis=1)
+                w_lcls = jnp.concatenate([n_lcls, rs_lcls], axis=1)
             if ride_phi:
                 w_phi = jnp.concatenate([n_phi, rs_phi], axis=1)
             if use_rnn:

@@ -67,7 +67,13 @@ def _oracle(lex, topo, tying, trans, lm, emissions, T, lm_scale, max_tokens):
         for w in seq:
             if w == "[SILENCE]":
                 continue
-            wid = lm.vocab[w]
+            wid = lm.vocab.get(w)
+            if wid is None:
+                # lexicon word absent from the (tiny random) training
+                # text and no <unk>: the network scores it as a no-LM
+                # word — zero cost, history unchanged (tree.py
+                # _lm_word_of -> WORD_SILENCE). Mirror that here.
+                continue
             c += lm_scale * lm.score(h, wid)
             h = lm.extended_history(h, wid)
         return c + lm_scale * lm.score(h, eos)
@@ -116,14 +122,20 @@ def _oracle(lex, topo, tying, trans, lm, emissions, T, lm_scale, max_tokens):
     )
     cost = np.asarray(cost)
     best = (np.inf, None)
+    totals = {}
     for i, seq in enumerate(seqs):
         total = float(cost[i]) + lm_cost_of(seq)
+        totals[tuple(seq)] = min(totals.get(tuple(seq), np.inf), total)
         if total < best[0]:
             best = (total, seq)
-    return best
+    # ties happen at random costs (e.g. one long silence vs two short
+    # ones); callers accept ANY sequence whose cost equals the optimum
+    return best + (totals,)
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88])
+# 101: oracle OOV handling; 109: caught the rs_cls emission-class
+# clobber corrupting the packed (bp, class) payload (round 3)
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 101, 109])
 def test_decoder_fuzz_exact(seed):
     rng = np.random.default_rng(seed)
     # ---- random system ----------------------------------------------
@@ -204,9 +216,15 @@ def test_decoder_fuzz_exact(seed):
     )
     (res,) = dec.decode_scores(emis, np.array([T]))
     # horizon T covers every decodable sequence: each token uses >=1 frame
-    oracle_score, oracle_seq = _oracle(
+    oracle_score, oracle_seq, oracle_totals = _oracle(
         lex, topo, tying, trans, lm, emis, T, lm_scale, max_tokens=T
     )
     got = [l.primary_orth for l in res.lemmas]
     np.testing.assert_allclose(res.score, oracle_score, rtol=1e-4, atol=1e-3)
-    assert got == list(oracle_seq), (got, oracle_seq, variant, seed)
+    # the decoded sequence must BE an optimal one (ties allowed: the
+    # decoder's argmin order is not the oracle's enumeration order)
+    got_cost = oracle_totals.get(tuple(got), np.inf)
+    assert (
+        got == list(oracle_seq)
+        or got_cost <= oracle_score + max(1e-3, 1e-4 * abs(oracle_score))
+    ), (got, oracle_seq, got_cost, oracle_score, variant, seed)
