@@ -630,7 +630,13 @@ def test_crossword_fuzz_exact(seed):
         for w in seq:
             if w == "[SILENCE]":
                 continue
-            wid = lm.vocab[w]
+            wid = lm.vocab.get(w)
+            if wid is None:
+                # lexicon word absent from the tiny random training
+                # text (no <unk>): the network scores it as a no-LM
+                # word — zero cost, history unchanged (tree.py
+                # _lm_word_of). Mirror that here.
+                continue
             c += lm_scale * lm.score(h, wid)
             h = lm.extended_history(h, wid)
         return c + lm_scale * lm.score(h, eos)
