@@ -120,24 +120,29 @@ def build_linear_graph(
             word_end.append(k == len(states) - 1)
             lemma_idx.append(-1)
 
-    def pron_of(lemma: Lemma) -> Pronunciation:
+    def pron_of(lemma: Lemma, w: int = 0) -> Pronunciation:
         if not lemma.pronunciations:
             raise OrthographyError(f"lemma {lemma.primary_orth!r} has no pronunciation")
-        return lemma.pronunciations[
-            min(pronunciation_index, len(lemma.pronunciations) - 1)
-        ]
+        # pronunciation_index: a single int (same variant for every
+        # lemma, clamped) or a per-lemma sequence (lattice/rescore.py
+        # sweeps the variant cross product of multi-word arcs)
+        if isinstance(pronunciation_index, (list, tuple)):
+            idx = pronunciation_index[w]
+        else:
+            idx = pronunciation_index
+        return lemma.pronunciations[min(idx, len(lemma.pronunciations) - 1)]
 
     push_silence()
     for w, lemma in enumerate(lemmas):
-        pron = pron_of(lemma)
+        pron = pron_of(lemma, w)
         left = right = 0
         if across_word:
             # true junction contexts: the neighbor's edge phone (ci
             # neighbors break to # inside phone_sequence_states)
             if w > 0:
-                left = pron_of(lemmas[w - 1]).phonemes[-1]
+                left = pron_of(lemmas[w - 1], w - 1).phonemes[-1]
             if w + 1 < len(lemmas):
-                right = pron_of(lemmas[w + 1]).phonemes[0]
+                right = pron_of(lemmas[w + 1], w + 1).phonemes[0]
         states = alphabet.phone_sequence_states(
             pron.phonemes, topology,
             across_word_left=left, across_word_right=right,

@@ -14,6 +14,7 @@ lattice-based EBW accumulation uses, train/discriminative.py).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Optional
 
 import jax.numpy as jnp
@@ -74,18 +75,28 @@ def rescore_am(
             new_arcs[ai].am_score = BIG
             continue
         try:
-            # one graph per pronunciation variant (min taken after the
-            # batched DP); multi-token orths use variant i of every
-            # lemma (clamped), which reduces to the per-pronunciation
-            # sweep for the single-word arcs decoders emit
-            n_var = max(
-                (len(l.pronunciations) or 1)
+            # one graph per pronunciation-variant COMBINATION (min taken
+            # after the batched DP): multi-token orths enumerate the
+            # per-lemma variant cross product (capped; beyond the cap a
+            # clamped diagonal sweep is a documented approximation),
+            # which reduces to the plain per-pronunciation sweep for the
+            # single-word arcs decoders emit
+            counts = [
+                max(len(l.pronunciations), 1)
                 for l in orth_to_lemmas(orth, lexicon, allow_unknown=False)
-            )
-            for vi in range(n_var):
+            ]
+            n_prod = 1
+            for c in counts:
+                n_prod *= c
+            if n_prod <= 256:
+                combos = list(itertools.product(*[range(c) for c in counts]))
+            else:  # pathological arc: diagonal sweep (variant i everywhere)
+                combos = [(vi,) * len(counts) for vi in range(max(counts))]
+            for combo in combos:
                 g = build_linear_graph(
                     orth, lexicon, tying, topology, transitions,
-                    optional_silence=False, pronunciation_index=vi,
+                    optional_silence=False,
+                    pronunciation_index=list(combo),
                     allow_unknown=False,
                 )
                 spans.append((lo, hi))

@@ -149,6 +149,14 @@ def _num_roots(tree: PrefixTree) -> int:
     n = 0
     while n < tree.num_states and loops[n] >= BIG / 2:
         n += 1
+    # guard the inference: roots must be EXACTLY the non-emitting prefix.
+    # An emitting state with a pseudo-infinite loop TDP later in the
+    # array would mean the builders' root layout changed — fail loudly
+    # instead of silently mis-assigning intervals/sentinels.
+    assert not np.any(loops[max(n, 1):] >= BIG / 2), (
+        "non-emitting state outside the root prefix; _num_roots cannot "
+        "infer the root count from loop costs for this network"
+    )
     return max(n, 1)
 
 
@@ -582,13 +590,17 @@ def _build_wordset(
         # (phi telescoping) is untouched.
         uniq, inv = np.unique(dpair.T, axis=0, return_inverse=True)
         inv = inv.reshape(-1)  # numpy 2.x keeps the extra axis
-        zi = int(np.flatnonzero(np.all(uniq == 0, axis=1))[0])
+        # invariant: dpair[:, 0] is the always-zero no-crossing column
+        # (arc_pair id 0), so a zero column must exist after dedup
+        zcols = np.flatnonzero(np.all(uniq == 0, axis=1))
+        assert zcols.size, "dpair lost its zero (no-crossing) column"
+        zi = int(zcols[0])
         if zi != 0:
-            order = np.arange(uniq.shape[0])
-            order[0], order[zi] = zi, 0
-            uniq = uniq[order]
-            remap = np.empty_like(order)
-            remap[order] = np.arange(order.size)
+            perm = np.arange(uniq.shape[0])
+            perm[0], perm[zi] = zi, 0
+            uniq = uniq[perm]
+            remap = np.empty_like(perm)
+            remap[perm] = np.arange(perm.size)
             inv = remap[inv]
         arc_pair = inv[arc_pair].astype(np.int32)
         dpair = np.ascontiguousarray(uniq.T, dtype=np.float32)

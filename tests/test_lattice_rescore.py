@@ -137,3 +137,31 @@ def test_rescore_marks_impossible_spans_and_keeps_eps():
     out = rescore_am(lat, emis, lex, tying, topo, TransitionModel())
     assert out.arcs[0].am_score >= BIG / 2
     assert out.arcs[1].am_score == 0.0
+
+
+def test_rescore_multiword_arc_variant_cross_product():
+    """A multi-word arc whose true best combination is OFF-diagonal
+    (lemma 1 needs variant 1, lemma 2 needs variant 0): the diagonal
+    sweep (variant i of every lemma) misses it, the cross-product
+    enumeration (ADVICE r3) must find it."""
+    lex = Lexicon()
+    build_default_silence(lex)
+    lex.add_lemma(["X"], [((["a"]), 0.0), ((["b"]), 0.0)])
+    lex.add_lemma(["Y"], [((["a"]), 0.0), ((["b"]), 0.0)])
+    topo = HmmTopology(states_per_phone=1, silence_states=1)
+    tying = MonophoneStateTying(lex, topo)
+    M = tying.num_classes
+    T = 2
+    lat = Lattice(
+        num_nodes=2,
+        arcs=[LatticeArc(0, 1, 0, 0.0, 0.0)],
+        node_time=np.array([0, T]),
+        final_scores={1: 0.0},
+        lemma_orths=["X Y"],
+    )
+    # acoustics: b then a -> X=variant 1 (b), Y=variant 0 (a)
+    emis = _planted_emissions(lex, tying, ["b", "a"], T, M)
+    out = rescore_am(lat, emis, lex, tying, topo, TransitionModel())
+    # diagonal combos (a a / b b) each pay a planted 50; the true
+    # combo aligns on zeros (TDP-only)
+    assert out.arcs[0].am_score < 50, out.arcs[0].am_score
