@@ -433,6 +433,10 @@ class BigramTables:
     dpair: Optional[jnp.ndarray]  # [C, P + 1] f32
     num_subtrees: int
     num_classes: int
+    #: general (WFST) networks: word-end re-entries land on non-root
+    #: junction states — the decoder must add corr[class, sub[entry]]
+    #: to each re-entering hypothesis (see lookahead._wordset_general)
+    reentry: bool = False
 
     @property
     def deep(self) -> bool:
@@ -443,7 +447,7 @@ jax.tree_util.register_pytree_node(
     BigramTables,
     lambda t: (
         (t.sub, t.cls_of_lm, t.corr, t.pair1, t.pair2, t.pair_br, t.dpair),
-        (t.num_subtrees, t.num_classes),
+        (t.num_subtrees, t.num_classes, t.reentry),
     ),
     lambda aux, ch: BigramTables(*ch, *aux),
 )
@@ -495,6 +499,7 @@ def bigram_to_device(bla, tree: PrefixTree) -> BigramTables:
         dpair=dpair,
         num_subtrees=G,
         num_classes=int(bla.corr.shape[0]),
+        reentry=bool(getattr(bla, "reentry", False)),
     )
 
 
@@ -755,6 +760,28 @@ def _make_step(
     if deep_arc:
         branch_cols.append(bla.pair_br)  # node-crossing pair per branch arc
     branch_pack = jnp.stack(branch_cols, axis=1)  # [A', 3(+1)] int32
+    # dense-fan branch gather in WIDE-ROW form: the padded fan reads Db
+    # CONSECUTIVE arcs per selected hypothesis (bi = bptr + d), so the
+    # per-(hyp, slot) gather of Kb*Db short rows collapses to ONE
+    # Kb-row gather from a pre-widened [A', Db*C] table whose row p is
+    # branch_pack[p:p+Db] flattened (row-gather cost is per INDEX, width
+    # nearly free — HLO profile 2026-08-21: the [B*Kb*Db, 3] form ran
+    # 89us/frame + a 25us relayout at B=64/Kb=146/Db=7; this is ~7x
+    # fewer gather indices). Budgeted: skipped for huge-fan networks
+    # where A'*Db*C would blow memory (those use branch_width anyway).
+    Cb = branch_pack.shape[1]
+    A_arcs = branch_pack.shape[0]
+    use_wide_br = (
+        not use_cw and Db > 1
+        and (A_arcs + Db) * Db * Cb * 4 <= 16 * 2**20
+    )
+    if use_wide_br:
+        bp_pad = jnp.concatenate(
+            [branch_pack, jnp.zeros((Db - 1, Cb), jnp.int32)], axis=0
+        )
+        branch_wide = jnp.concatenate(
+            [bp_pad[d : A_arcs + d] for d in range(Db)], axis=1
+        )  # [A', Db*Cb]: row p = arcs p..p+Db-1
     use_werank = cfg.word_end_rank_lm
     we_cols = [
         tree.we_word,
@@ -1042,10 +1069,16 @@ def _make_step(
                 br_rnn = hp[..., j_rnn]
         else:
             dslots = jnp.arange(Db, dtype=jnp.int32)
-            bi = bptr[..., None] + dslots
             ok = dslots < deg[..., None]
-            bi = jnp.where(ok, bi, 0)
-            bpk = branch_pack[bi]  # [B,Kb,Db,3(+1)] (1 gather dst/cost/cls)
+            if use_wide_br:
+                # one Kb-row gather of pre-widened rows (see table build)
+                bpk = branch_wide[jnp.where(deg > 0, bptr, 0)].reshape(
+                    B, kbranch, Db, Cb
+                )
+            else:
+                bi = bptr[..., None] + dslots
+                bi = jnp.where(ok, bi, 0)
+                bpk = branch_pack[bi]  # [B,Kb,Db,3(+1)] (1 gather)
             b_dst = jnp.where(ok, bpk[..., 0], SENT)
             b_cls = jnp.where(ok, bpk[..., 2], 0)
             b_cost = jnp.where(ok, bc_f(bpk[..., 1]), BIG)
@@ -1539,6 +1572,21 @@ def _make_step(
             # all_gather merge)
             c_w = _gsel(cls4, w_lm)  # [B,KW]
             we_base = we_base - _gsel(corr4, c_w * Gla1 + sub_w)
+        # source-hypothesis columns (lm state, backpointer, rnn row)
+        # RIDE the selection sorts as payload operands instead of a
+        # post-hoc stack + row gather: the [B*KW, 2] (lm, bp) interleave
+        # relayout feeding that gather was the single most expensive op
+        # in the frame (HLO profile 2026-08-21: 154us copy + 38us gather
+        # per frame at B=64/KW=1536; an extra sort operand at this width
+        # costs ~12-15us). The variadic sort replaces top_k with the
+        # slot iota as a SECOND sort key, reproducing top_k's
+        # deterministic by-index tie-break exactly (equal-score
+        # homophone records must keep the same winner as before —
+        # test_word_end_pruning pins this).
+        kw_iota = jnp.broadcast_to(
+            jnp.arange(KW, dtype=jnp.int32)[None, :], (B, KW)
+        )
+        src_ops = [w_lm, w_bp] + ([w_rnnrow] if use_rnn else [])
         if wmax > 1:
             # two-stage EXACT top-R. Per-state word-end slots are
             # COST-SORTED at flatten time (slot j >= slot 0 for the same
@@ -1557,40 +1605,57 @@ def _make_step(
                 + (bc_f(wpk[..., 0, 6]) if use_werank else 0.0),
                 BIG,
             )
-            negh, hsel = jax.lax.top_k(-pre0, min(R, KW))  # [B, Rh]
-            Rh = hsel.shape[1]
+            Rh = min(R, KW)
+            s1 = jax.lax.sort(
+                (pre0, kw_iota, bc_i(we_base), *src_ops),
+                dimension=1, num_keys=2, is_stable=False,
+            )
+            hsel = s1[1][:, :Rh]
+            base_r = bc_f(s1[2][:, :Rh])  # [B, Rh]
+            src_r = [o[:, :Rh] for o in s1[3:]]
             wpk_r = rowsel(wpk.reshape(B, KW, wmax * C_we), hsel).reshape(
                 B, Rh, wmax, C_we
             )
-            base_r = rowsel(we_base[..., None], hsel)[..., 0]  # [B, Rh]
             pre = jnp.where(
                 wpk_r[..., 0] != WORD_NONE,
                 base_r[..., None] + bc_f(wpk_r[..., 1])
                 + (bc_f(wpk_r[..., 6]) if use_werank else 0.0),
                 BIG,
             ).reshape(B, Rh * wmax)
-            neg_r, ridx = jax.lax.top_k(-pre, R)
-            r_pre = -neg_r  # [B,R]
+            rw_iota = jnp.broadcast_to(
+                jnp.arange(Rh * wmax, dtype=jnp.int32)[None, :],
+                (B, Rh * wmax),
+            )
+            s2 = jax.lax.sort(
+                (pre, rw_iota, *[jnp.repeat(o, wmax, axis=1) for o in src_r]),
+                dimension=1, num_keys=2, is_stable=False,
+            )
+            r_pre = s2[0][:, :R]
+            ridx = s2[1][:, :R]
+            src_sel = [o[:, :R] for o in s2[2:]]
             roff = jnp.asarray(
                 np.arange(B, dtype=np.int32)[:, None] * (Rh * wmax)
             )
             rsel = wpk_r.reshape(B * Rh * wmax, C_we)[ridx + roff]  # [B,R,C_we]
-            src = rowsel(hsel[..., None], ridx // wmax)[..., 0]
         else:
             wc = bc_f(wpk[..., 1])
             if use_werank:
                 wc = wc + bc_f(wpk[..., 6])
             pre = jnp.where(
                 ww != WORD_NONE, we_base[..., None] + wc, BIG
-            ).reshape(B, KW * wmax)
-            neg_r, ridx = jax.lax.top_k(-pre, R)
-            r_pre = -neg_r  # [B,R]
+            ).reshape(B, KW)
+            s1 = jax.lax.sort(
+                (pre, kw_iota, *src_ops),
+                dimension=1, num_keys=2, is_stable=False,
+            )
+            r_pre = s1[0][:, :R]
+            ridx = s1[1][:, :R]
+            src_sel = [o[:, :R] for o in s1[2:]]
             # flat row gather of the selected word-end records (fast path)
             roff = jnp.asarray(
                 np.arange(B, dtype=np.int32)[:, None] * (KW * wmax)
             )
             rsel = wpk.reshape(B * KW * wmax, C_we)[ridx + roff]  # [B,R,C_we]
-            src = ridx // wmax
         if use_werank:
             # undo the unigram selection bias: survivors carry their true
             # pre-LM path score; the exact LM cost replaces the estimate
@@ -1600,13 +1665,8 @@ def _make_step(
         r_word = rsel[..., 0]
         r_lemma = rsel[..., 2]
         r_next = rsel[..., 3]
-        # (two quarter-row fsels instead of this packed row gather
-        # measured 331 vs 333 audio-s/s — the interleave copy the stack
-        # pays here overlaps with other work; don't redo)
-        src_cols = [w_lm, w_bp] + ([w_rnnrow] if use_rnn else [])
-        src_rows = rowsel(jnp.stack(src_cols, axis=-1), src)  # [B,R,2(+1)]
-        r_srclm = src_rows[..., 0]
-        r_srcbp = src_rows[..., 1]
+        r_srclm = src_sel[0]
+        r_srcbp = src_sel[1]
 
         is_lm_word = r_word >= 0
         lm_cost, lm_next = lookup_prepared(
@@ -1622,7 +1682,7 @@ def _make_step(
             # row (r_srcrow — payload column, no record-id keying).
             from .rnn_fusion import cell_step, word_scores
 
-            r_srcrow = src_rows[..., 2]  # [B,R]
+            r_srcrow = src_sel[2]  # [B,R]
             h_src = rowsel(rnn_hs, r_srcrow)  # [B,R,H]
             c_src = rowsel(rnn_cs, r_srcrow)
             wid = rnn.word_map[jnp.maximum(r_word, 0)]  # [B,R]
@@ -1673,6 +1733,17 @@ def _make_step(
         root_state = jnp.where(r_valid, r_next, SENT)
         root_score = jnp.where(r_valid, r_score, BIG)
         root_bp = rec_id
+        if use_bla and bla.reentry:
+            # general (WFST) networks: word-end re-entries land on
+            # junction states with non-sentinel lookahead nodes — add
+            # the entry node's correction to the re-entering score
+            # (exact shaping: the within-word machinery undoes the
+            # carried phi at the next word end; on tree/across-word
+            # networks every re-entry hits a zero-sentinel root and
+            # this path is never compiled in)
+            c_re = _gsel(cls4, r_newlm)
+            phi_re = _gsel(corr4, c_re * Gla1 + _gsel(sub4, root_state))
+            root_score = jnp.where(r_valid, root_score + phi_re, BIG)
 
         # --------------- merge word-end re-entries (+ root-select arrivals)
         m_score = jnp.concatenate([w_score, root_score], axis=1)
@@ -1700,11 +1771,16 @@ def _make_step(
         if ride_cls_col:
             m_cols.append(jnp.concatenate([w_lcls, cls_new], axis=1))
         if ride_phi:
-            # re-entry hyps restart at a root: phi2 = 0
+            # re-entry hyps restart at a root: phi2 = 0 — except on
+            # general (WFST) networks, where the applied correction of
+            # the junction entry rides along for the next word-end undo
+            re_phi_col = (
+                bc_i(jnp.where(r_valid, phi_re, 0.0))
+                if (use_bla and bla.reentry)
+                else jnp.zeros((B, R), jnp.int32)
+            )
             m_cols.append(
-                jnp.concatenate(
-                    [bc_i(w_phi), jnp.zeros((B, R), jnp.int32)], axis=1
-                )
+                jnp.concatenate([bc_i(w_phi), re_phi_col], axis=1)
             )
         if use_rnn:
             m_cols.append(jnp.concatenate([w_rnnrow, new_rnnrow], axis=1))

@@ -42,8 +42,12 @@ the zero sentinel correction, so word-end re-entries need no add-back
 and the arcs leaving a context root apply corr[c, head] through the
 same per-arc crossing-delta machinery as within-word node boundaries
 (the state-0 fan-out keeps the decoder's pre-selected corr_arc path).
-General WFST networks (non-root re-entries) return None; callers fall
-back to unigram-only shaping. First-phone granularity remains
+General WFST networks (junction states, non-root word-end re-entries,
+cyclic dense arcs) go through ``_wordset_general``: reachable word
+sets by bitset fixpoint, with the decoder adding the entry node's
+correction at each junction re-entry (``BigramLookahead.reentry``) —
+bounded to grammar-scale networks, above which callers fall back to
+unigram-only shaping. First-phone granularity remains
 within-word-only (a context root's fan does not partition into
 first-phone subtrees).
 """
@@ -95,6 +99,12 @@ class BigramLookahead:
     #: correction delta table (column 0 = zeros)
     arc_pair: Optional[np.ndarray] = None  # [A] int32
     dpair: Optional[np.ndarray] = None  # [num_classes, P + 1] f32
+    #: general-network (WFST) word-set tables: word-end re-entries land
+    #: at non-root junction states whose node correction is nonzero, so
+    #: the decoder must ADD corr[class, sub_state[entry]] to each
+    #: re-entering hypothesis (and carry it as the applied phi2) — the
+    #: add-back the root's zero sentinel makes unnecessary elsewhere
+    reentry: bool = False
 
     @property
     def num_subtrees(self) -> int:
@@ -149,15 +159,16 @@ def _num_roots(tree: PrefixTree) -> int:
     n = 0
     while n < tree.num_states and loops[n] >= BIG / 2:
         n += 1
-    # guard the inference: roots must be EXACTLY the non-emitting prefix.
-    # An emitting state with a pseudo-infinite loop TDP later in the
-    # array would mean the builders' root layout changed — fail loudly
-    # instead of silently mis-assigning intervals/sentinels.
-    assert not np.any(loops[max(n, 1):] >= BIG / 2), (
-        "non-emitting state outside the root prefix; _num_roots cannot "
-        "infer the root count from loop costs for this network"
-    )
-    return max(n, 1)
+    n = max(n, 1)
+    # guard the inference (ADVICE r3): roots must be EXACTLY the
+    # non-emitting prefix. A non-emitting state elsewhere (e.g. a
+    # WFST junction, or an emitting state handed a pseudo-infinite
+    # loop TDP) means the prefix-root layout assumption is wrong —
+    # signal "not a root-prefixed network" instead of silently
+    # mis-assigning intervals/sentinels.
+    if np.any(loops[n:] >= BIG / 2):
+        return -1
+    return n
 
 
 def _forest_intervals(tree: PrefixTree, n_roots: int):
@@ -377,6 +388,175 @@ def _class_costs_ctx(
     return out
 
 
+def _compile_arc_pairs(tree: PrefixTree, node_of, N: int, corr):
+    """Per-arc node-crossing pair ids + the deduped [C, P+1] delta table.
+
+    State-0 arcs are excluded (the decoder's root fan-out applies the
+    correction via the trace-time corr_arc table); arcs out of OTHER
+    roots (across-word context roots — sentinel node, corr 0) cross
+    like any within-word arc and land in dense/branch slots."""
+    S = tree.num_states
+    C = corr.shape[0]
+    ptr = tree.arc_ptr.astype(np.int64)
+    deg = ptr[1:] - ptr[:-1]
+    src = np.repeat(np.arange(S, dtype=np.int64), deg)
+    dst = tree.arc_dst.astype(np.int64)
+    A = dst.shape[0]
+    ns = node_of[src].astype(np.int64)
+    nd = node_of[dst].astype(np.int64)
+    cross = (src >= 1) & (ns != nd)
+    arc_pair = np.zeros(A, np.int32)
+    ci = np.flatnonzero(cross)
+    upair, pinv = (
+        np.unique(ns[ci] * np.int64(N + 1) + nd[ci], return_inverse=True)
+        if ci.size
+        else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    )
+    arc_pair[ci] = (pinv + 1).astype(np.int32)  # 0 = no crossing
+    P = int(upair.size)
+    dpair = np.zeros((C, P + 1), np.float32)
+    if P:
+        pns = upair // np.int64(N + 1)
+        pnd = upair % np.int64(N + 1)
+        # corr's column N (sentinel) is zero, so root-leaving arcs get
+        # the full corr[c, head] as their delta
+        dpair[:, 1:] = corr[:, pnd] - corr[:, pns]
+        # dedup identical delta COLUMNS: with num_classes anchors most
+        # node crossings share a correction pattern and the majority
+        # are all-zero (measured on the 5k-word bench network: 4739
+        # pair columns -> 1046 unique, 3013 zero), so the hot dpair
+        # table shrinks ~4x — under the decoder's ~1.1MB VMEM pin
+        # budget, where per-candidate gathers run ~1.5ns/row instead
+        # of HBM speed (docs/PERF.md). Values are unchanged: exactness
+        # (phi telescoping) is untouched.
+        uniq, inv = np.unique(dpair.T, axis=0, return_inverse=True)
+        inv = inv.reshape(-1)  # numpy 2.x keeps the extra axis
+        # invariant: dpair[:, 0] is the always-zero no-crossing column
+        # (arc_pair id 0), so a zero column must exist after dedup
+        zcols = np.flatnonzero(np.all(uniq == 0, axis=1))
+        assert zcols.size, "dpair lost its zero (no-crossing) column"
+        zi = int(zcols[0])
+        if zi != 0:
+            perm = np.arange(uniq.shape[0])
+            perm[0], perm[zi] = zi, 0
+            uniq = uniq[perm]
+            remap = np.empty_like(perm)
+            remap[perm] = np.arange(perm.size)
+            inv = remap[inv]
+        arc_pair = inv[arc_pair].astype(np.int32)
+        dpair = np.ascontiguousarray(uniq.T, dtype=np.float32)
+    return arc_pair, dpair
+
+
+def _wordset_general(
+    tree: PrefixTree, lm: NgramLm, num_classes: int, order: int,
+    smooth: float,
+) -> Optional[BigramLookahead]:
+    """Word-set lookahead nodes for GENERAL networks: WFST compilations
+    with non-root word-end re-entries (junction states) and arbitrary
+    dense-arc topology including cycles (SURVEY §2.5 src/Search/Wfst/ —
+    the reference runs its LM lookahead over the condensed network of
+    any static search space, not just the prefix tree).
+
+    Reachable word sets are computed by a bitset fixpoint over the
+    dense arcs (monotone, so cycles converge) instead of DFS intervals;
+    nodes = distinct non-empty sets. Exactness at re-entry comes from
+    the decoder ADDING the entry node's correction to each re-entering
+    hypothesis (``reentry=True``) — the interval path never needs this
+    because every re-entry lands on a zero-sentinel root. Bounded to
+    grammar-scale networks (the only producers of this shape); above
+    the gates, callers fall back to unigram-only shaping."""
+    S = tree.num_states
+    A = int(np.asarray(tree.arc_dst).shape[0])
+    if S > 200_000 or A > 400_000:
+        return None
+    we = np.asarray(tree.we_word)
+    own = [0] * S
+    for s in range(S):
+        m = 0
+        for w in we[s]:
+            if w != WORD_NONE:
+                # bit w+2: WORD_SILENCE (-2) and real LM word ids; the
+                # interval path scores non-LM instances at cost 0 in
+                # every context — mirrored below
+                m |= 1 << int(w + 2)
+        own[s] = m
+    ptr = np.asarray(tree.arc_ptr)
+    dst = np.asarray(tree.arc_dst)
+    masks = list(own)
+    for _ in range(S + 1):
+        changed = False
+        for s in range(S - 1, -1, -1):
+            m = masks[s]
+            for ai in range(int(ptr[s]), int(ptr[s + 1])):
+                m |= masks[int(dst[ai])]
+            if m != masks[s]:
+                masks[s] = m
+                changed = True
+        if not changed:
+            break
+    # intern non-empty sets; state 0 keeps the sentinel so phi(root)=0
+    # (the decoder's root fan-out applies corr via corr_arc instead)
+    uniq_masks: Dict[int, int] = {}
+    node_raw = np.full(S, -1, np.int64)
+    node_sets: List[int] = []
+    for s in range(1, S):
+        m = masks[s]
+        if m == 0:
+            continue
+        if m not in uniq_masks:
+            uniq_masks[m] = len(node_sets)
+            node_sets.append(m)
+        node_raw[s] = uniq_masks[m]
+    N = len(node_sets)
+    if N == 0:
+        return None
+    node_of = np.where(node_raw < 0, N, node_raw).astype(np.int32)
+
+    uni, anchors, state_class = _anchor_classes(lm, num_classes, order)
+    C = len(anchors) + 1
+    node_words: List[List[int]] = []
+    all_words = set()
+    for m in node_sets:
+        ws = []
+        while m:
+            b = (m & -m).bit_length() - 1
+            ws.append(b - 2)
+            m &= m - 1
+        node_words.append(ws)
+        all_words.update(w for w in ws if w >= 0)
+    words_uniq = np.asarray(sorted(all_words), np.int64)
+
+    def agg(vals):
+        v = np.asarray(vals, np.float64)
+        if smooth > 0.0:
+            return -smooth * np.log(
+                max(np.exp(-v / smooth).sum(), 1e-300)
+            )
+        return v.min()
+
+    corr = np.zeros((C, N + 1), np.float32)
+    base = np.empty(N, np.float64)
+    for n, ws in enumerate(node_words):
+        base[n] = agg([0.0 if w < 0 else uni.get(w, 99.0) for w in ws])
+    for ci, u in enumerate(anchors):
+        big_cost = _class_costs_ctx(lm, uni, u, words_uniq)
+        for n, ws in enumerate(node_words):
+            vals = [0.0 if w < 0 else big_cost.get(w, 99.0) for w in ws]
+            corr[ci, n] = np.float32(agg(vals) - base[n])
+
+    arc_pair, dpair = _compile_arc_pairs(tree, node_of, N, corr)
+    return BigramLookahead(
+        sub_state=node_of,
+        state_class=state_class,
+        corr=corr,
+        anchor_words=_anchors_array(anchors),
+        arc_pair=arc_pair,
+        dpair=dpair,
+        reentry=True,
+    )
+
+
 def build_bigram_lookahead(
     tree: PrefixTree,
     lm: NgramLm,
@@ -494,11 +674,15 @@ def _build_wordset(
     machinery the within-word crossings use — the state-0 fan-out
     stays on the decoder's pre-selected corr_arc path."""
     n_roots = _num_roots(tree)
-    if tree.we_next is not None and np.any(tree.we_next >= n_roots):
-        return None  # non-root re-entries (WFST junctions): unsupported
+    if n_roots < 0 or (
+        tree.we_next is not None and np.any(tree.we_next >= n_roots)
+    ):
+        # WFST shape (junction states / non-root re-entries): the
+        # general bitset path with decoder re-entry add-back
+        return _wordset_general(tree, lm, num_classes, order, smooth)
     spans = _forest_intervals(tree, n_roots)
     if spans is None:
-        return None
+        return _wordset_general(tree, lm, num_classes, order, smooth)
     lo, hi, inst_words = spans
     if inst_words.size == 0:
         return None
@@ -551,60 +735,7 @@ def _build_wordset(
             mins = _range_min(_sparse_min(cost_inst), nlo, nhi)
         corr[ci, :N] = (mins - base).astype(np.float32)
 
-    # ---- per-arc node-crossing pairs ------------------------------------
-    # state-0 arcs are excluded (the decoder's root fan-out applies the
-    # correction via the trace-time corr_arc table); arcs out of the
-    # OTHER roots (across-word context roots — sentinel node, corr 0)
-    # cross like any within-word arc and land in dense/branch slots
-    ptr = tree.arc_ptr.astype(np.int64)
-    deg = ptr[1:] - ptr[:-1]
-    src = np.repeat(np.arange(S, dtype=np.int64), deg)
-    dst = tree.arc_dst.astype(np.int64)
-    A = dst.shape[0]
-    ns = node_of[src].astype(np.int64)
-    nd = node_of[dst].astype(np.int64)
-    cross = (src >= 1) & (ns != nd)
-    arc_pair = np.zeros(A, np.int32)
-    ci = np.flatnonzero(cross)
-    upair, pinv = (
-        np.unique(ns[ci] * np.int64(N + 1) + nd[ci], return_inverse=True)
-        if ci.size
-        else (np.zeros(0, np.int64), np.zeros(0, np.int64))
-    )
-    arc_pair[ci] = (pinv + 1).astype(np.int32)  # 0 = no crossing
-    P = int(upair.size)
-    dpair = np.zeros((C, P + 1), np.float32)
-    if P:
-        pns = upair // np.int64(N + 1)
-        pnd = upair % np.int64(N + 1)
-        # corr's column N (sentinel) is zero, so root-leaving arcs get
-        # the full corr[c, head] as their delta
-        dpair[:, 1:] = corr[:, pnd] - corr[:, pns]
-        # dedup identical delta COLUMNS: with num_classes anchors most
-        # node crossings share a correction pattern and the majority
-        # are all-zero (measured on the 5k-word bench network: 4739
-        # pair columns -> 1046 unique, 3013 zero), so the hot dpair
-        # table shrinks ~4x — under the decoder's ~1.1MB VMEM pin
-        # budget, where per-candidate gathers run ~1.5ns/row instead
-        # of HBM speed (docs/PERF.md). Values are unchanged: exactness
-        # (phi telescoping) is untouched.
-        uniq, inv = np.unique(dpair.T, axis=0, return_inverse=True)
-        inv = inv.reshape(-1)  # numpy 2.x keeps the extra axis
-        # invariant: dpair[:, 0] is the always-zero no-crossing column
-        # (arc_pair id 0), so a zero column must exist after dedup
-        zcols = np.flatnonzero(np.all(uniq == 0, axis=1))
-        assert zcols.size, "dpair lost its zero (no-crossing) column"
-        zi = int(zcols[0])
-        if zi != 0:
-            perm = np.arange(uniq.shape[0])
-            perm[0], perm[zi] = zi, 0
-            uniq = uniq[perm]
-            remap = np.empty_like(perm)
-            remap[perm] = np.arange(perm.size)
-            inv = remap[inv]
-        arc_pair = inv[arc_pair].astype(np.int32)
-        dpair = np.ascontiguousarray(uniq.T, dtype=np.float32)
-
+    arc_pair, dpair = _compile_arc_pairs(tree, node_of, N, corr)
     return BigramLookahead(
         sub_state=node_of,
         state_class=state_class,
@@ -629,6 +760,7 @@ def save_bigram_lookahead(bla: BigramLookahead, path: str) -> None:
         dpair=(
             bla.dpair if bla.dpair is not None else np.zeros((0, 0), np.float32)
         ),
+        reentry=np.asarray(bla.reentry),
     )
 
 
@@ -643,4 +775,5 @@ def load_bigram_lookahead(path: str) -> BigramLookahead:
         anchor_words=data["anchor_words"],
         arc_pair=ap if ap.size else None,
         dpair=dp if dp.size else None,
+        reentry=bool(data["reentry"]) if "reentry" in data else False,
     )
