@@ -100,7 +100,11 @@ def main():
     rows.append(("ngram-2", 0.0, base2, None))
     base4 = decode_wer(task, task.tables, cfg)
     rows.append(("ngram-4", 0.0, base4, paired_bootstrap_delta(base2, base4)))
-    for w in (0.3, 0.5, 0.7, 1.0):
+    weights = [
+        float(x)
+        for x in os.environ.get("RNNB_WEIGHTS", "0.3,0.5,0.7,1.0").split(",")
+    ]
+    for w in weights:
         fusion = build_rnn_fusion(rnn, lm2.vocab, weight=w * lm_scale)
         r = decode_wer(task, tab2, cfg, rnn_fusion=fusion)
         rows.append((f"2gram+rnn", w, r, paired_bootstrap_delta(base2, r)))

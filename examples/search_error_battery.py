@@ -37,7 +37,101 @@ from rasr_tpu.pipeline.battery import build_battery_task, run_operating_point
 from rasr_tpu.search.decoder import BeamConfig
 
 
+def aw_power():
+    """Across-word battery at statistical power (r3 verdict item 3).
+
+    The history-correction level's flagship claim — "across-word
+    production needs bigram shaping" — rests on one 8-utt realization
+    (the in-suite pin) and was contradicted by a 32-utt draw of the
+    same family. Settle it: N=200 utterances, 2-3 noise dials, paired
+    utterance-bootstrap CIs for (bigram - unigram) at the production
+    point and one tighter point per dial. Results go to BASELINE.md
+    and decide the across-word lookahead-order default.
+
+    Run: BATTERY_MODE=aw-power python examples/search_error_battery.py
+    (~CPU hours; background job). Env: BATTERY_AW_NOISES="2.8,3.1",
+    BATTERY_UTTS=200, BATTERY_WORDS=200, BATTERY_REF_K=1024.
+    """
+    from rasr_tpu.pipeline.battery import paired_bootstrap_delta
+
+    words = int(os.environ.get("BATTERY_WORDS", "200"))
+    utts = int(os.environ.get("BATTERY_UTTS", "200"))
+    noises = [
+        float(x)
+        for x in os.environ.get("BATTERY_AW_NOISES", "2.8,3.1").split(",")
+    ]
+    sep = float(os.environ.get("BATTERY_SEP", "1.2"))
+    seed = int(os.environ.get("BATTERY_SEED", "1"))
+    lm_scale = float(os.environ.get("BATTERY_LM_SCALE", "3.0"))
+    ref_k = int(os.environ.get("BATTERY_REF_K", "1024"))
+    points = [(256, 90.0), (128, 65.0)]
+    print("| noise | K | beam | la | WER | search-err | mean-degr "
+          "| dWER(bi-uni) [95% CI] |", flush=True)
+    print("|-------|---|------|----|-----|-----------|-----------|---|",
+          flush=True)
+    for noise in noises:
+        t0 = time.time()
+        task = build_battery_task(
+            num_words=words, num_utts=utts,
+            n_train_sentences=int(os.environ.get("BATTERY_TRAIN", "3000")),
+            noise=noise, separation=sep,
+            lookahead_classes=int(os.environ.get("BATTERY_LA_CLASSES", "250")),
+            seed=seed, across_word=True,
+        )
+        print(f"# noise={noise}: task built in {time.time() - t0:.0f}s "
+              f"tree={task.tree.stats()}", file=sys.stderr, flush=True)
+        ref_cfg = BeamConfig(
+            max_hyps=ref_k, beam=1e9, word_end_limit=128, root_hyps=64,
+            lm_scale=lm_scale,
+        )
+        t0 = time.time()
+        ref = run_operating_point(task, ref_cfg)
+        print(f"# noise={noise} reference K={ref_k}: wer={ref['wer']:.4f} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+        for K, beam in points:
+            rows = {}
+            for bi in (0, 1):
+                cfg = BeamConfig(
+                    max_hyps=K, beam=beam, word_end_limit=64,
+                    root_hyps=16, branch_hyps=64, lm_scale=lm_scale,
+                )
+                t0 = time.time()
+                rows[bi] = run_operating_point(
+                    task, cfg, bigram=bool(bi), ref_scores=ref["_scores"]
+                )
+                print(f"# noise={noise} K={K} beam={beam} bi={bi}: "
+                      f"{time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+            bs = paired_bootstrap_delta(rows[0], rows[1])
+            for bi in (0, 1):
+                r = rows[bi]
+                d = (
+                    f"{bs['delta']:+.4f} [{bs['ci_lo']:+.4f},"
+                    f"{bs['ci_hi']:+.4f}] P(bi better)={bs['p_better']:.2f}"
+                    if bi else ""
+                )
+                print(
+                    f"| {noise} | {K} | {beam:.0f} "
+                    f"| {'bigram' if bi else 'unigram'} | {r['wer']:.4f} "
+                    f"| {r['search_error_rate']:.3f} "
+                    f"| {r['mean_degradation']:.2f} | {d} |", flush=True,
+                )
+            for bi in (0, 1):
+                bs_ref = paired_bootstrap_delta(ref, rows[bi])
+                print(json.dumps({
+                    "mode": "aw-power", "noise": noise,
+                    "point": f"K{K}_b{beam:.0f}",
+                    "la": "bigram" if bi else "unigram",
+                    "wer": round(rows[bi]["wer"], 4),
+                    "ref_wer": round(ref["wer"], 4),
+                    "dwer_vs_ref": round(bs_ref["delta"], 4),
+                    "ci": [round(bs_ref["ci_lo"], 4),
+                           round(bs_ref["ci_hi"], 4)],
+                }), file=sys.stderr, flush=True)
+
+
 def main():
+    if os.environ.get("BATTERY_MODE") == "aw-power":
+        return aw_power()
     t0 = time.time()
     task = build_battery_task(
         num_words=int(os.environ.get("BATTERY_WORDS", "1000")),

@@ -738,8 +738,12 @@ def _make_step(
     # batched LSTM step + vocab projection per frame over the R
     # word-end records.
     use_rnn = rnn is not None
-    if use_rnn:
-        assert Pn == 1, "rnn fusion does not compose with beam partitioning"
+    # RNN fusion composes with beam partitioning (r3 verdict item 4):
+    # each hypothesis's pool ROW rides the local sorts AND the
+    # all_gather merge as one more int32 payload column; the word-end
+    # phase (LSTM step + pool writes) runs REPLICATED after the merge,
+    # so every device holds an identical pool — no collective needed
+    # beyond the beam merge itself.
 
     state_pack, fold_bh, deg_bits = _build_state_pack(tree, cfg, bla)
     carry0 = init_carry(
@@ -783,12 +787,19 @@ def _make_step(
             [bp_pad[d : A_arcs + d] for d in range(Db)], axis=1
         )  # [A', Db*Cb]: row p = arcs p..p+Db-1
     use_werank = cfg.word_end_rank_lm
+    # the unigram-lookahead undo at word ends is a PER-STATE STATIC term
+    # (-la_coeff * (la[s] - la[root])): fold it into the word-end cost
+    # column at table build instead of carrying a separate la column +
+    # a per-frame vector subtract (intra-state slot order is unchanged
+    # by a per-state constant, so the two-stage top-R invariant holds)
+    we_adj = tree.we_cost
+    if use_la:
+        we_adj = we_adj - la_coeff * (tree.la - la0)[:, None]
     we_cols = [
         tree.we_word,
-        bc_i(tree.we_cost),
+        bc_i(we_adj),
         tree.we_lemma,
         tree.we_next,
-        bc_i(jnp.broadcast_to(tree.la[:, None], tree.we_word.shape)),
         # own emission class (per state, broadcast over word slots):
         # lets deferred_emission fetch the survivors' emission index
         # on the word-end gather it already pays for
@@ -816,7 +827,7 @@ def _make_step(
             we_cols = [
                 jnp.take_along_axis(c, ordr, axis=1) for c in we_cols
             ]
-    C_we = len(we_cols)  # 6 (+1 with LM-aware ranking)
+    C_we = len(we_cols)  # 5 (+1 with LM-aware ranking)
     we_pack = jnp.stack(we_cols, axis=2)  # [S+1, W, C_we] int32
 
     # ride-along state rows (single-device only): the word-end gather
@@ -923,8 +934,14 @@ def _make_step(
             lms_e = jax.lax.dynamic_slice_in_dim(lms, off, K_loc, 1)
             score_e = jax.lax.dynamic_slice_in_dim(score, off, K_loc, 1)
             bp_e = jax.lax.dynamic_slice_in_dim(bp, off, K_loc, 1)
+            if use_rnn:
+                rnn_row_e = jax.lax.dynamic_slice_in_dim(
+                    rnn_row_c, off, K_loc, 1
+                )
         else:
             state_e, lms_e, score_e, bp_e = state, lms, score, bp
+            if use_rnn:
+                rnn_row_e = rnn_row_c
 
         # ------------------------------- per-hyp state columns
         # single-device: the carry rides each slot's packed row (picked
@@ -988,7 +1005,7 @@ def _make_step(
             beam_cols.append(bc_i(phi_c))
         if use_rnn:
             i_rnn = len(beam_cols)
-            beam_cols.append(rnn_row_c)
+            beam_cols.append(rnn_row_e)
         beam_rows = jnp.stack(beam_cols, axis=-1)  # [B,K_loc,4..8] int32
 
         # branch overflow: only hyps at fan-out states, top-Kb by score
@@ -1298,7 +1315,7 @@ def _make_step(
                 [cls_c, cls_c, cls_c, c_b_flat, *root_lcls], axis=1
             )
         if use_rnn:
-            rr = rnn_row_c
+            rr = rnn_row_e
             cand_rnn = jnp.concatenate(
                 [rr, rr, rr, br_rnn, *root_rnns], axis=1
             )
@@ -1474,24 +1491,29 @@ def _make_step(
             # so word-end/LM processing below runs identically everywhere
             # int32 carrier for the collective payload (score bits
             # bitcast in): f32 relayouts flush smuggled int patterns
-            if pack_keys:
-                pay = jnp.stack([n_key, bc_i(n_score), n_bp], axis=-1)
-            else:
-                pay = jnp.stack(
-                    [n_state, n_lm, bc_i(n_score), n_bp], axis=-1
-                )
+            key_cols = [n_key] if pack_keys else [n_state, n_lm]
+            pay_cols = key_cols + [bc_i(n_score), n_bp]
+            if use_rnn:
+                # the pool ROW is one more int32 payload column; the
+                # pool itself stays replicated (word ends run after the
+                # merge, identically on every device)
+                pay_cols.append(n_rnn)
+            pay = jnp.stack(pay_cols, axis=-1)
             gath = jax.lax.all_gather(pay, beam_axis, axis=1, tiled=True)
-            g_score = bc_f(gath[..., -2])
-            g_bp = gath[..., -1]
+            nk = len(key_cols)
+            g_score = bc_f(gath[..., nk])
+            g_pays = tuple(
+                gath[..., nk + 1 + j] for j in range(len(pay_cols) - nk - 1)
+            )
+            keys, n_score, g_out = recombine_topk(
+                tuple(gath[..., j] for j in range(nk)), g_score, g_pays, K
+            )
+            n_bp = g_out[0]
+            if use_rnn:
+                n_rnn = g_out[1]
             if pack_keys:
-                keys, n_score, (n_bp,) = recombine_topk(
-                    (gath[..., 0],), g_score, (g_bp,), K
-                )
                 n_key = keys[0][:, :K]
             else:
-                keys, n_score, (n_bp,) = recombine_topk(
-                    (gath[..., 0], gath[..., 1]), g_score, (g_bp,), K
-                )
                 n_state, n_lm = keys[0][:, :K], keys[1][:, :K]
         if pack_keys:
             n_state = n_key // jnp.int32(L)
@@ -1552,15 +1574,14 @@ def _make_step(
         if use_defer:
             # survivors' current-frame emission (cls rides the word-end
             # gather; one KW-row fsel replaces the candidate-wide ones)
-            w_cls = wpk[..., 0, 5]
+            w_cls = wpk[..., 0, 4]
             w_score = jnp.where(
                 w_score < BIG / 2, w_score + fsel(emis_t, w_cls), BIG
             )
         ww = wpk[..., 0]
+        # the unigram-potential undo is FOLDED into the we-cost column
+        # (see the table build above); only the bigram phi undo remains
         we_base = w_score
-        if use_la:
-            # undo the potential: shaped(s) = true + coeff*(la[s]-la[root])
-            we_base = w_score - la_coeff * (bc_f(wpk[..., 0, 4]) - la0)
         if ride_phi:
             # undo the bigram correction: the applied phi2 rides each
             # slot (sort payload) — a subtract instead of the [B,KW]
@@ -1602,7 +1623,7 @@ def _make_step(
             pre0 = jnp.where(
                 ww[..., 0] != WORD_NONE,
                 we_base + bc_f(wpk[..., 0, 1])
-                + (bc_f(wpk[..., 0, 6]) if use_werank else 0.0),
+                + (bc_f(wpk[..., 0, 5]) if use_werank else 0.0),
                 BIG,
             )
             Rh = min(R, KW)
@@ -1619,7 +1640,7 @@ def _make_step(
             pre = jnp.where(
                 wpk_r[..., 0] != WORD_NONE,
                 base_r[..., None] + bc_f(wpk_r[..., 1])
-                + (bc_f(wpk_r[..., 6]) if use_werank else 0.0),
+                + (bc_f(wpk_r[..., 5]) if use_werank else 0.0),
                 BIG,
             ).reshape(B, Rh * wmax)
             rw_iota = jnp.broadcast_to(
@@ -1640,31 +1661,37 @@ def _make_step(
         else:
             wc = bc_f(wpk[..., 1])
             if use_werank:
-                wc = wc + bc_f(wpk[..., 6])
+                wc = wc + bc_f(wpk[..., 5])
             pre = jnp.where(
                 ww != WORD_NONE, we_base[..., None] + wc, BIG
             ).reshape(B, KW)
+            # the survivors' we RECORD columns (word, lemma, next state,
+            # + selection bias to undo) also ride as payload: nothing
+            # gathers rows of wpk afterwards, so the [B,KW,C_we]
+            # row-major relayout + flat record gather disappear (HLO
+            # profile 2026-08-21: 153us copy + 39us gather vs ~13us
+            # per extra operand at this width)
+            we_cols = [0, 2, 3] + ([5] if use_werank else [])
+            we_ops = [wpk[..., c].reshape(B, KW) for c in we_cols]
             s1 = jax.lax.sort(
-                (pre, kw_iota, *src_ops),
+                (pre, kw_iota, *src_ops, *we_ops),
                 dimension=1, num_keys=2, is_stable=False,
             )
             r_pre = s1[0][:, :R]
-            ridx = s1[1][:, :R]
-            src_sel = [o[:, :R] for o in s1[2:]]
-            # flat row gather of the selected word-end records (fast path)
-            roff = jnp.asarray(
-                np.arange(B, dtype=np.int32)[:, None] * (KW * wmax)
-            )
-            rsel = wpk.reshape(B * KW * wmax, C_we)[ridx + roff]  # [B,R,C_we]
+            src_sel = [o[:, :R] for o in s1[2 : 2 + len(src_ops)]]
+            we_sel = [o[:, :R] for o in s1[2 + len(src_ops) :]]
+            r_word, r_lemma, r_next = we_sel[0], we_sel[1], we_sel[2]
+            r_bias = bc_f(we_sel[3]) if use_werank else None
+        if wmax > 1:
+            if use_werank:
+                r_bias = bc_f(rsel[..., 5])
+            r_word = rsel[..., 0]
+            r_lemma = rsel[..., 2]
+            r_next = rsel[..., 3]
         if use_werank:
             # undo the unigram selection bias: survivors carry their true
             # pre-LM path score; the exact LM cost replaces the estimate
-            r_pre = jnp.where(
-                r_pre < BIG / 2, r_pre - bc_f(rsel[..., 6]), r_pre
-            )
-        r_word = rsel[..., 0]
-        r_lemma = rsel[..., 2]
-        r_next = rsel[..., 3]
+            r_pre = jnp.where(r_pre < BIG / 2, r_pre - r_bias, r_pre)
         r_srclm = src_sel[0]
         r_srcbp = src_sel[1]
 
@@ -2253,18 +2280,17 @@ class TreeDecoder:
                 *args,
             )
         else:
-            if self.rnn is not None:
-                raise ValueError(
-                    "rnn fusion is single-device-scan only (no mesh)"
-                )
             from jax import shard_map
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep, dp = P(), P("data")
             bla_local = self.bla
+            rnn_local = self.rnn  # replicated; pool updates run
+            # identically on every device (the pool row rides the beam
+            # merge as payload — see _make_step)
             fn = shard_map(
                 lambda tb, lmt, lp, e, nf: _decode_scan(
-                    tb, lmt, lp, e, nf, bla_local, None, *args
+                    tb, lmt, lp, e, nf, bla_local, rnn_local, *args
                 ),
                 mesh=mesh,
                 in_specs=(rep, rep, rep, dp, dp),

@@ -644,10 +644,13 @@ def test_trigram_lookahead_exact_and_conditions_on_pairs():
         assert r0.words == r1.words
 
 
-def test_wordset_lookahead_rejects_wfst_style_networks():
-    """The condensed-network builder must fall back (return None) for
-    networks it cannot prove interval-safe: word-end re-entries at
-    NON-root states (WFST junctions) and graphs with high->low arcs."""
+def test_wordset_lookahead_wfst_style_networks_use_general_path():
+    """Networks the interval builder cannot prove interval-safe (word-end
+    re-entries at NON-root states = WFST junctions; high->low arcs) now
+    route through the general bitset builder (r3 verdict item 7) — the
+    result must carry ``reentry=True`` (non-root re-entries need the
+    decoder's entry-node correction add-back) and a consistent node map.
+    tests/test_wfst.py pins decode exactness for the general path."""
     import copy
 
     from rasr_tpu.search.lookahead import build_bigram_lookahead
@@ -658,12 +661,17 @@ def test_wordset_lookahead_rejects_wfst_style_networks():
     t1.we_next = np.zeros_like(t1.we_word)
     ws = int(np.flatnonzero(t1.we_word[:, 0] != -1)[0])
     t1.we_next[ws, 0] = ws  # re-enter at itself (any non-root works)
-    assert build_bigram_lookahead(t1, lm, num_classes=8) is None
-    # (b) an arc running high -> low breaks the builders' invariant
+    b1 = build_bigram_lookahead(t1, lm, num_classes=8)
+    assert b1 is not None and b1.reentry and b1.deep
+    assert b1.sub_state.shape[0] == t1.num_states
+    assert b1.sub_state[0] == b1.num_subtrees  # root keeps the sentinel
+    # (b) an arc running high -> low breaks the interval invariant; the
+    # fixpoint path handles it (monotone union converges on cycles)
     t2 = copy.deepcopy(tree)
     t2.arc_dst = t2.arc_dst.copy()
     t2.arc_dst[-1] = 1  # last arc now points backwards
-    assert build_bigram_lookahead(t2, lm, num_classes=8) is None
+    b2 = build_bigram_lookahead(t2, lm, num_classes=8)
+    assert b2 is not None and b2.reentry
 
 
 def test_survivor_lookahead_update_bounded():

@@ -272,3 +272,29 @@ def test_rnn_fusion_composes_with_bigram_lookahead(setup, rng):
     for a, b in zip(both, sd.finalize()):
         np.testing.assert_allclose(b.score, a.score, rtol=1e-5, atol=1e-4)
         assert a.words == b.words
+
+
+def test_rnn_fusion_composes_with_beam_partitioning(setup, rng):
+    """RNN fusion under beam partitioning (r3 verdict item 4): the pool
+    row rides the local sorts AND the all_gather merge as a payload
+    column; the word-end LSTM step + pool writes run replicated after
+    the merge. Partitioned fused decode == single-device fused decode
+    at exact settings (full-coverage limits)."""
+    from rasr_tpu.parallel.mesh import make_mesh
+
+    lex, topo, tying, trans, lm, tables, tree, fusion = setup
+    M = tying.num_classes
+    T, B = 8, 2
+    emis = rng.uniform(0.0, 6.0, size=(B, T, M)).astype(np.float32)
+    nfr = np.array([T, T - 2], np.int32)
+    cfg = BeamConfig(
+        max_hyps=64, beam=1e9, word_end_limit=16, root_hyps=64,
+        branch_hyps=64, lm_scale=0.7,
+    )
+    dec = TreeDecoder(tree, tables, cfg, rnn_fusion=fusion)
+    ref = dec.decode_scores(emis, nfr)
+    mesh = make_mesh(data=2, model=4)
+    got = dec.decode_scores(emis, nfr, mesh=mesh, beam_axis="model")
+    for r, g in zip(ref, got):
+        assert r.words == g.words
+        np.testing.assert_allclose(r.score, g.score, rtol=1e-5, atol=1e-4)
