@@ -78,7 +78,7 @@ def xla_block(w_state, w_score, combo, emis, B, KW, C_sp):
 
 
 # ------------------------------------------------------------- Pallas path
-def make_kernel(B, KW, S1, C, C_sp, unroll=8):
+def make_kernel(B, KW, S1, C, C_sp, unroll=int(os.environ.get("PALLAS_UNROLL", "8"))):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -90,22 +90,29 @@ def make_kernel(B, KW, S1, C, C_sp, unroll=8):
                word_ref, lemma_ref, next_ref, spk_ref, scratch):
         b = pl.program_id(0)
 
-        # pass 1: combo rows (independent scalar-driven row loads)
-        def body1(k, _):
-            s = idx_ref[b * KW + k]
-            scratch[k, 0:CC] = combo_ref[pl.ds(s, 1), :][0, :]
+        # pass 1: combo rows (independent scalar-driven row loads).
+        # Mosaic's fori_loop only unrolls fully or not at all — hand
+        # unroll a static inner block instead (the gather microbench's
+        # grid-step pattern, folded into one kernel).
+        def body1(k8, _):
+            for j in range(unroll):
+                k = k8 * unroll + j
+                s = idx_ref[b * KW + k]
+                scratch[k, 0:CC] = combo_ref[pl.ds(s, 1), :][0, :]
             return 0
 
-        jax.lax.fori_loop(0, KW, body1, 0, unroll=unroll)
+        jax.lax.fori_loop(0, KW // unroll, body1, 0)
 
         # pass 2: emission quarter-rows addressed by the class column
-        def body2(k, _):
-            c = scratch[k, 4]
-            row = emis4_ref[pl.ds(c >> 2, 1), :][0, :]
-            scratch[k, CC : CC + EW] = _bc_i(row)
+        def body2(k8, _):
+            for j in range(unroll):
+                k = k8 * unroll + j
+                c = scratch[k, 4]
+                row = emis4_ref[0, pl.ds(c >> 2, 1), :][0, :]
+                scratch[k, CC : CC + EW] = _bc_i(row)
             return 0
 
-        jax.lax.fori_loop(0, KW, body2, 0, unroll=unroll)
+        jax.lax.fori_loop(0, KW // unroll, body2, 0)
 
         # column planes via ONE int32 transpose (int relayout: safe for
         # smuggled f32 bit patterns — f32 relayouts flush denormals)
@@ -117,32 +124,34 @@ def make_kernel(B, KW, S1, C, C_sp, unroll=8):
         lo = jnp.where((cls & 1) == 0, e0, e1)
         hi = jnp.where((cls & 1) == 0, e2, e3)
         e = jnp.where((cls & 2) == 0, lo, hi)
-        ws = wscore_ref[0, :]
+        ws = wscore_ref[0, 0, :]
         w2 = jnp.where(ws < BIG / 2, ws + e, BIG)
         pre = jnp.where(word != WORD_NONE, w2 + wadj, BIG)
-        pre_ref[0, :] = pre
-        w2_ref[0, :] = w2
-        word_ref[0, :] = word
-        lemma_ref[0, :] = tr[2]
-        next_ref[0, :] = tr[3]
+        pre_ref[0, 0, :] = pre
+        w2_ref[0, 0, :] = w2
+        word_ref[0, 0, :] = word
+        lemma_ref[0, 0, :] = tr[2]
+        next_ref[0, 0, :] = tr[3]
         spk_ref[0, :, :] = scratch[:, 8 : 8 + C_sp]
         return
 
+    # TPU block rule: the last two block dims must be 8/128-divisible
+    # or equal the array dims — [B,KW] per-batch slices become
+    # [B,1,KW] blocks (1 == array dim, KW % 128 == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, KW), lambda b, idx: (b, 0)),      # w_score
-            pl.BlockSpec((S1, CC), lambda b, idx: (0, 0)),     # combo
-            # block index units: block b of the [B*C/4, 4] stack
-            pl.BlockSpec((C // 4, EW), lambda b, idx: (b, 0)),
+            pl.BlockSpec((1, 1, KW), lambda b, idx: (b, 0, 0)),  # w_score
+            pl.BlockSpec((S1, CC), lambda b, idx: (0, 0)),       # combo
+            pl.BlockSpec((1, C // 4, EW), lambda b, idx: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, KW), lambda b, idx: (b, 0)),
-            pl.BlockSpec((1, KW), lambda b, idx: (b, 0)),
-            pl.BlockSpec((1, KW), lambda b, idx: (b, 0)),
-            pl.BlockSpec((1, KW), lambda b, idx: (b, 0)),
-            pl.BlockSpec((1, KW), lambda b, idx: (b, 0)),
+            pl.BlockSpec((1, 1, KW), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, 1, KW), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, 1, KW), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, 1, KW), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, 1, KW), lambda b, idx: (b, 0, 0)),
             pl.BlockSpec((1, KW, C_sp), lambda b, idx: (b, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((KW, SC), jnp.int32)],
@@ -154,11 +163,11 @@ def make_kernel(B, KW, S1, C, C_sp, unroll=8):
         grid_spec=grid_spec,
         interpret=bool(int(os.environ.get("PALLAS_INTERPRET", "0"))),
         out_shape=[
-            jax.ShapeDtypeStruct((B, KW), f32),
-            jax.ShapeDtypeStruct((B, KW), f32),
-            jax.ShapeDtypeStruct((B, KW), i32),
-            jax.ShapeDtypeStruct((B, KW), i32),
-            jax.ShapeDtypeStruct((B, KW), i32),
+            jax.ShapeDtypeStruct((B, 1, KW), f32),
+            jax.ShapeDtypeStruct((B, 1, KW), f32),
+            jax.ShapeDtypeStruct((B, 1, KW), i32),
+            jax.ShapeDtypeStruct((B, 1, KW), i32),
+            jax.ShapeDtypeStruct((B, 1, KW), i32),
             jax.ShapeDtypeStruct((B, KW, C_sp), i32),
         ],
     )
@@ -201,7 +210,17 @@ def main():
 
     try:
         pk = make_kernel(B, KW, S1, C, C_sp)
-        pf = jax.jit(lambda i, s, c, e: pk(i.reshape(-1), s, c, e))
+        def pf_fn(i, s, c, e):
+            outs = pk(
+                i.reshape(-1), s[:, None, :], c,
+                e.reshape(B, C // 4, 4),
+            )
+            return tuple(
+                o[:, 0, :] if o.ndim == 3 and o.shape[1] == 1 else o
+                for o in outs
+            )
+
+        pf = jax.jit(pf_fn)
         t_p, out_p = bench(pf, ws_j, sc_j, combo_j, em4_j)
         ok = all(
             bool(jnp.array_equal(a, b))
