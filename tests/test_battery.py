@@ -19,6 +19,9 @@ from rasr_tpu.search.decoder import BeamConfig
 LM_SCALE = 3.0
 
 
+
+pytestmark = pytest.mark.slow  # full tier: pytest -m "" tests/
+
 @pytest.fixture(scope="module")
 def task():
     return build_battery_task(

@@ -38,6 +38,9 @@ from rasr_tpu.search.decoder import BeamConfig, TreeDecoder
 from rasr_tpu.search.tree import build_prefix_tree
 
 
+
+pytestmark = pytest.mark.slow  # full tier: pytest -m "" tests/
+
 class InterningTriphoneTying(StateTying):
     """Context-SENSITIVE identity tying: every distinct
     (center, left, right, boundary, hmm-state) gets its own class."""

@@ -61,6 +61,9 @@ WORKER = textwrap.dedent(
 )
 
 
+
+pytestmark = pytest.mark.slow  # full tier: pytest -m "" tests/
+
 def test_two_process_dp_em(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(repo=REPO))
