@@ -207,11 +207,19 @@ def build_setup(
 
     lda = (rng.normal(size=(16 * 9, feat_dim)) * 0.1).astype(np.float32)
     fe = FeatureFrontend(FrontendConfig(), splice_context=4, lda=lda)
+    K_bench = int(os.environ.get("BENCH_MAX_HYPS", "1024"))
+    kb_bench = int(os.environ.get("BENCH_BRANCH_HYPS", "146"))
+    bw = int(os.environ.get("BENCH_BRANCH_WIDTH", "-1"))
+    if bw < 0:  # auto: keep the main sorts at/under the 4096 pad
+        _deg = tree.arc_ptr[1:] - tree.arc_ptr[:-1]
+        db_est = int(max(int((_deg[1:] - 2).max()), 1)) if _deg.size > 1 else 1
+        budget = max(4096 - 3 * K_bench, 256) - 2
+        bw = 0 if kb_bench * db_est <= budget + 2 else budget
     dec = TreeDecoder(
         tree, tables,
         bigram_la=bla,
         cfg=BeamConfig(
-            max_hyps=int(os.environ.get("BENCH_MAX_HYPS", "1024")),
+            max_hyps=K_bench,
             beam=1e9,
             word_end_limit=int(os.environ.get("BENCH_WORD_END", "64")),
             root_hyps=int(os.environ.get("BENCH_ROOT_HYPS", "16")),
@@ -221,7 +229,7 @@ def build_setup(
             # costs the same as an 8192-wide one). Here: main sorts
             # 3*1024 + 146*7 = 4094 <= 4096; root-select sort
             # 1537 + 15*160 = 3937 <= 4096. 220 -> 316 audio-s/s.
-            branch_hyps=int(os.environ.get("BENCH_BRANCH_HYPS", "146")),
+            branch_hyps=kb_bench,
             # compact branch expansion: pack the selected hyps' overflow
             # arcs contiguously into a static slot budget instead of the
             # padded [branch_hyps, max_degree] fan. Essential on networks
@@ -230,7 +238,15 @@ def build_setup(
             # blows the 4096 sort-pad budget; on the headline network
             # (Db=7, mean degree 2) 1022 slots hold MORE arcs than the
             # dense fan's 146 hyps while keeping 3*1024 + 1022 = 4094.
-            branch_width=int(os.environ.get("BENCH_BRANCH_WIDTH", "0")),
+            # AUTO (-1, the default): dense fan while it fits the 4096
+            # sort-pad budget, else compact slots. Large vocabularies
+            # grow the max branch degree (Db=37 at 100k words) and the
+            # dense fan blew the recombination sorts to width 8474 ->
+            # pad 16384 (866+776us/frame profiled, 2026-08-21) plus a
+            # [B, Kb*Db] branch gather (463us + 236us relayout) — the
+            # single biggest large-vocab cliff, and exactly what the
+            # compact expansion was built for.
+            branch_width=bw,
             root_arc_limit=int(os.environ.get("BENCH_ROOT_CAP", "160")),
             # exact expansion by default: with the row-form emission
             # gather (search/decoder.py fsel) the pre-emission top-E

@@ -71,6 +71,12 @@ class NgramTables:
     end_word: int
     unk_word: int
     num_states: int
+    #: bucket-of-(1<<bucket_bits) hashing (round 4): the hash selects a
+    #: BUCKET of 2^bits consecutive slots (entries spill into the next
+    #: bucket; build-verified). 0 = legacy per-slot linear probing.
+    #: Bucketing shrinks the table 8x (load factor ~1 instead of 1/8)
+    #: and turns the probe window into 1-2 aligned wide-row gathers.
+    bucket_bits: int = 0
 
     @property
     def table_size(self) -> int:
@@ -81,7 +87,8 @@ jax.tree_util.register_pytree_node(
     NgramTables,
     lambda t: (
         (t.key_state, t.key_word, t.val_cost, t.val_next, t.backoff_cost, t.backoff_state),
-        (t.order, t.max_probe, t.start_state, t.end_word, t.unk_word, t.num_states),
+        (t.order, t.max_probe, t.start_state, t.end_word, t.unk_word,
+         t.num_states, t.bucket_bits),
     ),
     lambda aux, ch: NgramTables(*ch, *aux),
 )
@@ -101,14 +108,22 @@ def build_tables(
     entries into an open-addressing table + pack with backoff arrays.
     Shared by the word n-gram compiler and the class-LM compiler."""
     n = len(entries)
-    # 8x load factor: worst-case probe chains stay short (the decoder
-    # pays order x max_probe gathered elements per word-end lookup every
-    # frame; the table itself is tiny next to HBM)
-    H = 1
-    while H < 8 * max(n, 1):
-        H *= 2
+    # bucket-of-4 layout (round 4): the hash picks a 4-slot BUCKET at
+    # load factor <=1 (BH >= n buckets); an entry lands in its bucket
+    # or spills into the next one (8-slot window, build-verified, grow
+    # on failure). vs the old 8x-load-factor per-slot probing this is
+    # an 8x smaller table whose probe window is 1-2 aligned wide rows —
+    # at 100k-word LMs the [16.7M,4] table plus 7-row probe windows
+    # cost 332us/frame of HBM gathers (docs/PERF.md).
+    bucket_bits = 2
+    bsz = 1 << bucket_bits
+    window = 2 * bsz
+    BH = 1
+    while BH < max(n, 1):
+        BH *= 2
 
     while True:
+        H = BH * bsz
         key_state = np.full(H, -1, np.int32)
         key_word = np.full(H, -1, np.int32)
         val_cost = np.zeros(H, np.float32)
@@ -116,8 +131,8 @@ def build_tables(
         worst = 0
         ok = True
         for st, w, cost, nxt in entries:
-            h = int(_hash(np.int32(st), np.int32(w), H - 1))
-            for p in range(max_probe):
+            h = int(_hash(np.int32(st), np.int32(w), BH - 1)) * bsz
+            for p in range(window):
                 idx = (h + p) & (H - 1)
                 if key_state[idx] < 0:
                     key_state[idx] = st
@@ -131,7 +146,7 @@ def build_tables(
                 break
         if ok:
             break
-        H *= 2  # probe bound exceeded: grow table
+        BH *= 2  # spill window exceeded: grow the bucket array
 
     return NgramTables(
         key_state=jnp.asarray(key_state),
@@ -146,6 +161,7 @@ def build_tables(
         end_word=end_word,
         unk_word=unk_word,
         num_states=backoff_cost.shape[0],
+        bucket_bits=bucket_bits,
     )
 
 
@@ -239,12 +255,23 @@ def prepare_lookup(tables: NgramTables):
     )
     P = tables.max_probe
     H = tables.table_size
-    # probe-chain replication: bucket h's row holds its WHOLE linear-
-    # probe window, so a lookup level costs ONE gather index (gathers on
-    # TPU cost ~7 cycles/index regardless of row width). Guarded by
-    # table size: giant LMs fall back to the windowed gather.
     rep = None
-    if H * P * 16 <= 512 * 1024 * 1024:
+    if tables.bucket_bits:
+        # bucketed layout: the whole spill window is bucket b + bucket
+        # b+1 — pair-replicate the bucket rows so a lookup level is ONE
+        # row gather ([BH, 2*bsz*4] table, 2x the packed size), or two
+        # aligned row gathers when even that is too big.
+        bsz = 1 << tables.bucket_bits
+        BH = H >> tables.bucket_bits
+        p16 = packed.reshape(BH, bsz * 4)
+        if H * 2 * 16 <= 512 * 1024 * 1024:
+            rep = jnp.concatenate(
+                [p16, jnp.roll(p16, -1, axis=0)], axis=1
+            )  # [BH, 2*bsz*4]
+        packed = p16  # bucket-row form for the 2-gather fallback
+    elif H * P * 16 <= 512 * 1024 * 1024:
+        # legacy per-slot probing (old table images): replicate the
+        # probe window per slot so a lookup level costs one gather
         probes = jnp.arange(P, dtype=jnp.int32)
         rep = packed[
             (jnp.arange(H, dtype=jnp.int32)[:, None] + probes) & mask
@@ -303,14 +330,27 @@ def lookup_prepared(
     found = jnp.zeros(N, jnp.bool_)
     cur = states
     P = tables.max_probe
-    probes = jnp.arange(P, dtype=jnp.int32)
+    probes = jnp.arange(max(P, 1), dtype=jnp.int32)
+
+    bucket_bits = tables.bucket_bits
+    bsz = 1 << bucket_bits
+    BH = tables.table_size >> bucket_bits if bucket_bits else 0
 
     def probe_level(cur, words):
-        h = _hash_jax(cur, words, mask)
-        if rep is not None:
-            rows = rep[h].reshape(h.shape + (P, 4))  # one row gather
+        if bucket_bits:
+            hb = _hash_jax(cur, words, BH - 1)
+            if rep is not None:
+                rows = rep[hb].reshape(hb.shape + (2 * bsz, 4))
+            else:
+                rows = jnp.concatenate(
+                    [packed[hb], packed[(hb + 1) & (BH - 1)]], axis=-1
+                ).reshape(hb.shape + (2 * bsz, 4))
         else:
-            rows = packed[(h[..., None] + probes) & mask]  # [..., P, 4]
+            h = _hash_jax(cur, words, mask)
+            if rep is not None:
+                rows = rep[h].reshape(h.shape + (P, 4))  # one row gather
+            else:
+                rows = packed[(h[..., None] + probes) & mask]  # [..., P, 4]
         match = (rows[..., 0] == cur[..., None]) & (rows[..., 1] == words[..., None])
         # at most one window row can match (keys are unique in the table)
         hit_any = jnp.any(match, axis=-1)
@@ -373,7 +413,8 @@ def save_tables(tables: NgramTables, path: str) -> None:
         backoff_state=np.asarray(tables.backoff_state),
         aux=np.array(
             [tables.order, tables.max_probe, tables.start_state,
-             tables.end_word, tables.unk_word, tables.num_states],
+             tables.end_word, tables.unk_word, tables.num_states,
+             tables.bucket_bits],
             np.int64,
         ),
     )
@@ -395,4 +436,5 @@ def load_tables(path: str) -> NgramTables:
         end_word=int(aux[3]),
         unk_word=int(aux[4]),
         num_states=int(aux[5]),
+        bucket_bits=int(aux[6]) if aux.shape[0] > 6 else 0,
     )

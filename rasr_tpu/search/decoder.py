@@ -57,6 +57,7 @@ columns":
 
 from __future__ import annotations
 
+import os
 import dataclasses
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -849,6 +850,37 @@ def _make_step(
         combo_cols.append(state_pack)
         combo_pack = jnp.concatenate(combo_cols, axis=1)
         # [S+1, W*C_we (+1) + C_sp]
+        # Packed-row layout for LARGE tables (the 100k-vocab residency
+        # story, r3 verdict item 2): TPU tiles a narrow row-major [S,C]
+        # i32 table as (8,128) — C pads to 128 lanes, ~128/C x physical
+        # memory — so above ~64MB physical XLA flips the table to
+        # COLUMN-major and the hot word-end row gather degrades to a
+        # strided path (HLO 2026-08-21 at 891k states: 4.5 ns/row vs
+        # 1.5 at 56k states, 445us/frame). Packing ``pack_f`` states
+        # per row restores dense row-major tiles at ~1x memory; the
+        # gather fetches one wide row and log2(pack_f) int32 vector
+        # selects unpack it (int selects are bit-safe for the smuggled
+        # f32 cost columns; an f32 relayout would flush denormals).
+        Ccmb = combo_pack.shape[1]
+        S_rows = combo_pack.shape[0]
+        pack_f = 1
+        # test hook: RASR_TPU_PACK_THRESHOLD (bytes) forces the packed
+        # path on small tables so CPU exactness tests can cover it
+        _thr = int(os.environ.get("RASR_TPU_PACK_THRESHOLD", str(64 * 2**20)))
+        while S_rows * 512 // pack_f > _thr and pack_f < 8:
+            pack_f *= 2
+        if pack_f > 1:
+            pad_r = (-S_rows) % pack_f
+            cp = (
+                jnp.concatenate(
+                    [combo_pack, jnp.zeros((pad_r, Ccmb), jnp.int32)]
+                )
+                if pad_r
+                else combo_pack
+            )
+            combo_pack = cp.reshape(
+                (S_rows + pad_r) // pack_f, pack_f * Ccmb
+            )
 
     if use_rsel:
         # root-selection path: (dst, cls) rows for the R3 survivors
@@ -899,6 +931,25 @@ def _make_step(
         lo = jnp.where((g & 1) == 0, rows[..., 0], rows[..., 1])
         hi = jnp.where((g & 1) == 0, rows[..., 2], rows[..., 3])
         return jnp.where((g & 2) == 0, lo, hi)
+
+    def combo_sel(idx):
+        """Word-end/state row gather with the packed-row big-table
+        layout transparently unpacked (see the combo_pack build)."""
+        if not ride_pk:
+            raise AssertionError("combo_sel requires ride_pk")
+        if pack_f == 1:
+            return combo_pack[idx]
+        shift = pack_f.bit_length() - 1
+        rw = combo_pack[idx >> shift]
+        rw = rw.reshape(rw.shape[:-1] + (pack_f, Ccmb))
+        sub_b = idx & (pack_f - 1)
+        while rw.shape[-2] > 1:
+            bsel = (sub_b & 1)[..., None, None]
+            rw = jnp.where(
+                bsel == 1, rw[..., 1::2, :], rw[..., 0::2, :]
+            )
+            sub_b = sub_b >> 1
+        return rw[..., 0, :]
 
     def rowsel(rows, idx):
         """Batched ROW selection: one gather fetches all C columns per
@@ -1550,7 +1601,7 @@ def _make_step(
         # ------------------------------------------------- word ends
         if ride_pk:
             # one row gather for we columns AND next frame's state rows
-            combo = combo_pack[w_state]  # [B,KW,W*C_we(+1)+C_sp] int32
+            combo = combo_sel(w_state)  # [B,KW,W*C_we(+1)+C_sp] int32
             wpk = combo[..., : wmax * C_we].reshape(B, KW, wmax, C_we)
             coff = wmax * C_we
             if lazy_phi:
@@ -1817,7 +1868,13 @@ def _make_step(
             # pk directly (word-end re-entries get a tiny [B,R] gather);
             # everything is an int32 carrier — this relayout is exactly
             # where an f32 carrier got its smuggled ids flushed on TPU
-            spk_root = state_pack[root_state]  # [B,R,C_sp] int32
+            if pack_f > 1:
+                # the packed combo row already carries the state-pack
+                # columns — avoids a second strided gather from the
+                # column-major [S,C_sp] table (HLO: 30ns/row at 891k)
+                spk_root = combo_sel(root_state)[..., Ccmb - C_sp :]
+            else:
+                spk_root = state_pack[root_state]  # [B,R,C_sp] int32
             m_rows = jnp.concatenate(
                 [
                     m_core,

@@ -764,3 +764,23 @@ def test_bigram_lookahead_partitioned_beam(rng):
     for r, g in zip(ref, got):
         assert r.words == g.words
         np.testing.assert_allclose(r.score, g.score, rtol=1e-4, atol=1e-3)
+
+
+def test_packed_row_big_table_layout_exact(setup, rng, monkeypatch):
+    """The large-vocab packed-row combo layout (pack_f states per row +
+    binary unpack selects) must be bit-equivalent to the plain layout.
+    Forced on via the RASR_TPU_PACK_THRESHOLD test hook."""
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    B, T = 2, 12
+    emis = rng.uniform(0.0, 8.0, size=(B, T, M)).astype(np.float32)
+    n = np.array([T, T - 3], np.int32)
+    cfg = BeamConfig(max_hyps=64, word_end_limit=16, root_hyps=16,
+                     lm_scale=0.7)
+    ref = TreeDecoder(tree, tables, cfg).decode_scores(emis, n)
+    monkeypatch.setenv("RASR_TPU_PACK_THRESHOLD", "1")
+    got = TreeDecoder(tree, tables, cfg).decode_scores(emis, n)
+    for r, g in zip(ref, got):
+        assert r.words == g.words
+        assert r.word_ends == g.word_ends
+        np.testing.assert_allclose(r.score, g.score, rtol=0, atol=0)
