@@ -24,6 +24,7 @@ rebuilds its gather tables every call and must stay out of loops.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -258,17 +259,37 @@ def prepare_lookup(tables: NgramTables):
     rep = None
     if tables.bucket_bits:
         # bucketed layout: the whole spill window is bucket b + bucket
-        # b+1 — pair-replicate the bucket rows so a lookup level is ONE
-        # row gather ([BH, 2*bsz*4] table, 2x the packed size), or two
-        # aligned row gathers when even that is too big.
+        # b+1. Two device layouts by size:
+        # * small/medium: pair-replicate the bucket rows -> ONE row
+        #   gather per level ([BH, 2*bsz*4], 2x the packed bytes);
+        # * LARGE (the 100k-word regime): TPU tiles any <128-lane row
+        #   at 128 lanes, so a [BH,32] table pads 4x physically and XLA
+        #   flips it column-major (profiled 36ns/row strided gathers).
+        #   Pack 128//(bsz*4) buckets per 128-lane row instead — EXACT
+        #   tiling keeps it row-major; the lookup gathers the two rows
+        #   holding buckets b and (b+1)&(BH-1) and binary-selects the
+        #   bucket within each row (decoder.combo_sel's unpack).
         bsz = 1 << tables.bucket_bits
         BH = H >> tables.bucket_bits
         p16 = packed.reshape(BH, bsz * 4)
-        if H * 2 * 16 <= 512 * 1024 * 1024:
+        _thr = int(
+            os.environ.get("RASR_TPU_LM_REP_THRESHOLD", str(64 * 1024 * 1024))
+        )
+        if H * 2 * 16 <= _thr:
             rep = jnp.concatenate(
                 [p16, jnp.roll(p16, -1, axis=0)], axis=1
             )  # [BH, 2*bsz*4]
-        packed = p16  # bucket-row form for the 2-gather fallback
+        else:
+            g8 = 128 // (bsz * 4)
+            padr = (-BH) % g8
+            if padr:
+                # pad with EMPTY slots (key_state -1): an all-zero pad
+                # row would falsely match (state 0, word 0)
+                p16 = jnp.concatenate(
+                    [p16, jnp.full((padr, bsz * 4), -1, jnp.int32)]
+                )
+            rep = p16.reshape((BH + padr) // g8, g8 * bsz * 4)  # [*,128]
+        packed = p16[:BH]  # bucket-row form (2-gather fallback unused)
     elif H * P * 16 <= 512 * 1024 * 1024:
         # legacy per-slot probing (old table images): replicate the
         # probe window per slot so a lookup level costs one gather
@@ -336,11 +357,31 @@ def lookup_prepared(
     bsz = 1 << bucket_bits
     BH = tables.table_size >> bucket_bits if bucket_bits else 0
 
+    def _pick_bucket(r, off, g8, w):
+        # binary-select the w-int bucket at index ``off`` (< g8) from a
+        # gathered 128-lane row (int32 selects: bit-safe carriers)
+        rr = r.reshape(r.shape[:-1] + (g8, w))
+        o = off
+        while rr.shape[-2] > 1:
+            bsel = (o & 1)[..., None, None]
+            rr = jnp.where(bsel == 1, rr[..., 1::2, :], rr[..., 0::2, :])
+            o = o >> 1
+        return rr[..., 0, :]
+
     def probe_level(cur, words):
         if bucket_bits:
             hb = _hash_jax(cur, words, BH - 1)
-            if rep is not None:
+            if rep is not None and rep.shape[1] == 2 * bsz * 4:
                 rows = rep[hb].reshape(hb.shape + (2 * bsz, 4))
+            elif rep is not None:
+                g8 = rep.shape[1] // (bsz * 4)
+                sh = g8.bit_length() - 1
+                b2 = (hb + 1) & (BH - 1)
+                r1 = _pick_bucket(rep[hb >> sh], hb & (g8 - 1), g8, bsz * 4)
+                r2 = _pick_bucket(rep[b2 >> sh], b2 & (g8 - 1), g8, bsz * 4)
+                rows = jnp.concatenate([r1, r2], axis=-1).reshape(
+                    hb.shape + (2 * bsz, 4)
+                )
             else:
                 rows = jnp.concatenate(
                     [packed[hb], packed[(hb + 1) & (BH - 1)]], axis=-1

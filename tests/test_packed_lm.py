@@ -138,3 +138,37 @@ def test_compile_packed_empty_middle_order(toy_lm):
     for w, c in zip(["a", "b", "c", "a"], np.asarray(costs)):
         np.testing.assert_allclose(c, toy_lm.ngrams[(toy_lm.vocab[w],)][0],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_big_table_packed_bucket_rows_exact(monkeypatch):
+    """The 128-lane packed bucket-row layout (large-LM path) must give
+    identical lookups to the pair-replicated layout (forced via the
+    RASR_TPU_LM_REP_THRESHOLD test hook)."""
+    import numpy as np
+
+    from rasr_tpu.models.lm.arpa import NgramLm
+    from rasr_tpu.models.lm.ngram_tpu import (
+        compile_ngram, lookup_prepared, prepare_lookup,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = {"<s>": 0, "</s>": 1, "<unk>": 2}
+    for i in range(200):
+        vocab[f"w{i}"] = len(vocab)
+    ngrams = {}
+    ids = list(vocab.values())
+    for w in ids:
+        ngrams[(w,)] = (float(rng.uniform(1, 9)), float(rng.uniform(0.1, 2)))
+    for _ in range(900):
+        a, b = rng.choice(ids), rng.choice(ids)
+        ngrams[(int(a), int(b))] = (float(rng.uniform(1, 8)), 0.0)
+    lm = NgramLm(2, vocab, ngrams)
+    tables = compile_ngram(lm)
+    assert tables.bucket_bits == 2
+    states = np.asarray(rng.integers(0, tables.num_states, size=512), np.int32)
+    words = np.asarray(rng.choice(ids, size=512), np.int32)
+    ref = lookup_prepared(tables, prepare_lookup(tables), states, words)
+    monkeypatch.setenv("RASR_TPU_LM_REP_THRESHOLD", "1")
+    got = lookup_prepared(tables, prepare_lookup(tables), states, words)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
