@@ -867,8 +867,15 @@ def _make_step(
         # test hook: RASR_TPU_PACK_THRESHOLD (bytes) forces the packed
         # path on small tables so CPU exactness tests can cover it
         _thr = int(os.environ.get("RASR_TPU_PACK_THRESHOLD", str(64 * 2**20)))
-        while S_rows * 512 // pack_f > _thr and pack_f < 8:
-            pack_f *= 2
+        # pack only NARROW tables: the column-major flip this works
+        # around is driven by the 128-lane tile pad (128/C x physical
+        # waste); wide tables (across-word wmax stacks: C~119) pad
+        # ~1x, stay row-major on their own, and packing them would
+        # multiply gather bytes 8x (measured: across-word ctx4
+        # 193 -> 125 au-s/s with the width-blind gate, 2026-08-21)
+        if Ccmb * 2 <= 128 and S_rows * 128 * 4 > _thr:
+            while Ccmb * pack_f * 2 <= 128 and pack_f < 8:
+                pack_f *= 2
         if pack_f > 1:
             pad_r = (-S_rows) % pack_f
             cp = (
@@ -878,9 +885,17 @@ def _make_step(
                 if pad_r
                 else combo_pack
             )
-            combo_pack = cp.reshape(
-                (S_rows + pad_r) // pack_f, pack_f * Ccmb
-            )
+            # strided slices + axis-1 concat, NOT reshape: a reshape
+            # forces a row-major relayout of the UNPACKED [S,C] table
+            # first, whose 128-lane padding is ~9x physical (12.3GB HLO
+            # temp at 25.8M states — OOMed the across-word worst-case
+            # bench). Slice d picks rows d, f+d, 2f+d, ... so
+            # concat(axis=1) row p = rows p*f .. p*f+f-1, identical to
+            # the reshape result, with only the ~1x packed table as the
+            # materialized output.
+            combo_pack = jnp.concatenate(
+                [cp[d::pack_f, :] for d in range(pack_f)], axis=1
+            )  # [ceil(S/f), f*C]
 
     if use_rsel:
         # root-selection path: (dst, cls) rows for the R3 survivors
