@@ -11,6 +11,9 @@ from rasr_tpu.parallel.mesh import make_mesh
 from rasr_tpu.parallel.sequence import SpFrontend, sp_viterbi_align
 
 
+
+pytestmark = pytest.mark.slow  # full tier: pytest -m "" tests/
+
 def _tones(rng, B=2, seconds=1.2, sr=16000):
     t = np.arange(int(seconds * sr)) / sr
     samples = np.stack(
