@@ -412,9 +412,22 @@ def _cross_backend_canary():
         # deltas + carried class/phi payload through the sorts
         ("across-word+bigram-la", t_ax, compile_ngram(lm2),
          {"bigram_la": bla_ax}, cfg),
+        # r4 big-table layouts FORCED onto the tiny canary nets: the
+        # packed-row combo layout (binary int32 unpack) + the 128-lane
+        # packed LM bucket rows — the large-vocab transport paths must
+        # stay bit-exact on chip (the bit-transport lesson: CPU tests
+        # cannot catch TPU relayout flushes)
+        ("packed-rows+lm128", t_ax, compile_ngram(lm2), {}, cfg),
     ]
     for name, tr, tb, kw, c in configs:
         results = {}
+        forced_env = (
+            {"RASR_TPU_PACK_THRESHOLD": "1", "RASR_TPU_LM_REP_THRESHOLD": "1"}
+            if name == "packed-rows+lm128"
+            else {}
+        )
+        saved_env = {k: os.environ.get(k) for k in forced_env}
+        os.environ.update(forced_env)
         for devname, dev in (("cpu", cpu), ("tpu", None)):
             ctx = jax.default_device(dev) if dev is not None else _nullctx()
             with ctx:
@@ -425,6 +438,11 @@ def _cross_backend_canary():
                     )
                 dec = TreeDecoder(tr, tb, c, **kw_dev)
                 results[devname] = dec.decode_scores(emis, nf)
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         for a, b in zip(results["cpu"], results["tpu"]):
             assert a.words == b.words, (
                 f"CROSS-BACKEND CANARY FAILED ({name}): "
