@@ -1673,7 +1673,19 @@ def _make_step(
         kw_iota = jnp.broadcast_to(
             jnp.arange(KW, dtype=jnp.int32)[None, :], (B, KW)
         )
-        src_ops = [w_lm, w_bp] + ([w_rnnrow] if use_rnn else [])
+        # operand packing: each extra variadic-sort operand costs
+        # ~13us/frame at this width — pack (bp, lm) and (word, next)
+        # pairs into single int32 columns when their static bounds fit
+        # (bp < rec_cap = R*T, lm < L, word < V+1 from the dense
+        # unigram table, next < S1; all trace-time constants)
+        V1 = lm_prep[3].shape[0]  # V + 1
+        g_src = rec_cap > 0 and (rec_cap + 2) * L < 2**31
+        if g_src:
+            src_ops = [(w_bp + 1) * jnp.int32(L) + w_lm]
+        else:
+            src_ops = [w_lm, w_bp]
+        if use_rnn:
+            src_ops.append(w_rnnrow)
         if wmax > 1:
             # two-stage EXACT top-R. Per-state word-end slots are
             # COST-SORTED at flatten time (slot j >= slot 0 for the same
@@ -1736,9 +1748,18 @@ def _make_step(
             # gathers rows of wpk afterwards, so the [B,KW,C_we]
             # row-major relayout + flat record gather disappear (HLO
             # profile 2026-08-21: 153us copy + 39us gather vs ~13us
-            # per extra operand at this width)
-            we_cols = [0, 2, 3] + ([5] if use_werank else [])
-            we_ops = [wpk[..., c].reshape(B, KW) for c in we_cols]
+            # per extra operand at this width). (word, next) pack into
+            # one column when the bounds fit (see g_wn).
+            wcol = lambda c: wpk[..., c].reshape(B, KW)
+            g_wn = (V1 + 2) * (S1 + 1) < 2**31
+            if g_wn:
+                we_ops = [
+                    (wcol(0) + 2) * jnp.int32(S1 + 1) + wcol(3), wcol(2)
+                ]
+            else:
+                we_ops = [wcol(0), wcol(2), wcol(3)]
+            if use_werank:
+                we_ops.append(wcol(5))
             s1 = jax.lax.sort(
                 (pre, kw_iota, *src_ops, *we_ops),
                 dimension=1, num_keys=2, is_stable=False,
@@ -1746,8 +1767,14 @@ def _make_step(
             r_pre = s1[0][:, :R]
             src_sel = [o[:, :R] for o in s1[2 : 2 + len(src_ops)]]
             we_sel = [o[:, :R] for o in s1[2 + len(src_ops) :]]
-            r_word, r_lemma, r_next = we_sel[0], we_sel[1], we_sel[2]
-            r_bias = bc_f(we_sel[3]) if use_werank else None
+            if g_wn:
+                r_word = we_sel[0] // jnp.int32(S1 + 1) - 2
+                r_next = we_sel[0] % jnp.int32(S1 + 1)
+                r_lemma = we_sel[1]
+                r_bias = bc_f(we_sel[2]) if use_werank else None
+            else:
+                r_word, r_lemma, r_next = we_sel[0], we_sel[1], we_sel[2]
+                r_bias = bc_f(we_sel[3]) if use_werank else None
         if wmax > 1:
             if use_werank:
                 r_bias = bc_f(rsel[..., 5])
@@ -1758,8 +1785,12 @@ def _make_step(
             # undo the unigram selection bias: survivors carry their true
             # pre-LM path score; the exact LM cost replaces the estimate
             r_pre = jnp.where(r_pre < BIG / 2, r_pre - r_bias, r_pre)
-        r_srclm = src_sel[0]
-        r_srcbp = src_sel[1]
+        if g_src:
+            r_srcbp = src_sel[0] // jnp.int32(L) - 1
+            r_srclm = src_sel[0] % jnp.int32(L)
+        else:
+            r_srclm = src_sel[0]
+            r_srcbp = src_sel[1]
 
         is_lm_word = r_word >= 0
         lm_cost, lm_next = lookup_prepared(
@@ -1775,7 +1806,7 @@ def _make_step(
             # row (r_srcrow — payload column, no record-id keying).
             from .rnn_fusion import cell_step, word_scores
 
-            r_srcrow = src_sel[2]  # [B,R]
+            r_srcrow = src_sel[1 if g_src else 2]  # [B,R]
             h_src = rowsel(rnn_hs, r_srcrow)  # [B,R,H]
             c_src = rowsel(rnn_cs, r_srcrow)
             wid = rnn.word_map[jnp.maximum(r_word, 0)]  # [B,R]
