@@ -933,15 +933,18 @@ def _make_step(
                 [flat, jnp.zeros((pad,), flat.dtype)], axis=0
             )
         xr = flat.reshape((Bx * N + pad) // 4, 4)
-        # trace-time CONSTANT offsets: an in-body jnp.arange becomes an
-        # iota fusion XLA re-materializes per frame and shuttles
-        # VMEM->HBM->VMEM (copy-start/done pairs, ~40us/frame profiled)
-        off = jnp.asarray(
-            (np.arange(Bx, dtype=np.int32) * N).reshape(
-                (Bx,) + (1,) * (idx.ndim - 1)
-            )
-        )
-        g = idx + off
+        # row offsets AT THE INDEX SHAPE: every [B]-shaped form (1-D
+        # jnp.arange, trace-time np constant, factored broadcasted_iota)
+        # gets strength-reduced to one shared [B] iota fusion that XLA
+        # shuttles VMEM->HBM->VMEM between its distant consumers
+        # (copy-start/done pairs, ~34-40us/frame profiled 2026-08-21);
+        # a flat iota//W expression resists the refactor and fuses into
+        # each gather's own index fusion
+        W = int(np.prod(idx.shape[1:])) if idx.ndim > 1 else 1
+        row_of = (
+            jax.lax.iota(jnp.int32, Bx * W) // jnp.int32(W)
+        ).reshape(idx.shape)
+        g = idx + row_of * N
         rows = xr[g >> 2]
         lo = jnp.where((g & 1) == 0, rows[..., 0], rows[..., 1])
         hi = jnp.where((g & 1) == 0, rows[..., 2], rows[..., 3])
@@ -971,12 +974,13 @@ def _make_step(
         index (measured ~1.5-2 cycles/index vs ~7 for element gathers:
         pack columns, gather once)."""
         Bx, N, C = rows.shape
-        off = jnp.asarray(
-            (np.arange(Bx, dtype=np.int32) * N).reshape(
-                (Bx,) + (1,) * (idx.ndim - 1)
-            )
-        )
-        return rows.reshape(Bx * N, C)[idx + off]
+        # flat iota//W row offsets: see fsel (any [B]-shaped offset form
+        # becomes one shared iota fusion shuttled VMEM<->HBM per frame)
+        W = int(np.prod(idx.shape[1:])) if idx.ndim > 1 else 1
+        row_of = (
+            jax.lax.iota(jnp.int32, Bx * W) // jnp.int32(W)
+        ).reshape(idx.shape)
+        return rows.reshape(Bx * N, C)[idx + row_of * N]
 
     def step(carry, inputs):
         state, lms, score, bp, pk_c, fstate, flm, fscore, fbp = carry[:9]
@@ -1363,12 +1367,35 @@ def _make_step(
                     )
 
         # ------------------------------------------- assemble candidates
-        cand_state = jnp.concatenate(
-            [state_e, d1, d2, br_state, *root_states], axis=1
-        )
-        cand_lm = jnp.concatenate(
-            [lms_e, lms_e, lms_e, br_lm, *root_lms], axis=1
-        )
+        if pack_keys and not use_exp:
+            # sectionwise packed keys: the recombination consumes ONLY
+            # state*L+lm, so compute the key per section BEFORE the
+            # branch fan's (Kb,Db)->Wbr flatten and skip the full-width
+            # cand_state/cand_lm concats. On-chip: bench drew +1.5%
+            # but the HLO profile is width-neutral — XLA rematerializes
+            # the `ok` mask flat in place of the state/lm retiles, so
+            # the [B,Kb,Db]->[B,Wbr] retile count stays ~5; truly
+            # killing them needs per-(slot,arc) flat gathers, which is
+            # the compact-branch path and LOSES at small Db (361 vs 406
+            # at the headline shape, 2026-08-21)
+            Lc = jnp.int32(L)
+            if use_cw:
+                br_key = br_state * Lc + br_lm  # already flat
+            else:
+                br_key = (b_dst * Lc + b_lm[:, :, None]).reshape(B, Wbr)
+            cand_key_sections = jnp.concatenate(
+                [state_e * Lc + lms_e, d1 * Lc + lms_e, d2 * Lc + lms_e,
+                 br_key]
+                + [s * Lc + l for s, l in zip(root_states, root_lms)],
+                axis=1,
+            )
+        else:
+            cand_state = jnp.concatenate(
+                [state_e, d1, d2, br_state, *root_states], axis=1
+            )
+            cand_lm = jnp.concatenate(
+                [lms_e, lms_e, lms_e, br_lm, *root_lms], axis=1
+            )
         cand_bp = jnp.concatenate(
             [bp_pay, bp_pay, bp_pay, br_bp, *root_bps], axis=1
         )
@@ -1524,8 +1551,13 @@ def _make_step(
             # truncated-history recombination semantics (rnn_fusion.py)
             cand_pays += (cand_rnn,)
         if pack_keys:
-            # (state, lm) packed into one int32 key
-            cand_key = cand_state * jnp.int32(L) + cand_lm
+            # (state, lm) packed into one int32 key (computed per
+            # section before the branch flatten unless the expansion
+            # path regathered the columns — see assembly above)
+            if use_exp:
+                cand_key = cand_state * jnp.int32(L) + cand_lm
+            else:
+                cand_key = cand_key_sections
             keys, n_score, n_pays = recombine_topk(
                 (cand_key,), cand_score, cand_pays, topn
             )
