@@ -1764,9 +1764,11 @@ def _make_step(
             r_pre = s2[0][:, :R]
             ridx = s2[1][:, :R]
             src_sel = [o[:, :R] for o in s2[2:]]
-            roff = jnp.asarray(
-                np.arange(B, dtype=np.int32)[:, None] * (Rh * wmax)
-            )
+            # flat iota//R row offsets (see fsel: [B]-shaped offset
+            # forms become a shared iota fusion shuttled VMEM<->HBM)
+            roff = (
+                jax.lax.iota(jnp.int32, B * R) // jnp.int32(R)
+            ).reshape(B, R) * (Rh * wmax)
             rsel = wpk_r.reshape(B * Rh * wmax, C_we)[ridx + roff]  # [B,R,C_we]
         else:
             wc = bc_f(wpk[..., 1])
