@@ -377,6 +377,22 @@ class BeamConfig:
     force_unpacked_keys: bool = False
 
 
+def _row_offsets(idx, stride):
+    """Per-element batch-row offsets (batch_index * stride) for flat
+    global-index gathers, in the flat iota//W form: ANY [B]-shaped
+    offset (in-body arange, trace-time np constant, factored
+    broadcasted_iota) gets strength-reduced by XLA into one shared [B]
+    iota fusion that is then shuttled VMEM->HBM->VMEM between its
+    distant consumers (~34us/frame at the headline shape, more at
+    large vocab — docs/PERF.md "[B] row-offset shuttle"). The flat
+    iota(B*W)//W at the index shape resists the refactor and fuses
+    into each gather's own index fusion."""
+    B = idx.shape[0]
+    W = int(np.prod(idx.shape[1:])) if idx.ndim > 1 else 1
+    row = (jax.lax.iota(jnp.int32, B * W) // jnp.int32(W)).reshape(idx.shape)
+    return row * jnp.int32(stride)
+
+
 def _bc_f(a):  # int32 -> f32 bits
     return jax.lax.bitcast_convert_type(a, jnp.float32)
 
@@ -933,18 +949,7 @@ def _make_step(
                 [flat, jnp.zeros((pad,), flat.dtype)], axis=0
             )
         xr = flat.reshape((Bx * N + pad) // 4, 4)
-        # row offsets AT THE INDEX SHAPE: every [B]-shaped form (1-D
-        # jnp.arange, trace-time np constant, factored broadcasted_iota)
-        # gets strength-reduced to one shared [B] iota fusion that XLA
-        # shuttles VMEM->HBM->VMEM between its distant consumers
-        # (copy-start/done pairs, ~34-40us/frame profiled 2026-08-21);
-        # a flat iota//W expression resists the refactor and fuses into
-        # each gather's own index fusion
-        W = int(np.prod(idx.shape[1:])) if idx.ndim > 1 else 1
-        row_of = (
-            jax.lax.iota(jnp.int32, Bx * W) // jnp.int32(W)
-        ).reshape(idx.shape)
-        g = idx + row_of * N
+        g = idx + _row_offsets(idx, N)
         rows = xr[g >> 2]
         lo = jnp.where((g & 1) == 0, rows[..., 0], rows[..., 1])
         hi = jnp.where((g & 1) == 0, rows[..., 2], rows[..., 3])
@@ -974,13 +979,7 @@ def _make_step(
         index (measured ~1.5-2 cycles/index vs ~7 for element gathers:
         pack columns, gather once)."""
         Bx, N, C = rows.shape
-        # flat iota//W row offsets: see fsel (any [B]-shaped offset form
-        # becomes one shared iota fusion shuttled VMEM<->HBM per frame)
-        W = int(np.prod(idx.shape[1:])) if idx.ndim > 1 else 1
-        row_of = (
-            jax.lax.iota(jnp.int32, Bx * W) // jnp.int32(W)
-        ).reshape(idx.shape)
-        return rows.reshape(Bx * N, C)[idx + row_of * N]
+        return rows.reshape(Bx * N, C)[idx + _row_offsets(idx, N)]
 
     def step(carry, inputs):
         state, lms, score, bp, pk_c, fstate, flm, fscore, fbp = carry[:9]
@@ -1764,12 +1763,9 @@ def _make_step(
             r_pre = s2[0][:, :R]
             ridx = s2[1][:, :R]
             src_sel = [o[:, :R] for o in s2[2:]]
-            # flat iota//R row offsets (see fsel: [B]-shaped offset
-            # forms become a shared iota fusion shuttled VMEM<->HBM)
-            roff = (
-                jax.lax.iota(jnp.int32, B * R) // jnp.int32(R)
-            ).reshape(B, R) * (Rh * wmax)
-            rsel = wpk_r.reshape(B * Rh * wmax, C_we)[ridx + roff]  # [B,R,C_we]
+            rsel = wpk_r.reshape(B * Rh * wmax, C_we)[
+                ridx + _row_offsets(ridx, Rh * wmax)
+            ]  # [B,R,C_we]
         else:
             wc = bc_f(wpk[..., 1])
             if use_werank:
