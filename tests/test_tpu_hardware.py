@@ -250,3 +250,38 @@ def test_frontend_matches_cpu_jit():
     feats = np.asarray(feats)
     assert np.isfinite(feats[0, : int(nf[0])]).all()
     assert feats.shape[-1] == fe.output_dim
+
+
+def test_decode_hlo_has_no_batch_offset_shuttle():
+    """Compile-only pin for the flat iota//W row-offset idiom
+    (decoder._row_offsets): any [B]-shaped offset form gets
+    strength-reduced by XLA into a shared [B] iota fusion
+    ("iota_multiply" in the compiled text) that is shuttled
+    VMEM->HBM->VMEM between its distant consumers (~34us/frame at the
+    headline shape, docs/PERF.md "[B] row-offset shuttle"). The helper
+    keeps the offsets inside each gather's own index fusion; if this
+    pin fires, some gather site reintroduced a [B]-shaped offset (or
+    an XLA update re-factored the flat form — re-profile either way)."""
+    from rasr_tpu.search.decoder import _decode_scan
+
+    lex, topo, tying, trans, lm = _decoder_setup()
+    tables = compile_ngram(lm)
+    tree = build_prefix_tree(lex, tying, topo, trans, lm_vocab=lm.vocab)
+    cfg = BeamConfig(max_hyps=1024, beam=1e9, word_end_limit=64,
+                     root_hyps=16, branch_hyps=146, lm_scale=0.7)
+    dec = TreeDecoder(tree, tables, cfg)
+    B, T, M = 64, 16, tying.num_classes
+    emis = jnp.zeros((B, T, M), jnp.float32)
+    nf = jnp.full((B,), T, jnp.int32)
+    kbranch = cfg.branch_hyps or cfg.max_hyps
+    low = _decode_scan.lower(
+        dec.tables, dec.lm, dec.lm_prep, emis, nf, dec.bla, dec.rnn,
+        dec.cfg, dec.tree.max_word_ends,
+        min(cfg.root_hyps, cfg.max_hyps), min(kbranch, cfg.max_hyps),
+        None, 1, dec.tree.num_final_states,
+    )
+    text = low.compile().as_text()
+    assert "iota_multiply" not in text, (
+        "a [B]-shaped gather row-offset came back — see "
+        "decoder._row_offsets and docs/PERF.md"
+    )
