@@ -129,9 +129,130 @@ def aw_power():
                 }), file=sys.stderr, flush=True)
 
 
+def large_vocab():
+    """Quality and scale in the SAME experiment (r4 verdict item 1).
+
+    Every prior WER/search-error CI came from <=1k-word tasks while the
+    perf work went to 100k words — and the lookahead correction exists
+    FOR large vocabularies. This mode builds the battery task at a
+    VOCABULARY SWEEP (default 1k/5k/20k), runs the wide reference decode
+    ON THE CHIP (BATTERY_DEVICE=tpu; CPU reference decodes at K=2048
+    cost 200-400s/utt, which is what capped the old battery at 1k
+    words), validates the reference width (K vs 2*K search error), and
+    reports the production-point grid with paired-bootstrap CIs for the
+    bigram-vs-unigram lookahead delta AT EACH VOCABULARY.
+
+    Run: BATTERY_MODE=lv BATTERY_DEVICE=tpu python examples/search_error_battery.py
+    Env: BATTERY_LV_WORDS="1000,5000,20000", BATTERY_UTTS=200,
+         BATTERY_NOISE/SEP, BATTERY_REF_K=2048 (checked against 2*K).
+    """
+    from rasr_tpu.pipeline.battery import paired_bootstrap_delta
+
+    vocabs = [
+        int(x)
+        for x in os.environ.get("BATTERY_LV_WORDS", "1000,5000,20000").split(",")
+    ]
+    utts = int(os.environ.get("BATTERY_UTTS", "200"))
+    noise = float(os.environ.get("BATTERY_NOISE", "3.0"))
+    sep = float(os.environ.get("BATTERY_SEP", "1.3"))
+    lm_scale = float(os.environ.get("BATTERY_LM_SCALE", "3.0"))
+    ref_k = int(os.environ.get("BATTERY_REF_K", "2048"))
+    seed = int(os.environ.get("BATTERY_SEED", "0"))
+    points = [
+        tuple(int(v) for v in p.split(":"))
+        for p in os.environ.get(
+            "BATTERY_LV_POINTS", "256:90,512:90,1024:90,1024:120"
+        ).split(",")
+    ]
+    print("| vocab | K | beam | la | WER | search-err | mean-degr "
+          "| dWER(bi-uni) [95% CI] |", flush=True)
+    print("|-------|---|------|----|-----|-----------|-----------|---|",
+          flush=True)
+    for V in vocabs:
+        t0 = time.time()
+        task = build_battery_task(
+            num_words=V, num_utts=utts,
+            # scale the LM source with the vocabulary so histories keep
+            # predicting words (support stays 12 successors/word)
+            n_train_sentences=int(
+                os.environ.get("BATTERY_TRAIN", "0")
+            ) or max(20000, 3 * V),
+            noise=noise, separation=sep,
+            lookahead_classes=int(os.environ.get("BATTERY_LA_CLASSES", "1200")),
+            seed=seed,
+        )
+        print(f"# vocab={V}: task built in {time.time() - t0:.0f}s "
+              f"tree={task.tree.stats()} T={task.emissions.shape[1]}",
+              file=sys.stderr, flush=True)
+        # ---- reference decode + width validation: the reference is only
+        # a reference if doubling K stops changing the best costs
+        t0 = time.time()
+        ref = run_operating_point(task, BeamConfig(
+            max_hyps=ref_k, beam=1e9, word_end_limit=128, root_hyps=64,
+            lm_scale=lm_scale,
+        ))
+        t1 = time.time()
+        ref2 = run_operating_point(task, BeamConfig(
+            max_hyps=2 * ref_k, beam=1e9, word_end_limit=128, root_hyps=64,
+            lm_scale=lm_scale,
+        ), ref_scores=ref["_scores"])
+        wide_gain = float(np.maximum(ref["_scores"] - ref2["_scores"], 0).mean())
+        print(f"# vocab={V} reference K={ref_k}: wer={ref['wer']:.4f} "
+              f"({t1 - t0:.0f}s); width check K={2 * ref_k}: "
+              f"wer={ref2['wer']:.4f}, mean score gain {wide_gain:.4f} "
+              f"({time.time() - t1:.0f}s)", file=sys.stderr, flush=True)
+        print(json.dumps({
+            "mode": "lv", "vocab": V, "point": "reference", "K": ref_k,
+            "wer": round(ref["wer"], 4), "ref2_wer": round(ref2["wer"], 4),
+            "width_check_gain": round(wide_gain, 4),
+        }), file=sys.stderr, flush=True)
+        # the wider decode is the better reference; use its scores
+        ref_scores = np.minimum(ref["_scores"], ref2["_scores"])
+        for K, beam in points:
+            rows = {}
+            for bi in (0, 1):
+                cfg = BeamConfig(
+                    max_hyps=K, beam=float(beam), word_end_limit=64,
+                    root_hyps=16, lm_scale=lm_scale,
+                )
+                t0 = time.time()
+                rows[bi] = run_operating_point(
+                    task, cfg, bigram=bool(bi), ref_scores=ref_scores
+                )
+                print(f"# vocab={V} K={K} beam={beam} bi={bi}: "
+                      f"{time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+            bs = paired_bootstrap_delta(rows[0], rows[1])
+            for bi in (0, 1):
+                r = rows[bi]
+                d = (
+                    f"{bs['delta']:+.4f} [{bs['ci_lo']:+.4f},"
+                    f"{bs['ci_hi']:+.4f}] P(bi better)={bs['p_better']:.2f}"
+                    if bi else ""
+                )
+                print(
+                    f"| {V} | {K} | {beam} "
+                    f"| {'bigram' if bi else 'unigram'} | {r['wer']:.4f} "
+                    f"| {r['search_error_rate']:.3f} "
+                    f"| {r['mean_degradation']:.2f} | {d} |", flush=True,
+                )
+                bs_ref = paired_bootstrap_delta(ref, r)
+                print(json.dumps({
+                    "mode": "lv", "vocab": V, "point": f"K{K}_b{beam}",
+                    "la": "bigram" if bi else "unigram",
+                    "wer": round(r["wer"], 4),
+                    "search_error_rate": round(r["search_error_rate"], 4),
+                    "mean_degradation": round(r["mean_degradation"], 3),
+                    "dwer_vs_ref": round(bs_ref["delta"], 4),
+                    "ci_vs_ref": [round(bs_ref["ci_lo"], 4),
+                                  round(bs_ref["ci_hi"], 4)],
+                }), file=sys.stderr, flush=True)
+
+
 def main():
     if os.environ.get("BATTERY_MODE") == "aw-power":
         return aw_power()
+    if os.environ.get("BATTERY_MODE") == "lv":
+        return large_vocab()
     t0 = time.time()
     task = build_battery_task(
         num_words=int(os.environ.get("BATTERY_WORDS", "1000")),

@@ -2367,6 +2367,19 @@ class TreeDecoder:
         mesh=None,
         beam_axis: Optional[str] = None,
     ) -> List[DecodeResult]:
+        best = self.decode_scores_device(
+            emissions, n_frames, mesh=mesh, beam_axis=beam_axis
+        )
+        names = names or [f"utt{i}" for i in range(emissions.shape[0])]
+        return self._results_from(best, names)
+
+    def decode_scores_device(
+        self,
+        emissions,  # [B, T, M] acoustic -log scores; host OR device array
+        n_frames,  # [B] frame counts; host OR device array
+        mesh=None,
+        beam_axis: Optional[str] = None,
+    ):
         """Batched decode. With ``mesh``, the utterance batch shards
         over the mesh's ``data`` axis and each device runs the scan on
         its shard via shard_map — embarrassingly-parallel DP decode with
@@ -2385,9 +2398,15 @@ class TreeDecoder:
         limits are effectively off (each slice's caps cover every
         candidate it holds, as in the exactness tests); under tight
         limits it is a different, equally principled pruning of the
-        same search space."""
-        B = emissions.shape[0]
-        names = names or [f"utt{i}" for i in range(B)]
+        same search space.
+
+        This half only DISPATCHES: it returns the packed device result
+        array without blocking on the ~70ms device->host tunnel pull, so
+        a driver can overlap the next batch's dispatch with this batch's
+        on-chip scan; pair with ``results_from_device``. Device-resident
+        ``emissions``/``n_frames`` are consumed in place (no host
+        round-trip — ``jnp.asarray`` on a committed device array is a
+        no-op)."""
         beam_par = int(mesh.shape[beam_axis]) if beam_axis is not None else 1
         K_loc = max(self.cfg.max_hyps // beam_par, 1)
         kbranch = self.cfg.branch_hyps or self.cfg.max_hyps
@@ -2449,6 +2468,14 @@ class TreeDecoder:
         # records stay on device; decoder_lattice pulls them lazily
         self._last_device_records = records
         self._last_n_frames_dev = n_frames
+        return best
+
+    def results_from_device(
+        self, best, names: Optional[Sequence[str]] = None
+    ) -> List[DecodeResult]:
+        """Pull a ``decode_scores_device`` result to host and assemble
+        DecodeResults (the one blocking device->host transfer)."""
+        names = names or [f"utt{i}" for i in range(int(best.shape[1]))]
         return self._results_from(best, names)
 
     def _results_from(self, best, names: Sequence[str]) -> List[DecodeResult]:

@@ -28,6 +28,24 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    """Force-disable pytest-xdist for the on-chip suite.
+
+    pytest.ini sets ``-n 2`` for the CPU tiers, but with
+    RASR_TPU_TEST_TPU=1 the conftest leaves the TPU backend active and
+    two xdist workers would BOTH claim the chip — the second blocks at
+    backend init indefinitely (verified chip-claim behavior, CLAUDE.md).
+    This hook runs before xdist's trylast pytest_configure activates its
+    DSession, so zeroing the option here keeps the hardware gate
+    single-process regardless of addopts.
+    """
+    if os.environ.get("RASR_TPU_TEST_TPU") == "1":
+        if getattr(config.option, "numprocesses", None):
+            config.option.numprocesses = 0
+        if getattr(config.option, "dist", "no") != "no":
+            config.option.dist = "no"
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)

@@ -183,6 +183,33 @@ def test_decoder_batched_ragged(setup, rng):
         ]
 
 
+def test_split_device_api_matches_decode_scores(setup, rng):
+    """decode_scores_device + results_from_device == decode_scores, with
+    device-resident inputs and under the bench's depth-2 pipelined
+    dispatch (the async-dispatch path that harvests the host gap)."""
+    import jax
+
+    lex, topo, tying, trans, lm, tables, tree = setup
+    M = tying.num_classes
+    T = 8
+    emis = rng.uniform(0.0, 6.0, size=(3, T, M)).astype(np.float32)
+    n = np.array([5, 8, 6])
+    dec = TreeDecoder(tree, tables, BeamConfig(max_hyps=256, word_end_limit=64, lm_scale=0.7))
+    ref = dec.decode_scores(emis, n)
+    emis_d, n_d = jax.device_put(jnp.asarray(emis)), jax.device_put(jnp.asarray(n))
+    prev, outs = None, []
+    for _ in range(3):
+        b = dec.decode_scores_device(emis_d, n_d)
+        if prev is not None:
+            outs.append(dec.results_from_device(prev))
+        prev = b
+    outs.append(dec.results_from_device(prev))
+    for got in outs:
+        assert [r.words for r in got] == [r.words for r in ref]
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a.score, b.score, rtol=1e-5)
+
+
 def test_lookahead_shaping_is_exact(setup, rng):
     """Unigram lookahead (potential shaping) must not change results when
     pruning is off — same best scores and words as without lookahead."""

@@ -281,7 +281,28 @@ def test_decode_hlo_has_no_batch_offset_shuttle():
         None, 1, dec.tree.num_final_states,
     )
     text = low.compile().as_text()
-    assert "iota_multiply" not in text, (
+    # Two detectors (r4 advisor: a bare compiler-generated fusion name can
+    # drift across XLA versions):
+    # (a) the fusion name XLA gave the strength-reduced offset when the
+    #     regression was live ("iota_multiply");
+    # (b) structural: any s32[64]-shaped value built from an iota that is
+    #     an operand of a copy-start (the VMEM->HBM->VMEM shuttle is a
+    #     copy-start/done pair on the shared [B] offset array — nf and
+    #     other [B] ints don't mention iota on their defining line, so
+    #     this doesn't false-positive on legitimate [B] copies).
+    import re
+
+    iota64 = {
+        m.group(1)
+        for m in re.finditer(r"%([\w.\-]+) = s32\[64\][^\n]*", text)
+        if "iota" in m.group(0)
+    }
+    shuttled = [
+        ln
+        for ln in text.splitlines()
+        if "copy-start" in ln and any(f"%{n}" in ln for n in iota64)
+    ]
+    assert "iota_multiply" not in text and not shuttled, (
         "a [B]-shaped gather row-offset came back — see "
-        "decoder._row_offsets and docs/PERF.md"
+        f"decoder._row_offsets and docs/PERF.md (structural hits: {shuttled[:2]})"
     )
