@@ -167,6 +167,7 @@ def build_setup(
     if int(os.environ.get("BENCH_LA_ORDER", "1")) >= 2:
         from rasr_tpu.search.lookahead import build_bigram_lookahead
 
+        t_la = time.time()
         bla = build_bigram_lookahead(
             tree, lm,
             num_classes=int(os.environ.get("BENCH_LA_CLASSES", "64")),
@@ -176,6 +177,11 @@ def build_setup(
             smooth=float(os.environ.get("BENCH_LA_SMOOTH", "0.0")),
         )
         assert bla is not None, "bigram lookahead unsupported for this network"
+        sys.stderr.write(
+            f"[bench] bigram lookahead build {time.time()-t_la:.1f}s "
+            f"(nodes={len(bla.node_class)}, classes={bla.corr.shape[0]}, "
+            f"corr_table={bla.corr.nbytes/1e6:.1f}MB)\n"
+        )
 
     if os.environ.get("BENCH_SCORER", "gmm") == "conformer":
         # hybrid conformer acoustic model at production size (d=512,

@@ -164,6 +164,31 @@ def large_vocab():
             "BATTERY_LV_POINTS", "256:90,512:90,1024:90,1024:120"
         ).split(",")
     ]
+    # the reference decodes are EXHAUSTIVE-fan (branch_hyps = K): at
+    # K=2048-4096 the dense fan's quarter-row emission gather output
+    # ([B*K*Db, 4]) tile-pads 32x on TPU (4 -> 128 lanes), so the batch
+    # is split to bound the HLO temp (measured: B=200/K=4096/Db=40 =
+    # 15.6GB for that one gather)
+    ref_batch = int(os.environ.get("BATTERY_REF_BATCH", "50"))
+
+    def prod_cfg(task, K, beam):
+        """The PRODUCTION pruning shape (mirrors bench.py defaults):
+        root pre-selection, survivors-only emission gather, branch caps
+        under the 4096 sort-pad budget with the same dense-vs-compact
+        auto rule the bench uses. The lookahead question is asked in
+        THIS config — the one production would run."""
+        deg = task.tree.arc_ptr[1:] - task.tree.arc_ptr[:-1]
+        db = int(max(int((deg[1:] - 2).max()), 1)) if deg.size > 1 else 1
+        kb = 146
+        budget = max(4096 - 3 * K, 256) - 2
+        bw = 0 if kb * db <= budget + 2 else budget
+        return BeamConfig(
+            max_hyps=K, beam=float(beam), word_end_limit=64,
+            root_hyps=16, root_select=min(512, K), deferred_emission=True,
+            branch_hyps=kb, branch_width=bw, root_arc_limit=160,
+            lm_scale=lm_scale,
+        )
+
     print("| vocab | K | beam | la | WER | search-err | mean-degr "
           "| dWER(bi-uni) [95% CI] |", flush=True)
     print("|-------|---|------|----|-----|-----------|-----------|---|",
@@ -190,12 +215,12 @@ def large_vocab():
         ref = run_operating_point(task, BeamConfig(
             max_hyps=ref_k, beam=1e9, word_end_limit=128, root_hyps=64,
             lm_scale=lm_scale,
-        ))
+        ), batch=ref_batch)
         t1 = time.time()
         ref2 = run_operating_point(task, BeamConfig(
             max_hyps=2 * ref_k, beam=1e9, word_end_limit=128, root_hyps=64,
             lm_scale=lm_scale,
-        ), ref_scores=ref["_scores"])
+        ), ref_scores=ref["_scores"], batch=ref_batch)
         wide_gain = float(np.maximum(ref["_scores"] - ref2["_scores"], 0).mean())
         print(f"# vocab={V} reference K={ref_k}: wer={ref['wer']:.4f} "
               f"({t1 - t0:.0f}s); width check K={2 * ref_k}: "
@@ -211,10 +236,7 @@ def large_vocab():
         for K, beam in points:
             rows = {}
             for bi in (0, 1):
-                cfg = BeamConfig(
-                    max_hyps=K, beam=float(beam), word_end_limit=64,
-                    root_hyps=16, lm_scale=lm_scale,
-                )
+                cfg = prod_cfg(task, K, beam)
                 t0 = time.time()
                 rows[bi] = run_operating_point(
                     task, cfg, bigram=bool(bi), ref_scores=ref_scores

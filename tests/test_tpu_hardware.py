@@ -252,6 +252,37 @@ def test_frontend_matches_cpu_jit():
     assert feats.shape[-1] == fe.output_dim
 
 
+def test_streaming_matches_offline_on_chip():
+    """Online block-feed decode == offline whole-utterance decode ON THE
+    DEVICE (the CPU tier proves the math; this proves the persistent
+    beam carry + record concat + bucketed finalize survive the chip's
+    relayout semantics — the bit-transport class of bug). Also exercises
+    a mid-stream current_best() (the getCurrentBestSentence path)."""
+    from rasr_tpu.search.streaming import StreamingDecoder
+
+    lex, topo, tying, trans, lm = _decoder_setup()
+    tables = compile_ngram(lm)
+    tree = build_prefix_tree(lex, tying, topo, trans, lm_vocab=lm.vocab)
+    rng = np.random.default_rng(23)
+    B, T, M = 2, 24, tying.num_classes
+    emis = rng.uniform(0.0, 6.0, size=(B, T, M)).astype(np.float32)
+    nf = np.array([T, T - 5], np.int32)
+    dec = TreeDecoder(
+        tree, tables, BeamConfig(max_hyps=64, word_end_limit=16, lm_scale=0.8)
+    )
+    offline = dec.decode_scores(emis, nf)
+
+    sd = StreamingDecoder(dec).restart(batch_size=B, n_frames=nf)
+    for t in range(0, T, 8):
+        sd.feed(emis[:, t : t + 8])
+        partial = sd.current_best()
+        assert len(partial) == B and all(np.isfinite(p.score) for p in partial)
+    final = sd.finalize()
+    for f, o in zip(final, offline):
+        assert f.words == o.words, (f.words, o.words)
+        assert abs(f.score - o.score) < 1e-3 * max(1.0, abs(o.score))
+
+
 def test_decode_hlo_has_no_batch_offset_shuttle():
     """Compile-only pin for the flat iota//W row-offset idiom
     (decoder._row_offsets): any [B]-shaped offset form gets
