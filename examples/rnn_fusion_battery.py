@@ -71,6 +71,16 @@ def main():
         # 2gram == 4gram WER there — no headroom for fusion). Order 2
         # makes truncated-history recombination genuinely lossy.
         markov_order=int(os.environ.get("RNNB_MARKOV", "2")),
+        # r5: sharper histories (fewer successors per history) scale the
+        # 2gram-vs-4gram gap — the effect fusion must recover. Pilot at
+        # N=48 (2026-08-21): support 12 -> gap +0.33%; support 6 ->
+        # +0.99%; support 4 -> +0.66% (task saturates easy); homophones
+        # at 0.20 add errors NEITHER lm fixes (gap +0.34%). support=6
+        # is the power design for the significance run.
+        markov_support=int(os.environ.get("RNNB_SUPPORT", "12")),
+        # ... and homophone density multiplies LM leverage on top:
+        # support=4 + homo=0.20 -> gap +2.03% (CI excludes 0 at N=48)
+        homophone_frac=float(os.environ.get("RNNB_HOMO", "0.05")),
         seed=int(os.environ.get("RNNB_SEED", "0")),
     )
     lm_scale = float(os.environ.get("RNNB_LM_SCALE", "3.0"))
