@@ -532,22 +532,37 @@ def train_bench():
         sys.stderr.write(f"cost_analysis unavailable: {e}\n")
         flops_per_step = 0.0
 
-    # steady state: steps chain on device via the params/opt_state deps;
-    # block once at the end (r2 lesson: blocking on loss alone reads 10x
-    # too fast, blocking per step serializes dispatch)
-    t0 = time.time()
-    for _ in range(steps):
-        params, opt_state, loss, acc = trainer._step(params, opt_state, x, y, w)
-    jax.block_until_ready((params, loss))
-    step_s = (time.time() - t0) / steps
+    # Steady state, measured as a TWO-WINDOW SLOPE: time a window of
+    # ``steps`` chained steps and one of 2*steps, each FORCED by reading
+    # float(loss) of the last step (r5 hardware finding: through the
+    # axon remote runtime, jax.block_until_ready on a chained-dispatch
+    # result returns ~10x early — 20 profiled 29.2ms steps "completed"
+    # in 60ms — while an actual value read forces the full dependency
+    # chain; the per-op profile confirms 29.2ms/step self time, see
+    # docs/PERF.md "Training-side performance"). The slope
+    # (t2 - t1)/steps cancels the ~70ms read round-trip exactly.
+    def window(n, upload=False):
+        nonlocal params, opt_state
+        t0 = time.time()
+        for _ in range(n):
+            if upload:
+                xi, yi, wi = (jax.device_put(a) for a in (x_h, y_h, w_h))
+            else:
+                xi, yi, wi = x, y, w
+            params, opt_state, loss, acc = trainer._step(
+                params, opt_state, xi, yi, wi
+            )
+        float(loss)  # value read: the only trustworthy barrier here
+        return time.time() - t0
 
-    # un-overlapped input pipeline: fresh host->device upload per step
-    t0 = time.time()
-    for _ in range(steps):
-        xu, yu, wu = (jax.device_put(a) for a in (x_h, y_h, w_h))
-        params, opt_state, loss, acc = trainer._step(params, opt_state, xu, yu, wu)
-    jax.block_until_ready((params, loss))
-    step_upload_s = (time.time() - t0) / steps
+    window(2)  # settle dispatch path
+    step_s = float(np.median(
+        [(window(2 * steps) - window(steps)) / steps for _ in range(3)]
+    ))
+    step_upload_s = float(np.median(
+        [(window(2 * steps, True) - window(steps, True)) / steps
+         for _ in range(3)]
+    ))
 
     tflops = flops_per_step / step_s / 1e12 if flops_per_step else 0.0
     mfu = flops_per_step / step_s / peak if flops_per_step else 0.0
