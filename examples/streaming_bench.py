@@ -84,6 +84,15 @@ def main():
         jax.block_until_ready(jax.device_put(up))
     block_upload_ms = (time.time() - t0) / 3 * 1e3
 
+    # Measurement protocol (r5 hardware finding, docs/PERF.md training
+    # section): jax.block_until_ready is NOT a trustworthy barrier
+    # through the axon remote runtime — it returns early for chained
+    # dispatches and adds ~60ms of round-trip overhead for single ones.
+    # Every timing below is forced by a VALUE READ, and the sustained
+    # rate is a two-window SLOPE so the read latency cancels.
+    def force(sd):
+        return float(np.asarray(sd._carry[2]).min())  # score read
+
     results = []
     for Tb in blocks:
         sd = StreamingDecoder(dec)
@@ -92,30 +101,41 @@ def main():
         sd.restart(batch_size=B, n_frames=np.full(B, frames, np.int32))
         t0 = time.time()
         sd.feed(emis[:, :Tb])
-        jax.block_until_ready(sd._carry[0])
+        force(sd)
         t_compile_feed = time.time() - t0
         t0 = time.time()
         sd.current_best()
         t_compile_best = time.time() - t0
 
-        # ---- sustained stream: feed the whole emission buffer
-        sd.restart(batch_size=B, n_frames=np.full(B, frames, np.int32))
+        # ---- sustained stream: chained async feeds, slope of two
+        # stream lengths (n/2, n) so the final read cancels
         n_feeds = frames // Tb
-        lat = []
-        t_stream0 = time.time()
-        for i in range(n_feeds):
+
+        def stream(n):
+            sd.restart(batch_size=B, n_frames=np.full(B, frames, np.int32))
             t0 = time.time()
-            sd.feed(emis[:, i * Tb : (i + 1) * Tb])
-            jax.block_until_ready(sd._carry[0])
+            for i in range(n):
+                sd.feed(emis[:, i * Tb : (i + 1) * Tb])
+            force(sd)
+            return time.time() - t0
+
+        t_half, t_full = stream(n_feeds // 2), stream(n_feeds)
+        per_feed = (t_full - t_half) / (n_feeds - n_feeds // 2)
+        rate = B * Tb * 0.01 / per_feed
+        rtf_per_stream = per_feed / (Tb * 0.01)
+
+        # ---- interactive per-feed latency: one feed + score read per
+        # block (what a server syncing every block pays; includes the
+        # ~70ms tunnel read)
+        lat = []
+        for i in range(min(12, n_feeds)):
+            t0 = time.time()
+            sd.feed(emis[:, (i % n_feeds) * Tb :][:, :Tb])
+            force(sd)
             lat.append(time.time() - t0)
-        t_stream = time.time() - t_stream0
-        audio_s = B * n_feeds * Tb * 0.01
-        rate = audio_s / t_stream
-        rtf_per_stream = (t_stream / (n_feeds * Tb * 0.01))
 
         # ---- warm current_best latency at the full-stream frontier
-        # (bucketed finalize: this bucket compiled during warmup only if
-        # frames hit the same bucket — time the first call separately)
+        # (bucketed finalize; returns host DecodeResults = value read)
         t0 = time.time()
         sd.current_best()
         t_best_cold = time.time() - t0
@@ -132,8 +152,9 @@ def main():
             "batch": B,
             "block_frames": Tb,
             "audio_s_per_s": round(rate, 1),
-            "per_feed_ms_p50": round(float(np.median(lat)) * 1e3, 2),
-            "per_feed_ms_p95": round(float(np.quantile(lat, 0.95)) * 1e3, 2),
+            "per_feed_ms_async": round(per_feed * 1e3, 2),
+            "per_feed_ms_synced_p50": round(float(np.median(lat)) * 1e3, 2),
+            "per_feed_ms_synced_p95": round(float(np.quantile(lat, 0.95)) * 1e3, 2),
             "feed_budget_ms": Tb * 10,
             "realtime_per_stream": round(1.0 / rtf_per_stream, 2),
             "current_best_ms_warm": round(t_best * 1e3, 1),
