@@ -108,17 +108,27 @@ def main():
         t_compile_best = time.time() - t0
 
         # ---- sustained stream: chained async feeds, slope of two
-        # stream lengths (n/2, n) so the final read cancels
+        # stream lengths (n/2, n) so the final read cancels. Emission
+        # blocks are PRE-MATERIALIZED device arrays: an eager device
+        # slice goes through the remote compile service (~1s per new
+        # slice start — it poisoned the first version of this bench
+        # with fake 900-au-s/s rates and 1s "feed latencies").
         n_feeds = frames // Tb
+        blocks_dev = jax.block_until_ready(
+            jax.jit(lambda e: tuple(
+                e[:, i * Tb : (i + 1) * Tb] for i in range(n_feeds)
+            ))(emis)
+        )
 
         def stream(n):
             sd.restart(batch_size=B, n_frames=np.full(B, frames, np.int32))
             t0 = time.time()
             for i in range(n):
-                sd.feed(emis[:, i * Tb : (i + 1) * Tb])
+                sd.feed(blocks_dev[i])
             force(sd)
             return time.time() - t0
 
+        stream(2)  # settle
         t_half, t_full = stream(n_feeds // 2), stream(n_feeds)
         per_feed = (t_full - t_half) / (n_feeds - n_feeds // 2)
         rate = B * Tb * 0.01 / per_feed
@@ -130,7 +140,7 @@ def main():
         lat = []
         for i in range(min(12, n_feeds)):
             t0 = time.time()
-            sd.feed(emis[:, (i % n_feeds) * Tb :][:, :Tb])
+            sd.feed(blocks_dev[i])
             force(sd)
             lat.append(time.time() - t0)
 
