@@ -72,7 +72,17 @@ def main():
     )
     lengths = jax.device_put(np.full(B, S, np.int64))
     feats, nf = fe(samples, lengths)
-    emis = scorer(feats)
+    # score in frame chunks: the GMM's [B, T, densities] intermediate is
+    # 12GB at B=64 x 3072 frames in one call (a serving stack scores per
+    # block anyway; this is setup, not the measured path)
+    import jax.numpy as jnp
+
+    chunk = 512
+    feats = feats[:, : frames + 8]
+    emis = jnp.concatenate(
+        [scorer(feats[:, i : i + chunk]) for i in range(0, feats.shape[1], chunk)],
+        axis=1,
+    )
     emis = jax.block_until_ready(emis)[:, :frames]
     M = emis.shape[-1]
 
