@@ -179,7 +179,7 @@ def build_setup(
         assert bla is not None, "bigram lookahead unsupported for this network"
         sys.stderr.write(
             f"[bench] bigram lookahead build {time.time()-t_la:.1f}s "
-            f"(nodes={len(bla.node_class)}, classes={bla.corr.shape[0]}, "
+            f"(nodes={bla.num_subtrees}, classes={bla.num_classes}, "
             f"corr_table={bla.corr.nbytes/1e6:.1f}MB)\n"
         )
 
